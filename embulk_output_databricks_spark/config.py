@@ -1,0 +1,104 @@
+"""Typed job config + fail-fast validation.
+
+Mirrors the reference's config surface (DatabricksPluginTask,
+DatabricksOutputPlugin.java:24-122 and README.md:28-46) re-expressed for a
+Spark/lake deployment:
+
+  reference                         -> here
+  mode: insert|insert_direct|       -> ApplyMode (merge is the CDC path;
+        truncate_insert|replace|       merge_direct rejected exactly like
+        merge  (:108-122)              newBatchInsert does at :191-194)
+  merge_keys / merge_rule (:36-37)  -> merge_keys (default ["doc_id"]),
+                                       merge_rules {col: SQL expr over T./S.}
+  before_load / after_load (:45-46) -> before_load / after_load SQL hooks
+  batch_size 16MiB (:38)            -> max_events_per_batch (micro-batch bound)
+  column_options.type (:40-41)      -> column_types {col: spark type name}
+  default_timezone / timestamp_format -> timezone / timestamp_format
+  delete_stage / _on_error (:30-31) -> keep_staging_on_error (inverted flag)
+  retry_limit/retry_wait (:32-34)   -> handled by Spark task retries; replay-
+                                       level retry is the fence (streaming/)
+
+Validation raises ConfigError immediately (analog of Embulk ConfigException,
+TestDatabricksOutputPluginByAuthType.java:36-70).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class ConfigError(ValueError):
+    """Invalid engine configuration (fail-fast, before any Spark job runs)."""
+
+
+class ApplyMode(str, Enum):
+    INSERT = "insert"                    # staged append (ref README.md:50-53)
+    INSERT_DIRECT = "insert_direct"      # unstaged append, at-least-once (:54-57)
+    TRUNCATE_INSERT = "truncate_insert"  # truncate then append (:58-61)
+    REPLACE = "replace"                  # atomic table swap (:62-65)
+    MERGE = "merge"                      # keyed upsert (:66-69)
+
+
+_VALID_MODES = {m.value for m in ApplyMode}
+
+# Spark type names accepted for column_types overrides / widening targets.
+_ALLOWED_TYPES = {
+    "byte", "short", "int", "integer", "long", "bigint", "float", "double",
+    "boolean", "string", "date", "timestamp", "decimal(38,9)",
+    "array<int>", "array<bigint>",
+}
+
+
+@dataclass
+class JobConfig:
+    table: str = "sequences"
+    mode: ApplyMode = ApplyMode.MERGE
+    merge_keys: list[str] = field(default_factory=lambda: ["doc_id"])
+    merge_rules: dict[str, str] = field(default_factory=dict)
+    before_load: str | None = None
+    after_load: str | None = None
+    column_types: dict[str, str] = field(default_factory=dict)
+    timezone: str = "UTC"
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    max_events_per_batch: int = 10_000_000
+    n_buckets: int = 16          # target-table bucket count; scale with data
+    dedup_salt: int = 8          # salt fan-out for skewed LWW dedup
+    dedup_strategy: str = "maxstruct"  # maxstruct | salted | window
+    keep_staging_on_error: bool = False
+    support_deletes: bool = True  # op='D' extension (FIXTURES.md S12)
+
+    def __post_init__(self) -> None:
+        if isinstance(self.mode, str):
+            if self.mode == "merge_direct":
+                # ref rejects merge_direct: DatabricksOutputPlugin.java:191-194
+                raise ConfigError("mode 'merge_direct' is not supported")
+            if self.mode not in _VALID_MODES:
+                raise ConfigError(f"unknown mode {self.mode!r}; valid: {sorted(_VALID_MODES)}")
+            self.mode = ApplyMode(self.mode)
+        if not self.table or len(self.table) > 127:
+            # max identifier length 127: DatabricksOutputPlugin.java:111
+            raise ConfigError("table name must be 1..127 chars")
+        if self.mode is ApplyMode.MERGE and not self.merge_keys:
+            # merge requires keys (ref README.md:36: required when the table
+            # has no primary key; our lake format has no PK concept so the
+            # default ['doc_id'] plays the PK-discovery role, SURVEY B7)
+            raise ConfigError("merge mode requires non-empty merge_keys")
+        for col, typ in self.column_types.items():
+            if typ.lower() not in _ALLOWED_TYPES:
+                raise ConfigError(f"column_types[{col!r}]: unsupported type {typ!r}")
+        if self.dedup_strategy not in ("maxstruct", "salted", "window"):
+            raise ConfigError(f"unknown dedup_strategy {self.dedup_strategy!r}")
+        if self.n_buckets < 1 or self.dedup_salt < 1:
+            raise ConfigError("n_buckets and dedup_salt must be >= 1")
+
+    def redacted(self) -> dict:
+        """Loggable config dump with secret-shaped keys masked (analog of
+        logConnectionProperties masking PWD/OAuth2Secret,
+        DatabricksOutputPlugin.java:207-217)."""
+        out = {}
+        for k, v in self.__dict__.items():
+            if any(s in k.lower() for s in ("token", "secret", "password", "pwd")):
+                v = "***"
+            out[k] = v.value if isinstance(v, Enum) else v
+        return out

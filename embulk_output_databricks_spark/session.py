@@ -1,0 +1,58 @@
+"""SparkSession builder for the engine.
+
+Pins the settings every module assumes:
+  - UTC session timezone (oracle comparisons; ref default_timezone=UTC,
+    reference README.md:39).
+  - Arrow on for every pandas/Arrow UDF path (input_hint: no per-row Python).
+  - AQE + skew-join on: the merge equi-join and dedup shuffles self-tune
+    (SURVEY.md §4.1 'Join strategy for MERGE').
+  - shuffle partitions sized to cores for local mode; on a real cluster pass
+    an explicit value sized to executors * cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "embulk-output-databricks-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
+    same entry point runs under pytest, bench.py and spark-submit. On a real
+    cluster, pass master=None with spark-submit --master and it inherits.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # local[N] -> N shuffle partitions; anything else -> leave for AQE
+        shuffle_partitions = int(cpus) if master.startswith("local") else 200
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # engine hash/expr library does its own bounded modular arithmetic;
+        # non-ANSI keeps Spark semantics aligned with the DuckDB oracle's
+        # bigint behavior for pmod-style expressions we generate.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,128 @@
+"""Storage-layer tests: atomic snapshots, bucket pruning, schema evolution.
+
+Mirrors the reference's golden-SQL layer (TestDatabricksOutputConnection.java)
+in spirit: the commit/DDL building blocks are pinned before any e2e replay.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA
+from embulk_output_databricks_spark.sources import LakeCatalog
+from embulk_output_databricks_spark.sources.laketable import SchemaEvolutionError
+
+
+def seq_rows(spark, ids, src="web"):
+    rows = [(f"doc{i:08d}", [i, i + 1, i + 2], 3, src) for i in ids]
+    return spark.createDataFrame(rows, SEQUENCES_SCHEMA)
+
+
+def test_create_append_read(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=4, bucket_key="doc_id")
+    assert cat.table_exists("sequences")
+    t.append(seq_rows(spark, range(10)))
+    assert t.row_count() == 10
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == {f"doc{i:08d}" for i in range(10)}
+    # bag semantics: append same rows again -> duplicates coexist (ref B2)
+    t.append(seq_rows(spark, range(3)))
+    assert t.row_count() == 13
+
+
+def test_overwrite_and_replace_atomic(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=4, bucket_key="doc_id")
+    t.append(seq_rows(spark, range(5), src="old"))
+    v1 = t.current_version()
+    t.overwrite(seq_rows(spark, range(100, 103), src="new"))
+    assert t.row_count() == 3
+    assert {r["source"] for r in t.read().collect()} == {"new"}
+    # time travel: the pre-overwrite snapshot is intact
+    assert t.row_count(version=v1) == 5
+
+
+def test_bucket_pruning_reads_only_touched_buckets(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=8, bucket_key="doc_id")
+    t.append(seq_rows(spark, range(200)))
+    m = t.manifest()
+    buckets = {f["bucket"] for f in m.files}
+    assert buckets == set(range(8))  # 200 keys cover all 8 buckets
+    one = sorted(buckets)[0]
+    df = t.read(buckets={one})
+    # every row read really belongs to the pruned bucket
+    from embulk_output_databricks_spark.sources.laketable import bucket_expr
+    bad = df.withColumn("b", bucket_expr("doc_id", 8)).filter(F.col("b") != one).count()
+    assert bad == 0
+    assert 0 < df.count() < 200
+
+
+def test_schema_evolution_add_rename_widen(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    t.append(seq_rows(spark, range(4)))
+    t.add_column("lang", "string")
+    assert [r["lang"] for r in t.read().collect()] == [None] * 4  # S13
+    t.rename_column("source", "origin")  # S15: metadata-only, by field id
+    got = t.read()
+    assert "origin" in got.columns and "source" not in got.columns
+    assert {r["origin"] for r in got.collect()} == {"web"}
+    t.widen_column("n_tok", "bigint")  # S14
+    assert dict(t.read().dtypes)["n_tok"] == "bigint"
+    assert sorted(r["n_tok"] for r in t.read().collect()) == [3, 3, 3, 3]
+    # old files (written pre-evolution) and new files coexist
+    t.append(
+        spark.createDataFrame(
+            [("docX", [1], 1, "book", "en")],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.StringType()),
+                    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+                    T.StructField("n_tok", T.LongType()),
+                    T.StructField("origin", T.StringType()),
+                    T.StructField("lang", T.StringType()),
+                ]
+            ),
+        )
+    )
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert rows["docX"]["lang"] == "en" and rows["doc00000001"]["lang"] is None
+
+
+def test_widen_narrowing_rejected(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    with pytest.raises(SchemaEvolutionError):
+        t.widen_column("n_tok", "smallint")  # S20: narrowing rejected
+    with pytest.raises(SchemaEvolutionError):
+        t.rename_column("nope", "x")
+
+
+def test_non_ascii_identifiers_and_values(spark, warehouse):
+    # analog of TestDatabricksOutputPluginByNonAscii.java:29-114
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    df = spark.createDataFrame([("あいう", [1, 2], 2, "本")], SEQUENCES_SCHEMA)
+    t.append(df)
+    t.add_column("い", "string")
+    r = t.read().collect()[0]
+    assert r["doc_id"] == "あいう" and r["source"] == "本" and r["い"] is None
+
+
+def test_replace_with_new_schema(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    t.append(seq_rows(spark, range(3)))
+    new_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.LongType())),
+            T.StructField("n_tok", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame([("z", [9], 1)], new_schema)
+    t.replace(df, schema=new_schema)
+    assert t.read().columns == ["doc_id", "tokens", "n_tok"]
+    assert t.row_count() == 1
