@@ -1,0 +1,75 @@
+"""Last-writer-wins dedup per key (north rule core; SURVEY.md §2.C windows).
+
+The reference has no in-batch dedup — its MERGE sources are UNION ALL folds
+of per-task staging tables (DatabricksOutputConnection.java:234-248) and a
+key collision inside one run is undefined behavior. The CDC engine must pick
+exactly one event per key per batch, totally ordered by (seq_lsn, event_id)
+(tie-break pinned by FIXTURES.md S10), or replay is nondeterministic.
+
+Three strategies, selectable per JobConfig.dedup_strategy:
+
+  maxstruct  groupBy(keys).agg(max(struct(order..., payload...))).
+             max over a struct is lexicographic and ASSOCIATIVE, so Spark's
+             hash aggregate does map-side partial combine: a hot key is
+             pre-reduced inside every input partition before the shuffle,
+             which makes this the default, skew-proof, single-shuffle plan.
+  salted     explicit two-phase reduce: groupBy(keys, salt) then groupBy(keys)
+             — same associativity spelled out; useful when the payload struct
+             is too wide for healthy map-side hash aggregation.
+  window     row_number over Window.partitionBy(keys).orderBy(desc order)==1 —
+             the textbook plan; kept for parity/testing because a hot key
+             serializes into one window partition (AQE cannot split it).
+
+All three return one row per key with the original column set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_W = "__lww"
+_SALT = "__salt"
+
+
+def _order_struct(df: DataFrame, keys: list[str], order: list[str]) -> "F.Column":
+    payload = [c for c in df.columns if c not in keys and c not in order]
+    return F.struct(*[F.col(c) for c in order], *[F.col(c) for c in payload])
+
+
+def _unpack(agg: DataFrame, df_cols: list[str], keys: list[str]) -> DataFrame:
+    others = [c for c in df_cols if c not in keys]
+    return agg.select(*keys, *[F.col(f"{_W}.{c}").alias(c) for c in others]).select(*df_cols)
+
+
+def lww_dedup(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    order: list[str] | None = None,
+    strategy: str = "maxstruct",
+    salt: int = 8,
+) -> DataFrame:
+    keys = keys or ["doc_id"]
+    order = order or ["seq_lsn", "event_id"]
+    if strategy == "window":
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+        return (
+            df.withColumn(_W, F.row_number().over(w))
+            .filter(F.col(_W) == 1)
+            .drop(_W)
+        )
+    s = _order_struct(df, keys, order)
+    if strategy == "salted":
+        phase1 = (
+            df.withColumn(_SALT, F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt)))
+            .groupBy(*keys, _SALT)
+            .agg(F.max(s).alias(_W))
+        )
+        # re-expand the struct to columns so phase 2 reuses the same shape
+        mid = _unpack(phase1.drop(_SALT), df.columns, keys)
+        agg = mid.groupBy(*keys).agg(F.max(_order_struct(mid, keys, order)).alias(_W))
+        return _unpack(agg, df.columns, keys)
+    if strategy != "maxstruct":
+        raise ValueError(f"unknown lww strategy {strategy!r}")
+    agg = df.groupBy(*keys).agg(F.max(s).alias(_W))
+    return _unpack(agg, df.columns, keys)

@@ -1,0 +1,97 @@
+"""Copy-on-write MERGE over a LakeTable (SURVEY.md B6/B8).
+
+The reference emits
+    MERGE INTO tgt T USING staged S ON T.k=S.k
+    WHEN MATCHED THEN UPDATE SET col = S.col | <merge_rule expr>
+    WHEN NOT MATCHED THEN INSERT ...
+(DatabricksOutputConnection.java:180-232; goldens
+TestDatabricksOutputConnection.java:72-90). Databricks executes it; here the
+same semantics are one declarative Spark plan:
+
+  1. bucket-prune: only buckets holding staged keys are read (file-level
+     pruning from the manifest — the 100 TB lever: a batch touching k keys
+     reads/rewrites O(k/n_buckets) of the table).
+  2. full-outer join target-slice vs staged on the merge keys, aliased T/S so
+     the reference's merge_rule expressions (`concat(T.c,'x',S.c)`,
+     `T.c + S.c` — TestDatabricksOutputPluginByMode.java:115,124) run
+     verbatim via F.expr.
+  3. matched -> updated row (rules or S.*); matched+op='D' -> dropped
+     (delete extension, FIXTURES.md S12); target-only -> kept;
+     staged-only -> inserted (op='D' on a miss is a no-op).
+  4. one atomic snapshot swaps the affected buckets' files.
+
+The join is a shuffle on the merge keys over the pruned slice only; AQE
+handles skew/strategy (SURVEY.md §4.1). A full-outer join cannot broadcast,
+but the pruned target slice is proportional to the batch, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources.laketable import LakeTable, Manifest, bucket_expr
+
+OP_COL = "op"
+_T_HIT = "__t_present"
+_S_HIT = "__s_present"
+
+
+def merge_apply(
+    table: LakeTable,
+    staged: DataFrame,
+    keys: list[str],
+    merge_rules: dict[str, str] | None = None,
+    support_deletes: bool = True,
+    properties: dict | None = None,
+) -> Manifest:
+    """staged: exactly one row per key (run operators.lww_dedup first),
+    columns = target payload columns (+ optional `op` I/U/D)."""
+    m = table.manifest()
+    payload = [f["name"] for f in m.schema_version.fields]
+    missing = [k for k in keys if k not in payload]
+    if missing:
+        raise ValueError(f"merge keys not in table schema: {missing}")
+    has_op = OP_COL in staged.columns
+
+    # -- 1. bucket pruning (only valid when the bucket key is a merge key,
+    # i.e. equal keys necessarily share a bucket) --
+    if m.bucket_key and m.bucket_key in keys:
+        rows = staged.select(bucket_expr(m.bucket_key, m.n_buckets).alias("b")).distinct().collect()
+        affected = {r["b"] for r in rows}
+    else:
+        affected = {f["bucket"] for f in m.files}
+    target = table.read(buckets=affected).alias("T")
+    s_cols = payload + ([OP_COL] if has_op else [])
+    staged = staged.select(*s_cols).alias("S")
+
+    # -- 2. full outer join on merge keys --
+    cond = None
+    for k in keys:
+        c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = (
+        target.withColumn(_T_HIT, F.lit(True))
+        .join(staged.withColumn(_S_HIT, F.lit(True)), cond, "full_outer")
+    )
+
+    matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
+    s_only = F.col(_T_HIT).isNull()
+    is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) else F.lit(False)
+
+    rules = merge_rules or {}
+    out_cols = []
+    for c in payload:
+        upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
+        out_cols.append(
+            F.when(s_only, F.col(f"S.{c}"))
+            .when(matched, upd)
+            .otherwise(F.col(f"T.{c}"))
+            .alias(c)
+        )
+    # delete drops matched rows; an unmatched 'D' contributes nothing either
+    result = j.filter(~F.coalesce((matched | s_only) & is_del, F.lit(False))).select(*out_cols)
+
+    # -- 4. atomic bucket swap --
+    props = dict(properties or {})
+    props.setdefault("operation", "merge")
+    return table.replace_files(affected, result, props)
