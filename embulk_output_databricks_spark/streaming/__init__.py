@@ -1,0 +1,2 @@
+from .checkpoint import CheckpointStore  # noqa: F401
+from .replay import ReplayDriver  # noqa: F401

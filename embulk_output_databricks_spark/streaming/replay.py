@@ -1,0 +1,169 @@
+"""Checkpointed micro-batch replay driver — the engine's EP1/EP2/EP3
+(lifecycle design in SURVEY.md §3).
+
+Per batch:  fence check -> schema-evolution DDL -> LWW dedup -> apply
+(merge/append/...) -> checkpoint+lineage. The checkpoint write is strictly
+after the snapshot commit; CheckpointStore reconciles the crash window
+between them, so re-running any prefix of the binlog is idempotent
+(FIXTURES.md S11).
+
+The reference's analog of this loop is `transaction()` fanning out loader
+tasks then running one commit SQL (DatabricksOutputPlugin.java:166-186);
+its per-file upload/COPY pipelining (DatabricksCopyBatchInsert.java:88-93)
+maps to Spark task parallelism inside each batch here.
+
+Scale notes (100 TB / 10^10 events):
+  * the binlog scan is filtered by batch_id before anything else — with a
+    batch_id-partitioned binlog source this is partition pruning, so each
+    micro-batch reads only its slice.
+  * dedup is the associative max-struct aggregate (map-side combine ->
+    single shuffle on doc_id); merge shuffles only the bucket-pruned target
+    slice. No driver-side data ever exceeds O(#partitions) metric rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import ApplyMode, JobConfig
+from ..operators.lww import lww_dedup
+from ..plans.apply import apply_batch, ensure_table
+from ..schema import PAYLOAD_COLUMNS, SEQUENCES_SCHEMA
+from ..sources.laketable import LakeCatalog, LakeTable
+from .checkpoint import CheckpointStore
+
+
+class InjectedCrash(RuntimeError):
+    """Test hook: simulated crash between snapshot commit and checkpoint."""
+
+
+class EvolutionOp:
+    """Schema-change instruction carried by the stream (applied before the
+    batch's data events — the column_options-DDL leg, SURVEY.md M2)."""
+
+    def __init__(self, kind: str, **kw):
+        assert kind in ("add", "rename", "widen")
+        self.kind = kind
+        self.kw = kw
+
+    def apply(self, table: LakeTable) -> None:
+        if self.kind == "add":
+            table.add_column(self.kw["name"], self.kw["type"])
+        elif self.kind == "rename":
+            table.rename_column(self.kw["old"], self.kw["new"])
+        else:
+            table.widen_column(self.kw["name"], self.kw["type"])
+
+
+class ReplayDriver:
+    def __init__(self, catalog: LakeCatalog, cfg: JobConfig,
+                 target_schema=SEQUENCES_SCHEMA):
+        self.catalog = catalog
+        self.cfg = cfg
+        self.table = ensure_table(catalog, cfg, target_schema)
+        self.ckpt = CheckpointStore(self.table)
+
+    def _payload_cols(self) -> list[str]:
+        return [f["name"] for f in self.table.manifest().schema_version.fields]
+
+    def _event_names(self) -> dict[str, list[str]]:
+        """current column name -> candidate event column names, newest first.
+
+        After a rename the upstream stream may still emit the old name for a
+        while (SURVEY.md §7.4: 'the event stream must carry old->new
+        mapping'); field ids in the manifest give us that mapping for free.
+        """
+        m = self.table.manifest()
+        hist: dict[int, list[str]] = {}
+        for sv in sorted(m.schema_versions, key=lambda s: s.sv):
+            for f in sv.fields:
+                names = hist.setdefault(f["id"], [])
+                if f["name"] not in names:
+                    names.append(f["name"])
+        return {hist[f["id"]][-1]: list(reversed(hist[f["id"]]))
+                for f in m.schema_version.fields}
+
+    def _lineage(self, events: DataFrame) -> tuple[list[dict], int, int, int]:
+        """One distributed pass: per-partition metrics + lsn offset range."""
+        rows = (
+            events.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("events_in"),
+                F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("n_tok_sum"),
+                F.min("seq_lsn").alias("lo"),
+                F.max("seq_lsn").alias("hi"),
+            )
+            .collect()
+        )
+        if not rows:
+            return [], 0, -1, 0
+        lineage = [
+            {"partition_id": r["partition_id"], "events_in": r["events_in"],
+             "n_tok_sum": int(r["n_tok_sum"] or 0)}
+            for r in rows
+        ]
+        lo = min(r["lo"] for r in rows)
+        hi = max(r["hi"] for r in rows)
+        total = sum(r["events_in"] for r in rows)
+        return lineage, lo, hi, total
+
+    def run_batch(self, events: DataFrame, batch_id: int,
+                  evolution: list[EvolutionOp] | None = None,
+                  crash_before_checkpoint: bool = False,
+                  collect_metrics: bool = True) -> dict | None:
+        """Apply one batch exactly once. Returns the checkpoint record, or
+        None if the fence rejected a replayed batch."""
+        fenced = self.cfg.mode is not ApplyMode.INSERT_DIRECT
+        if fenced and self.ckpt.is_committed(batch_id):
+            return None  # fence hit: replayed batch is a no-op (S11)
+
+        for op in evolution or []:
+            op.apply(self.table)
+
+        if collect_metrics:
+            lineage, lo, hi, n_in = self._lineage(events)
+        else:
+            lineage, lo, hi, n_in = [], -1, -1, -1
+
+        name_map = self._event_names()
+        cols = []
+        for cur, candidates in name_map.items():
+            src = next((n for n in candidates if n in events.columns), None)
+            cols.append(F.col(src).alias(cur) if src else F.lit(None).alias(cur))
+        if "op" in events.columns:
+            cols.append(F.col("op"))
+        if self.cfg.mode is ApplyMode.MERGE:
+            staged = lww_dedup(
+                events, keys=self.cfg.merge_keys, order=["seq_lsn", "event_id"],
+                strategy=self.cfg.dedup_strategy, salt=self.cfg.dedup_salt,
+            ).select(*cols)
+        else:
+            staged = events.select(*cols)
+
+        props = {"batch_id": batch_id, "lsn_from": lo, "lsn_to": hi + 1,
+                 "events_in": n_in}
+        m = apply_batch(self.table, staged, self.cfg, properties=props)
+
+        if crash_before_checkpoint:
+            raise InjectedCrash(f"crash after snapshot v{m.version}, before checkpoint")
+        if fenced:
+            return self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage)
+        return {"batch_id": batch_id, "snapshot_version": m.version, "lineage": lineage}
+
+    def replay(self, binlog: DataFrame, batch_ids: list[int] | None = None,
+               evolution_plan: dict[int, list[EvolutionOp]] | None = None,
+               collect_metrics: bool = True) -> list[dict]:
+        """Replay the binlog batch by batch (resumes past committed batches)."""
+        if batch_ids is None:
+            batch_ids = [r["batch_id"] for r in
+                         binlog.select("batch_id").distinct().orderBy("batch_id").collect()]
+        out = []
+        for b in batch_ids:
+            rec = self.run_batch(
+                binlog.filter(F.col("batch_id") == b), b,
+                evolution=(evolution_plan or {}).get(b),
+                collect_metrics=collect_metrics,
+            )
+            if rec is not None:
+                out.append(rec)
+        return out

@@ -1,0 +1,125 @@
+"""End-to-end replay tests: exactly-once fence, crash/resume, schema
+evolution mid-replay, oracle equality (FIXTURES.md S10-S15, S21, F6).
+
+The oracle is an independent pure-Python sequential replay of the same
+events — the role the live-warehouse query-back plays in the reference's
+e2e tests (AbstractTestDatabricksOutputPlugin.java:105-130).
+"""
+
+import pytest
+
+from embulk_output_databricks_spark.config import JobConfig
+from embulk_output_databricks_spark.sources import LakeCatalog
+from embulk_output_databricks_spark.streaming import ReplayDriver
+from embulk_output_databricks_spark.streaming.replay import EvolutionOp, InjectedCrash
+from embulk_output_databricks_spark.synth import synth_binlog
+
+
+def python_oracle(rows):
+    """Sequential LWW replay: ground truth for merge mode."""
+    state = {}
+    for r in sorted(rows, key=lambda r: (r["seq_lsn"], r["event_id"])):
+        if r["op"] == "D":
+            state.pop(r["doc_id"], None)
+        else:
+            state[r["doc_id"]] = (list(r["tokens"]), r["n_tok"], r["source"])
+    return state
+
+
+def table_state(t):
+    return {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"]) for r in t.read().collect()}
+
+
+@pytest.fixture()
+def cat(spark, warehouse):
+    return LakeCatalog(spark, warehouse)
+
+
+def test_full_replay_matches_oracle(spark, cat):
+    binlog = synth_binlog(spark, 3000, 150, 500, hot_frac=0.05, delete_frac=0.1).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=8))
+    recs = drv.replay(binlog)
+    assert len(recs) == 6
+    oracle = python_oracle([r.asDict() for r in binlog.collect()])
+    got = table_state(drv.table)
+    assert got == oracle  # row-by-row token-array equality (F6 invariant 1)
+    # F6 invariant 2: n_tok == len(tokens)
+    assert all(len(v[0]) == v[1] for v in got.values())
+    drv.ckpt.validate_contiguous()  # F6 invariant 3
+    binlog.unpersist()
+
+
+def test_replay_is_idempotent_fence(spark, cat):
+    binlog = synth_binlog(spark, 1000, 80, 250).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    drv.replay(binlog)
+    v = drv.table.current_version()
+    # replay the whole binlog again: every batch fenced, zero new snapshots
+    again = drv.replay(binlog)
+    assert again == [] and drv.table.current_version() == v
+    binlog.unpersist()
+
+
+def test_crash_between_commit_and_checkpoint_then_resume(spark, cat):
+    # S11 — the 'genuinely subtle piece' (SURVEY.md §7.4)
+    binlog = synth_binlog(spark, 900, 60, 300).cache()
+    cfg = JobConfig(mode="merge", n_buckets=4)
+    drv = ReplayDriver(cat, cfg)
+    drv.run_batch(binlog.filter("batch_id = 0"), 0)
+    with pytest.raises(InjectedCrash):
+        drv.run_batch(binlog.filter("batch_id = 1"), 1, crash_before_checkpoint=True)
+    # batch 1's snapshot committed but its checkpoint did not -> new driver
+    # (process restart) must reconcile from snapshot properties, fence batch 1,
+    # and continue with batch 2 only.
+    drv2 = ReplayDriver(cat, cfg)
+    assert drv2.ckpt.is_committed(1) and drv2.ckpt.read(1).get("recovered")
+    v = drv2.table.current_version()
+    recs = drv2.replay(binlog)
+    assert [r["batch_id"] for r in recs] == [2]
+    assert drv2.table.current_version() == v + 1
+    oracle = python_oracle([r.asDict() for r in binlog.collect()])
+    assert table_state(drv2.table) == oracle
+    drv2.ckpt.validate_contiguous()
+    binlog.unpersist()
+
+
+def test_schema_evolution_mid_replay(spark, cat):
+    # S13/S14/S15: add column, widen, rename between batches
+    binlog = synth_binlog(spark, 600, 50, 200, delete_frac=0.0).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    plan = {
+        1: [EvolutionOp("add", name="lang", type="string")],
+        2: [EvolutionOp("widen", name="n_tok", type="bigint"),
+            EvolutionOp("rename", old="source", new="origin")],
+    }
+    drv.replay(binlog, evolution_plan=plan)
+    df = drv.table.read()
+    assert "lang" in df.columns and "origin" in df.columns and "source" not in df.columns
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+    # values survived evolution: compare against oracle modulo renames
+    oracle = python_oracle([r.asDict() for r in binlog.collect()])
+    got = {r["doc_id"]: (list(r["tokens"]), int(r["n_tok"]), r["origin"]) for r in df.collect()}
+    assert got == oracle
+    binlog.unpersist()
+
+
+def test_lineage_metrics_recorded(spark, cat):
+    binlog = synth_binlog(spark, 400, 40, 200).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    recs = drv.replay(binlog)
+    for rec in recs:
+        assert sum(p["events_in"] for p in rec["lineage"]) == 200
+        assert rec["lsn_to"] - rec["lsn_from"] == 200
+    binlog.unpersist()
+
+
+def test_replay_parallelism_invariance(spark, cat, warehouse):
+    # S21 smoke: identical final state at 2 vs 16 input partitions
+    states = []
+    for i, parts in enumerate((2, 16)):
+        c = LakeCatalog(spark, f"{warehouse}/p{parts}")
+        binlog = synth_binlog(spark, 2000, 100, 500, hot_frac=0.05, partitions=parts)
+        drv = ReplayDriver(c, JobConfig(mode="merge", n_buckets=4, dedup_strategy="salted"))
+        drv.replay(binlog)
+        states.append(table_state(drv.table))
+    assert states[0] == states[1]
