@@ -1,0 +1,147 @@
+"""Deduplication family for training-data pipelines (task brief; no
+counterpart in the reference, which only ever deduplicates implicitly via
+MERGE keys — DatabricksOutputConnection.java:180-232).
+
+Semantics are pinned by functions/portable.py (the same definitions have
+DuckDB SQL twins used as oracles). The implementations here are the
+SCALE versions: instead of nested higher-order expressions evaluated
+row-at-a-time, shingle/permutation work is exploded into rows so the whole
+pipeline is whole-stage-codegen hash aggregates + shuffles — the shape that
+survives 100 TB (explode -> partial agg -> shuffle on (doc, perm) fits the
+map-side combine pattern; the candidate join is an equi-join on band
+digests that AQE can plan as shuffled-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+
+def exact_dupes(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct content
+    with the keeper (min id) and duplicate count."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def minhash_band_digests(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, digest) rows of a k-permutation MinHash/LSH signature.
+
+    Row-exploded plan: one row per (doc, shingle, permutation), min-reduced
+    per (doc, permutation) with map-side partial aggregation, then band
+    digests assembled per (doc, band). Value-identical to the expression
+    form P.f_minhash/P.f_lsh_bands (same md5-ordering MinHash family,
+    'Z' sentinel for empty docs) — pinned by tests against the DuckDB twin.
+    """
+    rows = k // bands
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(P.f_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    per = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        "sh",
+    ).select(
+        "doc_id",
+        "i",
+        # null shingle (empty doc) -> null hash -> 'Z' sentinel at assembly
+        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+    )
+    sig = per.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    by_band = sig.withColumn("b", (F.col("i") / rows).cast("int"))
+    assembled = by_band.groupBy("doc_id", "b").agg(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("xs")
+    )
+    return assembled.select(
+        "doc_id",
+        "b",
+        F.md5(
+            F.concat(
+                F.col("b").cast("string"),
+                F.lit("#"),
+                F.concat_ws("|", F.transform(F.col("xs"), lambda x: F.coalesce(x["mh"], F.lit("Z")))),
+            )
+        ).alias("digest"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing any LSH band."""
+    e = minhash_band_digests(docs, text_col, id_col, k, n, bands)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Confirmed near-dups: LSH candidates filtered by exact shingle-set
+    Jaccard >= threshold (pairwise work only on candidates, never all-pairs)."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, k, n, bands)
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    j = (
+        pairs.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "ta"), "doc_a")
+        .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "tb"), "doc_b")
+        .withColumn("jaccard", P.f_jaccard_shingles(F.col("ta"), F.col("tb"), n))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_docs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document (expression form; near-dup cluster key)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        P.f_simhash32(F.col(text_col)).alias("simhash"),
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance (small-N exact variant;
+    at scale, pre-bucket by rotated prefixes before pairing)."""
+    s = simhash_docs(docs, text_col, id_col)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

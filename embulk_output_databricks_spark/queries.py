@@ -1,0 +1,721 @@
+"""Driver-facing query inventory: every operator from SURVEY.md §2 as a
+(spark_query, duckdb_oracle_sql) pair over the driver's parquet tables.
+
+Group A (cdc_*) runs the REAL engine — LakeTable snapshots, LWW dedup,
+copy-on-write MERGE, batch fence, schema evolution — treating the `events`
+table as a binlog keyed on user_id ordered by (ts, event_id), then returns
+the final table state. The oracle re-derives the same final state in pure
+ANSI SQL (window-rank + full outer join), which is exactly the judge's
+row-by-row-equality criterion from BASELINE.json re-expressed per query.
+
+Group B/C (text_*, dedup_*, ann_*, emb_*) are the training-data-pipeline
+operators over documents/embeddings, built on functions/portable.py so the
+Spark plan and the DuckDB SQL compute bit-identical values.
+
+Group D (q1/q3/events_*) covers the relational/streaming-analog surface:
+aggregation, multi-way join, tumbling windows, sessionization.
+
+Portability rules used throughout (so the driver's value-hash matches):
+  * no raw timestamps in outputs — epoch microseconds as BIGINT
+    (Spark unix_micros == DuckDB epoch_us);
+  * no double SUMs — money is integerized to cents BEFORE aggregation
+    (round(x*100) is integral, sum of bigints is order-independent);
+  * derived doubles only via the portable fold builders or one final
+    division of identical operands (bit-identical on both engines).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import JobConfig
+from .functions import portable as P
+from .operators.lww import lww_dedup
+from .plans.merge import merge_apply
+from .sources.laketable import LakeCatalog
+from .streaming.replay import EvolutionOp, ReplayDriver
+
+WORK_ROOT = "/tmp/spark_graft_entry"
+
+# ---------------------------------------------------------------- helpers
+
+_STATE_COLS = ["user_id", "ts_us", "event_type", "value", "props"]
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _lww(df: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    out = lww_dedup(df, keys=["user_id"], order=["ts_us", "event_id"])
+    return out.select(*_STATE_COLS, *(extra or []))
+
+
+def _fresh_catalog(spark: SparkSession, name: str) -> LakeCatalog:
+    # files must outlive the call (returned DataFrames are lazy) -> unique dir
+    return LakeCatalog(spark, f"{WORK_ROOT}/{name}/{uuid.uuid4().hex}")
+
+
+def _new_table(spark, name, schema=STATE_SCHEMA, n_buckets=8, bucket_key="user_id"):
+    cat = _fresh_catalog(spark, name)
+    return cat.create_table("t", schema, n_buckets=n_buckets, bucket_key=bucket_key)
+
+
+# oracle fragment: LWW state per user over a filtered slice of `events`
+def _sql_lww(where: str = "", extra_sel: str = "") -> str:
+    w = f"WHERE {where}" if where else ""
+    return f"""(
+      SELECT user_id, ts_us, event_type, value, props{extra_sel} FROM (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value, props,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events {w}
+      ) WHERE rn = 1
+    )"""
+
+
+_CENTS_S = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+
+
+def _cents_sql(e: str) -> str:
+    return f"CAST(round(({e}) * 100) AS BIGINT)"
+
+
+# ================================================================ Group A
+# CDC / load-mode semantics through the real engine (SURVEY §2.B B2-B8,
+# §2.C windows; reference mode matrix TestDatabricksOutputPluginByMode.java)
+
+
+def q_cdc_lww_latest(spark, sf_dir):
+    """LWW dedup, maxstruct strategy (single-shuffle associative plan)."""
+    return _lww(_events(spark, sf_dir))
+
+
+def q_cdc_lww_salted(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = lww_dedup(ev, keys=["user_id"], order=["ts_us", "event_id"],
+                    strategy="salted", salt=8)
+    return out.select(*_STATE_COLS)
+
+
+def q_cdc_lww_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = lww_dedup(ev, keys=["user_id"], order=["ts_us", "event_id"],
+                    strategy="window")
+    return out.select(*_STATE_COLS)
+
+
+_SQL_LWW_ALL = f"SELECT * FROM {_sql_lww()}"
+
+
+def _halves(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.filter(ev.event_id % 2 == 0), ev.filter(ev.event_id % 2 == 1)
+
+
+def q_cdc_merge_upsert(spark, sf_dir):
+    """B6: keyed MERGE of a staged batch into an existing target."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "merge_upsert")
+    tbl.append(_lww(t_half))
+    merge_apply(tbl, _lww(s_half), keys=["user_id"])
+    return tbl.read()
+
+
+def _sql_merge(staged_wins_cols: str, where: str = "", staged_extra: str = "") -> str:
+    return f"""
+    WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
+         s AS (SELECT * FROM {_sql_lww("event_id % 2 = 1", staged_extra)})
+    SELECT {staged_wins_cols}
+    FROM t FULL OUTER JOIN s ON t.user_id = s.user_id {where}
+    """
+
+
+_UPSERT_COLS = """
+  coalesce(s.user_id, t.user_id) AS user_id,
+  CASE WHEN s.user_id IS NOT NULL THEN s.ts_us ELSE t.ts_us END AS ts_us,
+  CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+  CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+  CASE WHEN s.user_id IS NOT NULL THEN s.props ELSE t.props END AS props
+"""
+
+
+def q_cdc_merge_rules(spark, sf_dir):
+    """B8: per-column merge_rule expressions referencing T./S. verbatim
+    (ref TestDatabricksOutputPluginByMode.java:115,124)."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "merge_rules")
+    tbl.append(_lww(t_half))
+    merge_apply(tbl, _lww(s_half), keys=["user_id"],
+                merge_rules={"value": "T.value + S.value",
+                             "event_type": "concat(T.event_type, '+', S.event_type)"})
+    return tbl.read()
+
+
+_RULES_COLS = """
+  coalesce(s.user_id, t.user_id) AS user_id,
+  CASE WHEN s.user_id IS NOT NULL THEN s.ts_us ELSE t.ts_us END AS ts_us,
+  CASE WHEN s.user_id IS NOT NULL AND t.user_id IS NOT NULL
+       THEN t.event_type || '+' || s.event_type
+       WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+  CASE WHEN s.user_id IS NOT NULL AND t.user_id IS NOT NULL THEN t.value + s.value
+       WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+  CASE WHEN s.user_id IS NOT NULL THEN s.props ELSE t.props END AS props
+"""
+
+
+def q_cdc_merge_delete(spark, sf_dir):
+    """Delete extension: op='D' drops the key (FIXTURES.md S12)."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "merge_delete")
+    tbl.append(_lww(t_half))
+    s_half = s_half.withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    staged = _lww(s_half, extra=["op"])
+    merge_apply(tbl, staged, keys=["user_id"], support_deletes=True)
+    return tbl.read()
+
+
+def q_cdc_apply_insert(spark, sf_dir):
+    """B2/B3: bag-semantics staged append (UNION ALL fold)."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "apply_insert")
+    tbl.append(t_half.select(*_STATE_COLS))
+    tbl.append(s_half.select(*_STATE_COLS))
+    return tbl.read()
+
+
+def q_cdc_apply_truncate(spark, sf_dir):
+    """B4: truncate_insert — old rows gone, new present, one snapshot."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "apply_truncate")
+    tbl.append(t_half.select(*_STATE_COLS))
+    tbl.overwrite(s_half.select(*_STATE_COLS))
+    return tbl.read()
+
+
+def q_cdc_apply_replace(spark, sf_dir):
+    """B5: atomic table swap WITH a schema change (drop-and-rename analog)."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "apply_replace")
+    tbl.append(t_half.select(*_STATE_COLS))
+    summary_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+    summary = s_half.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_CENTS_S(F.col("value"))).alias("total_cents"),
+    )
+    tbl.replace(summary, schema=summary_schema)
+    return tbl.read()
+
+
+def _binlog_batches(spark, sf_dir, split_days=8):
+    """events -> binlog batches: contiguous time slices by day-of-month."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("seq_lsn"),
+        F.floor((F.dayofmonth("ts") - 1) / split_days).cast("long").alias("batch_id"),
+        F.lit("U").alias("op"),
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+_REPLAY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq_lsn", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def q_cdc_fence_idempotent(spark, sf_dir):
+    """Checkpointed replay + fence: re-running committed batches is a no-op,
+    so the final state equals exactly-once application (FIXTURES.md S11)."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "fence")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    driver.replay(binlog, batch_ids=[0, 1, 2, 3], collect_metrics=True)
+    # replay a stale prefix: both must hit the fence and change nothing
+    for b in (1, 2):
+        assert driver.run_batch(binlog.filter(F.col("batch_id") == b), b) is None
+    return driver.table.read()
+
+
+_SQL_REPLAY_FINAL = """
+SELECT user_id, ts_us AS seq_lsn, event_type, value, props FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+_EVO_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq_lsn", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("vk", T.IntegerType()),
+    ]
+)
+
+
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Mid-replay schema evolution: rename value->val, widen vk int->bigint,
+    add src — old snapshots project by field id, the stream may keep using
+    the old column name (SURVEY §7.4 rename mapping)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    binlog = ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("seq_lsn"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("batch_id"),
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",  # old name on purpose: post-rename events still say "value"
+        F.get_json_object("props", "$.k").cast("int").alias("vk"),
+        F.lit("b1").alias("src"),
+    )
+    cat = _fresh_catalog(spark, "evolution")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)
+    driver = ReplayDriver(cat, cfg, target_schema=_EVO_SCHEMA)
+    evolution = {
+        1: [
+            EvolutionOp("rename", old="value", new="val"),
+            EvolutionOp("widen", name="vk", type="bigint"),
+            EvolutionOp("add", name="src", type="string"),
+        ]
+    }
+    driver.replay(binlog, batch_ids=[0, 1], evolution_plan=evolution)
+    return driver.table.read()
+
+
+_SQL_EVOLUTION = """
+SELECT user_id, seq_lsn, event_type, value AS val, vk,
+       CASE WHEN b = 1 THEN 'b1' END AS src
+FROM (
+  SELECT user_id, epoch_us(ts) AS seq_lsn, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk,
+         CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS b,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_lineage_stats(spark, sf_dir):
+    """Per-batch lineage metrics aggregate (SURVEY §2.C aggregations)."""
+    binlog = _binlog_batches(spark, sf_dir)
+    return binlog.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("events_in"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.sum(_CENTS_S(F.col("value"))).alias("value_cents"),
+        F.min("seq_lsn").alias("lsn_from"),
+        F.max("seq_lsn").alias("lsn_to"),
+    )
+
+
+# ================================================================ Group B
+# Text analysis + dedup family over `documents` (task brief: training-data ops)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_text_profile(spark, sf_dir):
+    """Token count, rolling-hash fingerprint, quality score, language guess —
+    all JVM-side higher-order-function expressions (no Python UDF)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        P.f_token_count(F.col("text")).alias("n_tok"),
+        P.f_fingerprint(F.col("text")).alias("fingerprint"),
+        P.f_quality(F.col("text")).alias("quality"),
+        P.f_langid(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, min doc_id is the keeper."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+MINHASH_K, SHINGLE_N, LSH_BANDS, LSH_ROWS = 16, 3, 4, 4
+
+
+
+
+def _sql_band_digests() -> str:
+    # scalar-b form of P.sql_lsh_bands (same digest definition, one row per band)
+    sig = P.sql_minhash("text", MINHASH_K, SHINGLE_N)
+    slice_ = f"list_slice(sig, b*{LSH_ROWS} + 1, b*{LSH_ROWS} + {LSH_ROWS})"
+    return f"""(
+      SELECT doc_id, b,
+             md5(b::VARCHAR || '#' || array_to_string({slice_}, '|')) AS digest
+      FROM (SELECT doc_id, {sig} AS sig FROM documents), range(0, {LSH_BANDS}) t(b)
+    )"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs: shingle->minhash->band->bucket self-join
+    (row-exploded scale plan in operators/dedupe.py)."""
+    from .operators.dedupe import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=MINHASH_K, n=SHINGLE_N,
+                             bands=LSH_BANDS)
+
+
+def _sql_minhash_pairs() -> str:
+    return f"""
+    WITH bd AS (SELECT * FROM {_sql_band_digests()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bd a JOIN bd b ON a.b = b.b AND a.digest = b.digest AND a.doc_id < b.doc_id
+    """
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup confirmation: exact shingle-Jaccard >= 0.5 on LSH candidates."""
+    from .operators.dedupe import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
+                               k=MINHASH_K, n=SHINGLE_N, bands=LSH_BANDS)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document (near-dup clustering key)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", P.f_simhash32(F.col("text")).alias("simhash"))
+
+
+# ================================================================ Group C
+# Embedding similarity over `embeddings` (array<float>, dim 64)
+
+ANN_QUERIES, ANN_K = 16, 5
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the query set, rank per query."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    pairs = F.broadcast(q).crossJoin(n).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos", P.f_cosine(F.col("qv"), F.col("nv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _sql_ann() -> str:
+    cos = P.sql_cosine("q.embedding", "n.embedding")
+    return f"""
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, n.vec_id) AS rank
+      FROM embeddings q, embeddings n
+      WHERE q.vec_id < {ANN_QUERIES} AND q.vec_id <> n.vec_id
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+EMB_TAU = 0.4  # data-informed: embeddings are near-orthogonal (max pair cos ~0.51)
+
+
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (a<b, cos >= tau)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", P.f_cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= EMB_TAU)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+# ================================================================ Group D
+# Relational / streaming-analog parity over the TPC-H-ish tables
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate, money integerized to cents pre-sum."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    g = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_CENTS_S(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_CENTS_S(F.col("l_extendedprice"))).alias("sum_price_c"),
+            F.sum(_CENTS_S(disc)).alias("sum_disc_c"),
+            F.sum(_CENTS_S(charge)).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return g.withColumn(
+        "avg_qty", F.col("sum_qty_c") / F.lit(100.0) / F.col("n")
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """3-way join + agg + top-k (broadcast the dimension side)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    g = j.groupBy("o_orderkey", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_date_us")).agg(
+        F.sum(rev).alias("revenue_c")
+    )
+    return g.orderBy(F.col("revenue_c").desc(), F.col("o_orderkey")).limit(10)
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1h window aggregate — the batch analog of a streaming
+    windowed agg (watermark-free: batch replay handles late data by LWW)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp")).alias("hour_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_CENTS_S(F.col("value"))).alias("value_cents"),
+    )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization per user (lag + running sum of boundaries)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    by_t = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_s = F.when(
+        F.lag("ts_us").over(by_t).isNull()
+        | ((F.col("ts_us") - F.lag("ts_us").over(by_t)) > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.withColumn("sid", F.sum(new_s).over(run))
+    per_session = s.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS p
+  FROM events
+), m AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN p IS NULL OR t - p > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+FROM g GROUP BY user_id
+"""
+
+
+# ================================================================ registry
+
+SPARK_QUERIES = {
+    "cdc_lww_latest": q_cdc_lww_latest,
+    "cdc_lww_salted": q_cdc_lww_salted,
+    "cdc_lww_window": q_cdc_lww_window,
+    "cdc_merge_upsert": q_cdc_merge_upsert,
+    "cdc_merge_rules": q_cdc_merge_rules,
+    "cdc_merge_delete": q_cdc_merge_delete,
+    "cdc_apply_insert": q_cdc_apply_insert,
+    "cdc_apply_truncate": q_cdc_apply_truncate,
+    "cdc_apply_replace": q_cdc_apply_replace,
+    "cdc_fence_idempotent": q_cdc_fence_idempotent,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_lineage_stats": q_cdc_lineage_stats,
+    "text_profile": q_text_profile,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "emb_neardup": q_emb_neardup,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+}
+
+
+def _oracle_sql() -> dict[str, str]:
+    lww = _SQL_LWW_ALL
+    cents = _cents_sql
+    disc = "l_extendedprice * (1 - l_discount)"
+    charge = f"({disc}) * (1 + l_tax)"
+    return {
+        "cdc_lww_latest": lww,
+        "cdc_lww_salted": lww,
+        "cdc_lww_window": lww,
+        "cdc_merge_upsert": _sql_merge(_UPSERT_COLS),
+        "cdc_merge_rules": _sql_merge(_RULES_COLS),
+        "cdc_merge_delete": _sql_merge(
+            _UPSERT_COLS,
+            where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",
+        ),
+        "cdc_apply_insert": (
+            "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
+        ),
+        "cdc_apply_truncate": (
+            "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props "
+            "FROM events WHERE event_id % 2 = 1"
+        ),
+        "cdc_apply_replace": f"""
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum({cents("value")}) AS BIGINT) AS total_cents
+            FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+        """,
+        "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
+        "cdc_schema_evolution": _SQL_EVOLUTION,
+        "cdc_lineage_stats": """
+            SELECT CAST((day(ts) - 1) // 8 AS BIGINT) AS batch_id,
+                   count(*) AS events_in,
+                   count(DISTINCT user_id) AS n_keys,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+                   min(epoch_us(ts)) AS lsn_from,
+                   max(epoch_us(ts)) AS lsn_to
+            FROM events GROUP BY 1
+        """,
+        "text_profile": f"""
+            SELECT doc_id,
+                   {P.sql_token_count('text')} AS n_tok,
+                   {P.sql_fingerprint('text')} AS fingerprint,
+                   {P.sql_quality('text')} AS quality,
+                   {P.sql_langid('text')} AS lang_guess
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_lsh": _sql_minhash_pairs(),
+        "dedup_ngram_jaccard": f"""
+            WITH pairs AS ({_sql_minhash_pairs()})
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT p.doc_a, p.doc_b,
+                     {P.sql_jaccard_shingles('a.text', 'b.text', SHINGLE_N)} AS jaccard
+              FROM pairs p
+              JOIN documents a ON a.doc_id = p.doc_a
+              JOIN documents b ON b.doc_id = p.doc_b
+            ) WHERE jaccard >= 0.5
+        """,
+        "dedup_simhash": f"""
+            SELECT doc_id, {P.sql_simhash32('text')} AS simhash FROM documents
+        """,
+        "ann_cosine_topk": _sql_ann(),
+        "emb_neardup": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {P.sql_cosine('a.embedding', 'b.embedding')} AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {P.sql_cosine('a.embedding', 'b.embedding')} >= {EMB_TAU}
+        """,
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum({cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+                   CAST(sum({cents("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+                   CAST(sum({cents(disc)}) AS BIGINT) AS sum_disc_c,
+                   CAST(sum({cents(charge)}) AS BIGINT) AS sum_charge_c,
+                   count(*) AS n,
+                   (CAST(sum({cents("l_quantity")}) AS BIGINT)::DOUBLE / 100.0) / count(*)::DOUBLE AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": f"""
+            SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+                   CAST(sum({cents(disc)}) AS BIGINT) AS revenue_c
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_date_us
+            ORDER BY revenue_c DESC, o_orderkey
+            LIMIT 10
+        """,
+        "events_tumbling": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": _SQL_SESSIONIZE,
+    }
+
+
+ORACLE_SQL = _oracle_sql()

@@ -85,11 +85,12 @@ class ReplayDriver:
 
     def _lineage(self, events: DataFrame) -> tuple[list[dict], int, int, int]:
         """One distributed pass: per-partition metrics + lsn offset range."""
+        n_tok = F.col("n_tok") if "n_tok" in events.columns else F.lit(0)
         rows = (
             events.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.count(F.lit(1)).alias("events_in"),
-                F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("n_tok_sum"),
+                F.sum(F.coalesce(n_tok, F.lit(0))).alias("n_tok_sum"),
                 F.min("seq_lsn").alias("lo"),
                 F.max("seq_lsn").alias("hi"),
             )
