@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "replay": {...north-metric events/sec detail...}}
+
+Two parts:
+  1. North metric (BASELINE.json): sustained change-events/sec of
+     checkpointed MERGE-apply replay of a deterministic synthetic binlog
+     (synth.synth_binlog — seeded, spark.range-based, no external data)
+     into the LakeTable of pre-tokenized sequences. One warm-up batch,
+     then >=3 timed batches (BASELINE.md measurement protocol).
+  2. Headline operator queries from __spark_entry__.queries() at
+     $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), each materialized
+     with a count-collapsing noop write.
+
+Environment knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_BENCH_EVENTS (default 4_000_000), SPARK_GRAFT_BENCH_BATCHES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from embulk_output_databricks_spark.config import JobConfig
+from embulk_output_databricks_spark.session import build_session
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+from embulk_output_databricks_spark.synth import synth_binlog
+
+HEADLINE_QUERIES = [
+    "cdc_lww_latest",
+    "cdc_merge_upsert",
+    "cdc_fence_idempotent",
+    "cdc_schema_evolution",
+    "text_profile",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "pricing_summary",
+    "top_revenue_orders",
+    "events_sessionize",
+]
+
+
+def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None,
+                 warmup_batches: int = 1) -> dict:
+    """North metric: events/sec of checkpointed MERGE replay, steady state."""
+    n_docs = n_docs or max(1000, n_events // 20)
+    events_per_batch = n_events // n_batches
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    binlog = synth_binlog(
+        spark, n_events, n_docs, events_per_batch,
+        hot_frac=0.05, partitions=cpus * 2,
+    )
+    work = tempfile.mkdtemp(prefix="bench_replay_")
+    try:
+        cat = LakeCatalog(spark, work)
+        cfg = JobConfig(table="sequences", mode="merge", merge_keys=["doc_id"],
+                        n_buckets=max(32, cpus))
+        driver = ReplayDriver(cat, cfg)
+        per_batch = []
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            driver.run_batch(
+                binlog.filter(binlog.batch_id == b), b, collect_metrics=True,
+            )
+            per_batch.append(time.perf_counter() - t0)
+        timed = per_batch[warmup_batches:]
+        timed_events = events_per_batch * len(timed)
+        total = sum(timed)
+        return {
+            "n_events": n_events,
+            "n_docs": n_docs,
+            "n_batches": n_batches,
+            "events_per_batch": events_per_batch,
+            "warmup_batches": warmup_batches,
+            "batch_sec": [round(s, 3) for s in per_batch],
+            "timed_sec": round(total, 3),
+            "events_per_sec": round(timed_events / total, 1),
+            "final_rows": driver.table.row_count(),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from __spark_entry__ import queries
+
+    reg = queries()
+    out: dict[str, float] = {}
+    for name in names:
+        fn = reg[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "5"))
+    spark = build_session(app_name="bench")
+    try:
+        t0 = time.perf_counter()
+        replay = bench_replay(spark, n_events, n_batches)
+        q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
+        total = round(time.perf_counter() - t0, 3)
+        print(json.dumps({
+            "metric": "cdc_replay_and_headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+            "replay": replay,
+            "events_per_sec": replay["events_per_sec"],
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        }))
+        sys.stdout.flush()
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
