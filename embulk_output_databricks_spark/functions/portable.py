@@ -245,6 +245,91 @@ def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
 
 
+# ---------- derived tokens (deterministic md5 tokenizer) ----------
+
+VOCAB = 50257
+KNUTH = 2654435761  # Knuth multiplicative hash constant (public)
+
+
+def f_word_ids(c: Column, vocab: int = VOCAB) -> Column:
+    """Deterministic BPE-ish tokenizer: each word hashes to a vocab id via
+    the first 8 hex chars of md5 — the portable stand-in for a real tokenizer
+    so token-array operators are oracle-checkable on text-only tables."""
+    return F.transform(
+        f_words(c),
+        lambda w: (F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+                   % F.lit(vocab)).cast("int"),
+    )
+
+
+def sql_word_ids(e: str, vocab: int = VOCAB) -> str:
+    hexint = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split(substr(md5(w), 1, 8), ''), "
+        f"ch -> (strpos('{_HEX}', ch) - 1)::BIGINT)), (a, x) -> a * 16 + x)"
+    )
+    return f"list_transform({sql_words(e)}, w -> ({hexint} % {vocab})::INTEGER)"
+
+
+def f_tokens_fingerprint(c: Column) -> Column:
+    """Validation hash of a token array: left fold h=(h*131+tok) mod 1e9+7 —
+    the row-equality check for token payloads (north rule: token-array
+    equality) in a portable scalar."""
+    return F.aggregate(
+        c,
+        F.lit(0).cast("bigint"),
+        lambda h, t: F.pmod(h * F.lit(131) + t.cast("bigint"), F.lit(MOD)),
+    )
+
+
+def sql_tokens_fingerprint(e: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform({e}, t -> t::BIGINT)), "
+        f"(h, t) -> (h * 131 + t) % {MOD})"
+    )
+
+
+# ---------- sign-random-projection LSH (ANN scale path) ----------
+
+def srp_weights(planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1000, 1000]: shared
+    Python-side constants embedded as literals on both engines."""
+    return [
+        [float(((p * KNUTH + j * 40503) % 2001) - 1000) for j in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def f_srp_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
+    """LSH bucket id: bit p of the id is sign(dot(vec, plane_p)) — cosine
+    neighbors collide with high probability; bucket count = 2^planes."""
+    ws = srp_weights(planes, dim)
+    bucket = F.lit(0)
+    for p in range(planes):
+        wa = F.array(*[F.lit(w) for w in ws[p]])
+        dot = F.aggregate(
+            F.zip_with(vec, wa, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def sql_srp_bucket(e: str, planes: int = 8, dim: int = 64) -> str:
+    ws = srp_weights(planes, dim)
+    parts = []
+    for p in range(planes):
+        arr = "[" + ", ".join(f"{w}::DOUBLE" for w in ws[p]) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim} + 1), i -> {e}[i]::DOUBLE * ({arr})[i])), "
+            f"(a, v) -> a + v)"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
 # ---------- text quality / language heuristics ----------
 
 def f_quality(c: Column) -> Column:

@@ -1,0 +1,77 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Task-brief surface (no reference counterpart): brute-force cosine top-k as
+the correctness baseline, and an LSH-bucketed variant as the scale path.
+
+Scale analysis (the reason both exist):
+  * brute force is a broadcast-cross-join — O(Q x N) cosine evaluations.
+    Right answer for small query sets; dies when Q ~ N (all-pairs at 10^9
+    vectors is off the table).
+  * srp_bucketed_topk hashes every vector ONCE into a 2^planes-bucket space
+    with sign-random-projections (portable.f_srp_bucket — deterministic
+    hyperplanes shared with the DuckDB oracle), then the candidate join is
+    an equi-join on bucket id: shuffle-partitionable, AQE-skew-splittable,
+    and the pairwise cosine work drops to sum of per-bucket squares
+    (~N^2 / 2^planes for uniform buckets). Recall is tunable by `planes`
+    (fewer planes -> bigger buckets -> higher recall, more work) — the
+    standard LSH knob. Multi-probe / multi-table extensions drop in by
+    unioning bucket ids; kept single-table here because the oracle must
+    stay expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+
+def cosine_topk(emb: DataFrame, n_queries: int, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against all vectors.
+    (query_id, neighbor_id, rank, cos); deterministic tie-break by id."""
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(q).crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", P.f_cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def srp_bucketed_topk(emb: DataFrame, n_queries: int, k: int,
+                      planes: int = 4, dim: int = 64,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates are vectors sharing the
+    query's sign-random-projection bucket; exact cosine + rank only within
+    the bucket. Output shape matches cosine_topk (queries with < k in-bucket
+    neighbors return fewer rows — approximate by design)."""
+    b = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        P.f_srp_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    q = b.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    n = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket")
+    scored = (
+        q.join(n, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", P.f_cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

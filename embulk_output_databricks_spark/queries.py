@@ -429,29 +429,158 @@ def q_dedup_simhash(spark, sf_dir):
     return d.select("doc_id", P.f_simhash32(F.col("text")).alias("simhash"))
 
 
+# ---------------------------------------------------------------- tokens
+# Token-array transforms (north_star: vectorized pandas/Arrow UDFs; the
+# JVM expression form is the scale path, the *_arrow twins prove the Arrow
+# batch path against the SAME DuckDB oracle).
+
+TOK_CHUNK_LEN = 32
+
+
+def _doc_tokens(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", P.f_word_ids(F.col("text")).alias("tokens"))
+
+
+def q_tok_derive(spark, sf_dir):
+    """Deterministic tokenizer + token-array validation fingerprint
+    (JVM higher-order expressions end-to-end)."""
+    t = _doc_tokens(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        "tokens",
+        F.size("tokens").alias("n_tok"),
+        P.f_tokens_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
+_SQL_DOC_TOKENS = None  # built lazily in _oracle_sql
+
+
+def q_tok_fingerprint_arrow(spark, sf_dir):
+    """Arrow-vectorized fingerprint kernel (@pandas_udf over numpy buffers)
+    checked against the same oracle as the JVM form."""
+    from .transforms import tokens_fingerprint_arrow
+
+    t = _doc_tokens(spark, sf_dir)
+    return t.select("doc_id", tokens_fingerprint_arrow(F.col("tokens")).alias("fp"))
+
+
+def q_tok_chunks(spark, sf_dir):
+    """Token re-chunking to <=32-token training chunks (JVM slice+posexplode)."""
+    from .transforms import chunk_tokens
+
+    return chunk_tokens(_doc_tokens(spark, sf_dir), TOK_CHUNK_LEN)
+
+
+def q_tok_chunks_arrow(spark, sf_dir):
+    """mapInPandas twin of tok_chunks (Arrow batch path, same oracle)."""
+    from .transforms import chunk_tokens_arrow
+
+    return chunk_tokens_arrow(_doc_tokens(spark, sf_dir), TOK_CHUNK_LEN)
+
+
+def q_tok_pack(spark, sf_dir):
+    """Greedy packing of docs into 512-token training sequences
+    (applyInPandas over hash-bucketed groups; stateful -> rows-only check)."""
+    from .transforms import pack_sequences
+
+    packed = pack_sequences(_doc_tokens(spark, sf_dir), seq_len=512, n_groups=16)
+    return packed.select(
+        "group_id", "seq_id", "n_tok", "n_docs",
+        P.f_tokens_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------- media
+# Multimodal binary columns (task brief): opaque payload + mapInPandas
+# decode kernel (deterministic stub codec; real plumbing).
+
+
+def q_media_decode(spark, sf_dir):
+    """binary payload -> Arrow-batched decode kernel -> typed properties."""
+    from .operators.media import decode_media, media_from_docs
+
+    return decode_media(media_from_docs(_docs(spark, sf_dir)))
+
+
+def _sql_hexint(e: str, start: int, n: int) -> str:
+    hex_ = "0123456789abcdef"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split(substr(md5({e}), {start}, {n}), ''), "
+        f"ch -> (strpos('{hex_}', ch) - 1)::BIGINT)), (a, x) -> a * 16 + x)"
+    )
+
+
+def _sql_tok_chunks() -> str:
+    toks = P.sql_word_ids("text")
+    L = TOK_CHUNK_LEN
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+         c AS (
+           SELECT doc_id,
+                  unnest(list_transform(
+                    range(0, CAST(ceil(len(toks) / {L}.0) AS BIGINT)),
+                    i -> struct_pack(chunk_id := i,
+                                     tokens := list_slice(toks, i*{L} + 1, i*{L} + {L}))
+                  )) AS u
+           FROM d WHERE len(toks) > 0
+         )
+    SELECT doc_id, CAST(u.chunk_id AS INTEGER) AS chunk_id,
+           u.tokens AS tokens, len(u.tokens) AS n_tok
+    FROM c
+    """
+
+
+def _sql_media_decode() -> str:
+    return f"""
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(16 + {_sql_hexint('text', 1, 4)} % 2032 AS INTEGER) AS width,
+           CAST(16 + {_sql_hexint('text', 5, 4)} % 2032 AS INTEGER) AS height,
+           CAST(1 + {_sql_hexint('text', 9, 2)} % 64 AS INTEGER) AS n_frames
+    FROM documents
+    """
+
+
 # ================================================================ Group C
 # Embedding similarity over `embeddings` (array<float>, dim 64)
 
-ANN_QUERIES, ANN_K = 16, 5
+ANN_QUERIES, ANN_K, ANN_PLANES = 16, 5, 4
 
 
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: broadcast the query set, rank per query."""
-    from pyspark.sql import Window
+    from .operators.similarity import cosine_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = e.filter(F.col("vec_id") < ANN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
-    pairs = F.broadcast(q).crossJoin(n).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cos", P.f_cosine(F.col("qv"), F.col("nv")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_K)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return cosine_topk(e, n_queries=ANN_QUERIES, k=ANN_K)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Scale path: sign-random-projection LSH buckets -> equi-join on bucket
+    -> exact cosine + rank within bucket only."""
+    from .operators.similarity import srp_bucketed_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return srp_bucketed_topk(e, n_queries=ANN_QUERIES, k=ANN_K, planes=ANN_PLANES)
+
+
+def _sql_ann_lsh() -> str:
+    cos = P.sql_cosine("q.embedding", "n.embedding")
+    bucket = P.sql_srp_bucket("embedding", ANN_PLANES)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, n.vec_id) AS rank
+      FROM b q JOIN b n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+      WHERE q.vec_id < {ANN_QUERIES}
+    ) WHERE rank <= {ANN_K}
+    """
 
 
 def _sql_ann() -> str:
@@ -604,7 +733,14 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "tok_derive": q_tok_derive,
+    "tok_fingerprint_arrow": q_tok_fingerprint_arrow,
+    "tok_chunks": q_tok_chunks,
+    "tok_chunks_arrow": q_tok_chunks_arrow,
+    "tok_pack": q_tok_pack,
+    "media_decode": q_media_decode,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "emb_neardup": q_emb_neardup,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -678,7 +814,23 @@ def _oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"""
             SELECT doc_id, {P.sql_simhash32('text')} AS simhash FROM documents
         """,
+        "tok_derive": f"""
+            SELECT doc_id, {P.sql_word_ids('text')} AS tokens,
+                   len({P.sql_word_ids('text')}) AS n_tok,
+                   {P.sql_tokens_fingerprint(P.sql_word_ids('text'))} AS fp
+            FROM documents
+        """,
+        "tok_fingerprint_arrow": f"""
+            SELECT doc_id,
+                   {P.sql_tokens_fingerprint(P.sql_word_ids('text'))} AS fp
+            FROM documents
+        """,
+        "tok_chunks": _sql_tok_chunks(),
+        "tok_chunks_arrow": _sql_tok_chunks(),
+        # tok_pack: stateful greedy packing (applyInPandas) — rows-only check
+        "media_decode": _sql_media_decode(),
         "ann_cosine_topk": _sql_ann(),
+        "ann_lsh_topk": _sql_ann_lsh(),
         "emb_neardup": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    {P.sql_cosine('a.embedding', 'b.embedding')} AS cos

@@ -1,0 +1,99 @@
+"""spark-submit entry point: checkpointed CDC replay (north rule:
+"the job ships as spark-submit --py-files").
+
+Ship:
+    tools/make_pyfiles.sh                       # -> dist/engine.zip
+    spark-submit --master local[32] \
+        --py-files dist/engine.zip jobs/replay_job.py \
+        --warehouse /tmp/wh --events 4000000 --batches 5
+
+On a real cluster, swap --master/--num-executors and point --warehouse at
+shared storage; the engine itself is master-agnostic (all parallelism comes
+from the DataFrame plans; config.JobConfig carries the knobs).
+
+Prints one JSON line: per-batch seconds, sustained events/sec (post-warmup),
+final table row count, and per-partition lineage totals — the measurement
+record BENCH/scaling.py consumes for the N-vs-4N efficiency protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="checkpointed CDC replay job")
+    p.add_argument("--warehouse", required=True, help="LakeCatalog root dir")
+    p.add_argument("--table", default="sequences")
+    p.add_argument("--mode", default="merge",
+                   choices=["insert", "insert_direct", "truncate_insert", "replace", "merge"])
+    p.add_argument("--merge-keys", default="doc_id")
+    p.add_argument("--events", type=int, default=1_000_000)
+    p.add_argument("--docs", type=int, default=0, help="0 -> events/20")
+    p.add_argument("--batches", type=int, default=5)
+    p.add_argument("--warmup-batches", type=int, default=1)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--dedup-strategy", default="maxstruct",
+                   choices=["maxstruct", "salted", "window"])
+    p.add_argument("--hot-frac", type=float, default=0.05)
+    p.add_argument("--partitions", type=int, default=0, help="binlog partitions; 0 -> default")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    # Imports deferred until after arg parsing so --help works without a JVM;
+    # under spark-submit the package arrives via --py-files.
+    from embulk_output_databricks_spark.config import JobConfig
+    from embulk_output_databricks_spark.session import build_session
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+    from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+    from embulk_output_databricks_spark.synth import synth_binlog
+
+    spark = build_session(app_name="cdc-replay")
+    n_docs = args.docs or max(1000, args.events // 20)
+    events_per_batch = args.events // args.batches
+    binlog = synth_binlog(
+        spark, args.events, n_docs, events_per_batch,
+        seed=args.seed, hot_frac=args.hot_frac,
+        partitions=args.partitions or None,
+    )
+    cat = LakeCatalog(spark, args.warehouse)
+    cfg = JobConfig(table=args.table, mode=args.mode,
+                    merge_keys=args.merge_keys.split(","),
+                    n_buckets=args.n_buckets, dedup_strategy=args.dedup_strategy)
+    driver = ReplayDriver(cat, cfg)
+
+    per_batch, lineage_totals = [], []
+    for b in range(args.batches):
+        t0 = time.perf_counter()
+        rec = driver.run_batch(binlog.filter(binlog.batch_id == b), b)
+        per_batch.append(round(time.perf_counter() - t0, 3))
+        if rec:
+            lineage_totals.append(sum(x["events_in"] for x in rec["lineage"]))
+    timed = per_batch[args.warmup_batches:]
+    total = sum(timed)
+    out = {
+        "job": "cdc-replay",
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "events": args.events,
+        "docs": n_docs,
+        "batches": args.batches,
+        "events_per_batch": events_per_batch,
+        "batch_sec": per_batch,
+        "timed_sec": round(total, 3),
+        "events_per_sec": round(events_per_batch * len(timed) / total, 1),
+        "final_rows": driver.table.row_count(),
+        "lineage_events_in": lineage_totals,
+        "checkpoints": driver.ckpt.committed_batch_ids(),
+    }
+    driver.ckpt.validate_contiguous()
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

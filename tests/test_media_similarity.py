@@ -1,0 +1,105 @@
+"""Multimodal binary-column plumbing + ANN similarity operators."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_databricks_spark.operators.media import (
+    decode_media,
+    decode_media_real,
+    frame_sample,
+    media_from_docs,
+)
+from embulk_output_databricks_spark.operators.similarity import (
+    cosine_topk,
+    srp_bucketed_topk,
+)
+from tests.conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF001}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF001}/embeddings.parquet").cache()
+
+
+class TestMedia:
+    def test_payload_roundtrip(self, docs):
+        m = media_from_docs(docs)
+        row = m.orderBy("media_id").first()
+        txt = docs.orderBy("doc_id").first()["text"]
+        assert bytes(row["payload"]).decode("utf-8") == txt
+        assert row["kind"] in ("image", "audio", "video")
+
+    def test_decode_stub_matches_reference_hash(self, docs):
+        m = media_from_docs(docs.limit(5))
+        out = {r["media_id"]: r for r in decode_media(m).collect()}
+        for r in docs.limit(5).collect():
+            h = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+            d = out[r["doc_id"]]
+            assert d["width"] == 16 + int(h[0:4], 16) % 2032
+            assert d["height"] == 16 + int(h[4:8], 16) % 2032
+            assert d["n_frames"] == 1 + int(h[8:10], 16) % 64
+            assert d["n_bytes"] == len(r["text"].encode("utf-8"))
+
+    def test_null_payload_yields_null_props(self, spark):
+        m = spark.createDataFrame(
+            [(1, "image", None, None)],
+            "media_id long, kind string, payload binary, meta map<string,string>",
+        )
+        r = decode_media(m).first()
+        assert r["width"] is None and r["n_frames"] is None
+
+    def test_frame_sample(self, docs):
+        d = decode_media(media_from_docs(docs))
+        fs = frame_sample(d, every=10)
+        joined = fs.join(d, "media_id").select("frame_idx", "n_frames", "kind")
+        assert joined.filter(F.col("kind") != "video").count() == 0
+        assert joined.filter(F.col("frame_idx") >= F.col("n_frames")).count() == 0
+        assert joined.filter(F.col("frame_idx") % 10 != 0).count() == 0
+
+    def test_real_decode_is_gated(self, docs):
+        with pytest.raises(NotImplementedError):
+            decode_media_real(media_from_docs(docs))
+
+
+class TestANN:
+    def test_bruteforce_shape(self, emb):
+        out = cosine_topk(emb, n_queries=4, k=3).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert sorted(by_q) == [0, 1, 2, 3]
+        for q, rows in by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == [1, 2, 3]
+            # descending cosine, no self-match
+            assert all(rows[i]["cos"] >= rows[i + 1]["cos"] for i in range(len(rows) - 1))
+            assert all(r["neighbor_id"] != q for r in rows)
+
+    def test_lsh_is_subset_of_bucket_and_agrees_on_hits(self, emb):
+        """Every LSH hit must be an exact cosine agreeing with brute force
+        for the same (query, neighbor) pair."""
+        bf = {(r["query_id"], r["neighbor_id"]): r["cos"]
+              for r in cosine_topk(emb, 8, 50).collect()}
+        lsh = srp_bucketed_topk(emb, 8, 5, planes=2).collect()
+        assert lsh
+        for r in lsh:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in bf:
+                assert abs(bf[key] - r["cos"]) < 1e-12
+
+    def test_lsh_recall_reasonable(self, emb):
+        """With few planes the top-1 neighbor should usually share the
+        query's bucket (statistical, but deterministic for this data)."""
+        bf = {r["query_id"]: r["neighbor_id"]
+              for r in cosine_topk(emb, 16, 1).collect()}
+        lsh = srp_bucketed_topk(emb, 16, 5, planes=2)
+        hits = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+        recall = sum((q, n) in hits for q, n in bf.items()) / len(bf)
+        assert recall >= 0.5
