@@ -55,10 +55,6 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
     n_docs = n_docs or max(1000, n_events // 20)
     events_per_batch = n_events // n_batches
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    binlog = synth_binlog(
-        spark, n_events, n_docs, events_per_batch,
-        hot_frac=0.05, partitions=cpus * 2,
-    )
     work = tempfile.mkdtemp(prefix="bench_replay_")
     try:
         cat = LakeCatalog(spark, work)
@@ -67,10 +63,13 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
         driver = ReplayDriver(cat, cfg)
         per_batch = []
         for b in range(n_batches):
-            t0 = time.perf_counter()
-            driver.run_batch(
-                binlog.filter(binlog.batch_id == b), b, collect_metrics=True,
+            events = synth_binlog(
+                spark, events_per_batch, n_docs, events_per_batch,
+                hot_frac=0.05, partitions=cpus * 2,
+                start=b * events_per_batch,
             )
+            t0 = time.perf_counter()
+            driver.run_batch(events, b, collect_metrics=True)
             per_batch.append(time.perf_counter() - t0)
         timed = per_batch[warmup_batches:]
         timed_events = events_per_batch * len(timed)

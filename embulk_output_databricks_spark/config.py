@@ -64,7 +64,12 @@ class JobConfig:
     max_events_per_batch: int = 10_000_000
     n_buckets: int = 16          # target-table bucket count; scale with data
     dedup_salt: int = 8          # salt fan-out for skewed LWW dedup
-    dedup_strategy: str = "maxstruct"  # maxstruct | salted | window
+    dedup_strategy: str = "maxby"  # maxby | maxstruct | salted | window
+    persist_source: bool = False  # cache batch events across lineage+dedup
+                                  # passes (worth it only when the source is
+                                  # expensive to rescan; a seeded synth or a
+                                  # pruned parquet slice is cheaper to recompute
+                                  # than to cache — measured in BENCH)
     keep_staging_on_error: bool = False
     support_deletes: bool = True  # op='D' extension (FIXTURES.md S12)
 
@@ -87,7 +92,7 @@ class JobConfig:
         for col, typ in self.column_types.items():
             if typ.lower() not in _ALLOWED_TYPES:
                 raise ConfigError(f"column_types[{col!r}]: unsupported type {typ!r}")
-        if self.dedup_strategy not in ("maxstruct", "salted", "window"):
+        if self.dedup_strategy not in ("maxby", "maxstruct", "salted", "window"):
             raise ConfigError(f"unknown dedup_strategy {self.dedup_strategy!r}")
         if self.n_buckets < 1 or self.dedup_salt < 1:
             raise ConfigError("n_buckets and dedup_salt must be >= 1")

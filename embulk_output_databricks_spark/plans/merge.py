@@ -53,6 +53,12 @@ def merge_apply(
         raise ValueError(f"merge keys not in table schema: {missing}")
     has_op = OP_COL in staged.columns
 
+    # staged is typically the output of an LWW dedup (a full shuffle); it is
+    # consumed twice below (bucket discovery + the COW join), so persist it —
+    # one dedup computation per batch instead of two.
+    s_cols = payload + ([OP_COL] if has_op else [])
+    staged = staged.select(*s_cols).persist()
+
     # -- 1. bucket pruning (only valid when the bucket key is a merge key,
     # i.e. equal keys necessarily share a bucket) --
     if m.bucket_key and m.bucket_key in keys:
@@ -61,8 +67,7 @@ def merge_apply(
     else:
         affected = {f["bucket"] for f in m.files}
     target = table.read(buckets=affected).alias("T")
-    s_cols = payload + ([OP_COL] if has_op else [])
-    staged = staged.select(*s_cols).alias("S")
+    staged = staged.alias("S")
 
     # -- 2. full outer join on merge keys --
     cond = None
@@ -94,4 +99,7 @@ def merge_apply(
     # -- 4. atomic bucket swap --
     props = dict(properties or {})
     props.setdefault("operation", "merge")
-    return table.replace_files(affected, result, props)
+    try:
+        return table.replace_files(affected, result, props)
+    finally:
+        staged.unpersist()

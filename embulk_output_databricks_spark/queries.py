@@ -109,8 +109,16 @@ def _cents_sql(e: str) -> str:
 
 
 def q_cdc_lww_latest(spark, sf_dir):
-    """LWW dedup, maxstruct strategy (single-shuffle associative plan)."""
+    """LWW dedup, default maxby strategy (single-shuffle associative argmax
+    with map-side partial_max_by combine)."""
     return _lww(_events(spark, sf_dir))
+
+
+def q_cdc_lww_maxstruct(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = lww_dedup(ev, keys=["user_id"], order=["ts_us", "event_id"],
+                    strategy="maxstruct")
+    return out.select(*_STATE_COLS)
 
 
 def q_cdc_lww_salted(spark, sf_dir):
@@ -717,6 +725,7 @@ FROM g GROUP BY user_id
 
 SPARK_QUERIES = {
     "cdc_lww_latest": q_cdc_lww_latest,
+    "cdc_lww_maxstruct": q_cdc_lww_maxstruct,
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_lww_window": q_cdc_lww_window,
     "cdc_merge_upsert": q_cdc_merge_upsert,
@@ -756,6 +765,7 @@ def _oracle_sql() -> dict[str, str]:
     charge = f"({disc}) * (1 + l_tax)"
     return {
         "cdc_lww_latest": lww,
+        "cdc_lww_maxstruct": lww,
         "cdc_lww_salted": lww,
         "cdc_lww_window": lww,
         "cdc_merge_upsert": _sql_merge(_UPSERT_COLS),

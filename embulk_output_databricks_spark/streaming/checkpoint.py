@@ -111,6 +111,9 @@ class CheckpointStore:
         prev_to = None
         for bid in self.committed_batch_ids():
             rec = self.read(bid)
+            if rec["lsn_from"] is None:  # crash-recovered light record
+                prev_to = None
+                continue
             if prev_to is not None and rec["lsn_from"] != prev_to:
                 raise AssertionError(
                     f"checkpoint gap/overlap at batch {bid}: from={rec['lsn_from']} prev_to={prev_to}"

@@ -111,9 +111,15 @@ class ReplayDriver:
     def run_batch(self, events: DataFrame, batch_id: int,
                   evolution: list[EvolutionOp] | None = None,
                   crash_before_checkpoint: bool = False,
-                  collect_metrics: bool = True) -> dict | None:
+                  collect_metrics: bool | str = True) -> dict | None:
         """Apply one batch exactly once. Returns the checkpoint record, or
-        None if the fence rejected a replayed batch."""
+        None if the fence rejected a replayed batch.
+
+        collect_metrics: True/'full' runs a dedicated per-partition lineage
+        pass; 'light' piggy-backs (count, lsn range) on the apply job itself
+        via the Observation API — ZERO extra passes over the batch, the
+        steady-state production mode; False skips metrics entirely.
+        """
         fenced = self.cfg.mode is not ApplyMode.INSERT_DIRECT
         if fenced and self.ckpt.is_committed(batch_id):
             return None  # fence hit: replayed batch is a no-op (S11)
@@ -121,10 +127,27 @@ class ReplayDriver:
         for op in evolution or []:
             op.apply(self.table)
 
-        if collect_metrics:
+        # the batch is consumed by up to two passes (lineage metrics + the
+        # dedup/apply plan). Caching is opt-in: columnar cache build costs
+        # more than a rescan for cheap sources (seeded synth / pruned
+        # parquet slice), and those are the common case here.
+        if self.cfg.persist_source:
+            events = events.persist()
+
+        obs = None
+        lineage, lo, hi, n_in = [], -1, -1, -1
+        if collect_metrics == "light":
+            from pyspark.sql import Observation
+
+            obs = Observation(f"batch-{batch_id}")
+            events = events.observe(
+                obs,
+                F.count(F.lit(1)).alias("events_in"),
+                F.min("seq_lsn").alias("lo"),
+                F.max("seq_lsn").alias("hi"),
+            )
+        elif collect_metrics:
             lineage, lo, hi, n_in = self._lineage(events)
-        else:
-            lineage, lo, hi, n_in = [], -1, -1, -1
 
         name_map = self._event_names()
         cols = []
@@ -141,9 +164,21 @@ class ReplayDriver:
         else:
             staged = events.select(*cols)
 
-        props = {"batch_id": batch_id, "lsn_from": lo, "lsn_to": hi + 1,
-                 "events_in": n_in}
-        m = apply_batch(self.table, staged, self.cfg, properties=props)
+        # batch_id is the fence anchor and MUST ride the snapshot commit
+        # itself (crash reconciliation reads it back); lsn stats are
+        # informational and may be filled post-action from the observation
+        # (a crash-recovered light batch simply has no lsn stats).
+        props = {"batch_id": batch_id}
+        if obs is None:
+            props.update({"lsn_from": lo, "lsn_to": hi + 1, "events_in": n_in})
+        try:
+            m = apply_batch(self.table, staged, self.cfg, properties=props)
+        finally:
+            if self.cfg.persist_source:
+                events.unpersist()
+        if obs is not None:
+            got = obs.get  # ready: the apply action executed the observed plan
+            lo, hi, n_in = got["lo"], got["hi"], got["events_in"]
 
         if crash_before_checkpoint:
             raise InjectedCrash(f"crash after snapshot v{m.version}, before checkpoint")

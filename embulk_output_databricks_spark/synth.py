@@ -36,14 +36,22 @@ def synth_binlog(
     delete_frac: float = 0.05,
     max_tok: int = 64,
     partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Binlog of upsert/delete change events, BINLOG_SCHEMA-shaped.
 
     seq_lsn is globally monotone (the range index); batch_id = lsn // events_per_batch.
     op: first sighting of a doc behaves as I, later ones U, a deterministic
     delete_frac slice becomes D (engine extension, FIXTURES.md S12).
+
+    `start` generates only the slice [start, start + n_events) — every event
+    is a pure function of its absolute lsn, so slicing commutes with
+    generation. This is the analog of partition-pruned binlog reads: a
+    replay batch synthesizes exactly its offset range instead of scanning
+    the whole stream and filtering.
     """
-    rng = spark.range(0, n_events, 1, partitions) if partitions else spark.range(n_events)
+    rng = spark.range(start, start + n_events, 1, partitions) \
+        if partitions else spark.range(start, start + n_events)
     i = F.col("id")
     u = _u01(i + F.lit(seed * 1_000_003))
     # power-law doc index; hot key: a deterministic hot_frac slice pinned to doc 0

@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--hot-frac", type=float, default=0.05)
     p.add_argument("--partitions", type=int, default=0, help="binlog partitions; 0 -> default")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--lineage", default="light", choices=["full", "light", "none"],
+                   help="full: dedicated per-partition metrics pass; "
+                        "light: piggy-back on the apply job (Observation); "
+                        "none: skip")
     args = p.parse_args(argv)
 
     # Imports deferred until after arg parsing so --help works without a JVM;
@@ -54,11 +58,6 @@ def main(argv: list[str] | None = None) -> None:
     spark = build_session(app_name="cdc-replay")
     n_docs = args.docs or max(1000, args.events // 20)
     events_per_batch = args.events // args.batches
-    binlog = synth_binlog(
-        spark, args.events, n_docs, events_per_batch,
-        seed=args.seed, hot_frac=args.hot_frac,
-        partitions=args.partitions or None,
-    )
     cat = LakeCatalog(spark, args.warehouse)
     cfg = JobConfig(table=args.table, mode=args.mode,
                     merge_keys=args.merge_keys.split(","),
@@ -67,11 +66,22 @@ def main(argv: list[str] | None = None) -> None:
 
     per_batch, lineage_totals = [], []
     for b in range(args.batches):
+        # generate exactly this batch's offset slice (pruned binlog read)
+        events = synth_binlog(
+            spark, events_per_batch, n_docs, events_per_batch,
+            seed=args.seed, hot_frac=args.hot_frac,
+            partitions=args.partitions or None,
+            start=b * events_per_batch,
+        )
         t0 = time.perf_counter()
-        rec = driver.run_batch(binlog.filter(binlog.batch_id == b), b)
+        metrics = {"full": True, "light": "light", "none": False}[args.lineage]
+        rec = driver.run_batch(events, b, collect_metrics=metrics)
         per_batch.append(round(time.perf_counter() - t0, 3))
         if rec:
-            lineage_totals.append(sum(x["events_in"] for x in rec["lineage"]))
+            lineage_totals.append(
+                sum(x["events_in"] for x in rec["lineage"])
+                if rec["lineage"] else rec.get("lsn_to", 0) - rec.get("lsn_from", 0)
+            )
     timed = per_batch[args.warmup_batches:]
     total = sum(timed)
     out = {

@@ -1,4 +1,4 @@
-"""LWW dedup: all three strategies agree and obey the S10 tie-break."""
+"""LWW dedup: all four strategies agree and obey the S10 tie-break."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -12,7 +12,7 @@ def ev(lsn, doc, toks, eid, op="U", batch=0):
     return (lsn, batch, op, doc, toks, len(toks) if toks else None, "web", eid)
 
 
-@pytest.mark.parametrize("strategy", ["maxstruct", "salted", "window"])
+@pytest.mark.parametrize("strategy", ["maxby", "maxstruct", "salted", "window"])
 def test_lww_highest_lsn_wins(spark, strategy):
     df = spark.createDataFrame(
         [ev(1, "a", [1], "e1"), ev(5, "a", [5], "e5"), ev(3, "a", [3], "e3"),
@@ -24,7 +24,7 @@ def test_lww_highest_lsn_wins(spark, strategy):
     assert out["b"]["tokens"] == [2]
 
 
-@pytest.mark.parametrize("strategy", ["maxstruct", "salted", "window"])
+@pytest.mark.parametrize("strategy", ["maxby", "maxstruct", "salted", "window"])
 def test_lww_tie_broken_by_event_id(spark, strategy):
     # equal seq_lsn: highest event_id wins deterministically (S10)
     df = spark.createDataFrame(
@@ -38,12 +38,14 @@ def test_lww_tie_broken_by_event_id(spark, strategy):
 def test_strategies_agree_on_skewed_synth(spark):
     df = synth_binlog(spark, 5000, 200, 5000, hot_frac=0.05).cache()
     a = lww_dedup(df, strategy="maxstruct")
+    d = lww_dedup(df, strategy="maxby")
     b = lww_dedup(df, strategy="salted", salt=4)
     c = lww_dedup(df, strategy="window")
     ha = a.select(F.sum(F.xxhash64(*a.columns)).alias("h")).collect()[0]["h"]
     hb = b.select(F.sum(F.xxhash64(*b.columns)).alias("h")).collect()[0]["h"]
     hc = c.select(F.sum(F.xxhash64(*c.columns)).alias("h")).collect()[0]["h"]
-    assert ha == hb == hc
+    hd = d.select(F.sum(F.xxhash64(*d.columns)).alias("h")).collect()[0]["h"]
+    assert ha == hb == hc == hd
     assert a.count() == df.select("doc_id").distinct().count()
     df.unpersist()
 

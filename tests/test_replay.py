@@ -123,3 +123,24 @@ def test_replay_parallelism_invariance(spark, cat, warehouse):
         drv.replay(binlog)
         states.append(table_state(drv.table))
     assert states[0] == states[1]
+
+
+def test_light_lineage_observation_mode(spark, cat):
+    """'light' metrics piggy-back on the apply job (Observation API): the
+    checkpoint record carries the exact lsn range/count with NO dedicated
+    metrics pass, and the final state matches the full-metrics replay."""
+    binlog = synth_binlog(spark, 400, 40, 200).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    recs = [drv.run_batch(binlog.filter(binlog.batch_id == b), b,
+                          collect_metrics="light") for b in (0, 1)]
+    for b, rec in enumerate(recs):
+        assert rec["lineage"] == []
+        assert rec["lsn_from"] == b * 200 and rec["lsn_to"] == (b + 1) * 200
+    drv.ckpt.validate_contiguous()
+    # same final state as a full-metrics replay
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog as LC
+    c2 = LC(spark, cat.warehouse + "_full")
+    drv2 = ReplayDriver(c2, JobConfig(mode="merge", n_buckets=4))
+    drv2.replay(binlog, batch_ids=[0, 1])
+    assert table_state(drv.table) == table_state(drv2.table)
+    binlog.unpersist()

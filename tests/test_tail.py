@@ -1,0 +1,97 @@
+"""Structured Streaming tail over a binlog directory -> fenced replay.
+
+Covers: drain-with-availableNow produces the same final state as batch
+replay (LWW across all files), incremental tailing picks up only new
+files, and an epoch redelivery is fenced (exactly-once on streams).
+"""
+
+import time
+
+from pyspark.sql import functions as F
+
+from embulk_output_databricks_spark.config import JobConfig
+from embulk_output_databricks_spark.schema import BINLOG_SCHEMA
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+from embulk_output_databricks_spark.streaming.tail import tail_binlog_dir
+from embulk_output_databricks_spark.synth import synth_binlog
+
+
+def _write_binlog_slice(spark, path, start, n, n_docs=50):
+    df = synth_binlog(spark, n, n_docs, events_per_batch=n, start=start,
+                      partitions=2)
+    df.write.mode("overwrite").parquet(path)
+
+
+def _driver(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["doc_id"], n_buckets=4)
+    return ReplayDriver(cat, cfg)
+
+
+def _drain(q):
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+class TestTail:
+    def test_drain_matches_batch_replay(self, spark, tmp_path):
+        binlog_dir = str(tmp_path / "binlog")
+        _write_binlog_slice(spark, f"{binlog_dir}/part0", 0, 400)
+        _write_binlog_slice(spark, f"{binlog_dir}/part1", 400, 400)
+
+        d_stream = _driver(spark, str(tmp_path / "wh_stream"))
+        q = tail_binlog_dir(spark, f"{binlog_dir}/part*", d_stream,
+                            str(tmp_path / "ckpt"), max_files_per_trigger=2)
+        _drain(q)
+
+        # oracle: one-shot batch replay of the full range
+        d_batch = _driver(spark, str(tmp_path / "wh_batch"))
+        full = synth_binlog(spark, 800, 50, events_per_batch=800, partitions=2)
+        d_batch.run_batch(full, 0)
+
+        a, b = d_stream.table.read(), d_batch.table.read()
+        assert a.count() == b.count() > 0
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        # stream committed at least one fenced epoch with lineage
+        assert d_stream.ckpt.committed_batch_ids()
+
+    def test_incremental_pickup(self, spark, tmp_path):
+        binlog_dir = str(tmp_path / "binlog")
+        _write_binlog_slice(spark, f"{binlog_dir}/a", 0, 300)
+        d = _driver(spark, str(tmp_path / "wh"))
+        ckpt = str(tmp_path / "ckpt")
+
+        _drain(tail_binlog_dir(spark, f"{binlog_dir}/*", d, ckpt))
+        rows1 = d.table.read().count()
+        epochs1 = set(d.ckpt.committed_batch_ids())
+        assert rows1 > 0
+
+        # second drain with NO new files: no new epochs with data applied
+        _drain(tail_binlog_dir(spark, f"{binlog_dir}/*", d, ckpt))
+        v1 = d.table.current_version()
+
+        # add a later slice; only it is processed
+        _write_binlog_slice(spark, f"{binlog_dir}/b", 300, 300)
+        _drain(tail_binlog_dir(spark, f"{binlog_dir}/*", d, ckpt))
+        assert d.table.current_version() > v1
+        assert set(d.ckpt.committed_batch_ids()) > epochs1
+
+        # final state equals batch replay of the full range
+        d_batch = _driver(spark, str(tmp_path / "wh_batch"))
+        d_batch.run_batch(
+            synth_binlog(spark, 600, 50, events_per_batch=600, partitions=2), 0)
+        a, b = d.table.read(), d_batch.table.read()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_epoch_redelivery_is_fenced(self, spark, tmp_path):
+        binlog_dir = str(tmp_path / "binlog")
+        _write_binlog_slice(spark, f"{binlog_dir}/a", 0, 200)
+        d = _driver(spark, str(tmp_path / "wh"))
+        _drain(tail_binlog_dir(spark, f"{binlog_dir}/*", d,
+                               str(tmp_path / "ckpt")))
+        v = d.table.current_version()
+        # simulate Spark redelivering epoch 0 after a checkpoint rollback
+        ev = synth_binlog(spark, 200, 50, events_per_batch=200, partitions=2)
+        assert d.run_batch(ev, 0) is None  # fence hit
+        assert d.table.current_version() == v
