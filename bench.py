@@ -42,7 +42,11 @@ HEADLINE_QUERIES = [
     "cdc_schema_evolution",
     "text_profile",
     "dedup_minhash_lsh",
+    "tok_chunks",
+    "tok_pack",
+    "media_decode",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "pricing_summary",
     "top_revenue_orders",
     "events_sessionize",

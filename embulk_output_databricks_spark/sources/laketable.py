@@ -401,6 +401,49 @@ class LakeTable:
         fields = [{**f, "name": new} if f["name"] == old else dict(f) for f in cur.fields]
         return self._evolved(base, fields, 0, properties)
 
+    # ---------- maintenance (SURVEY B12: cleanup DDL / expire snapshots) ----------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop manifests older than the newest `keep_last` snapshots (the
+        analog of Iceberg's expire_snapshots procedure; the reference's
+        staging cleanup is DatabricksOutputPlugin.java:176-183). Time travel
+        to expired versions becomes unavailable; data files they referenced
+        are reclaimed by remove_orphan_files(). At 10^10 scale this bounds
+        metadata growth: one manifest per batch would otherwise accumulate
+        forever."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        current = self.current_version()
+        cutoff = current - keep_last + 1
+        expired = []
+        for fn in sorted(os.listdir(self._meta())):
+            if fn.startswith("v") and fn.endswith(".json"):
+                v = int(fn[1:-5])
+                if v < cutoff:
+                    os.unlink(self._meta(fn))
+                    expired.append(v)
+        return expired
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files referenced by NO remaining manifest (Iceberg
+        remove_orphan_files analog). Safe after expire_snapshots: the
+        current snapshot's files are always retained. Returns removed
+        relative paths."""
+        referenced: set[str] = set()
+        for fn in os.listdir(self._meta()):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(self._meta(fn)) as f:
+                    m = Manifest.from_json(f.read())
+                referenced.update(e["path"] for e in m.files)
+        removed = []
+        data_dir = os.path.join(self.root, "data")
+        for fn in os.listdir(data_dir):
+            rel = f"data/{fn}"
+            if fn.endswith(".parquet") and rel not in referenced:
+                os.unlink(os.path.join(data_dir, fn))
+                removed.append(rel)
+        return removed
+
     def widen_column(self, name: str, new_type: str, properties: dict | None = None) -> Manifest:
         base = self.manifest()
         cur = base.schema_version

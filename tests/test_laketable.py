@@ -126,3 +126,31 @@ def test_replace_with_new_schema(spark, warehouse):
     t.replace(df, schema=new_schema)
     assert t.read().columns == ["doc_id", "tokens", "n_tok"]
     assert t.row_count() == 1
+
+
+def test_expire_snapshots_and_remove_orphans(spark, warehouse):
+    """B12 maintenance: expiry bounds manifest growth; orphan removal
+    reclaims data files only old snapshots referenced; the current snapshot
+    stays fully readable."""
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("m", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    for i in range(3):
+        t.overwrite(spark.createDataFrame([(f"d{i}", [i], 1, "web")], SEQUENCES_SCHEMA))
+    rows_before = [tuple(r) for r in t.read().collect()]
+    assert t.current_version() == 3
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [0, 1, 2]
+    removed = t.remove_orphan_files()
+    assert len(removed) == 2  # the two superseded overwrite files
+
+    # current snapshot intact
+    assert [tuple(r) for r in t.read().collect()] == rows_before
+    # old versions are gone
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        t.manifest(1)
+    # nothing else to reclaim on a second pass
+    assert t.remove_orphan_files() == []
