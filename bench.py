@@ -65,7 +65,7 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
         cfg = JobConfig(table="sequences", mode="merge", merge_keys=["doc_id"],
                         n_buckets=max(32, cpus))
         driver = ReplayDriver(cat, cfg)
-        per_batch = []
+        per_batch, skew = [], None
         for b in range(n_batches):
             events = synth_binlog(
                 spark, events_per_batch, n_docs, events_per_batch,
@@ -73,8 +73,16 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
                 start=b * events_per_batch,
             )
             t0 = time.perf_counter()
-            driver.run_batch(events, b, collect_metrics=True)
+            rec = driver.run_batch(events, b, collect_metrics=True)
             per_batch.append(time.perf_counter() - t0)
+            if rec and rec["lineage"]:
+                counts = [p["events_in"] for p in rec["lineage"]]
+                skew = {  # BASELINE.md measurement note: per-partition skew
+                    "partitions": len(counts),
+                    "max_events": max(counts),
+                    "mean_events": round(sum(counts) / len(counts), 1),
+                    "skew_ratio": round(max(counts) * len(counts) / sum(counts), 3),
+                }
         timed = per_batch[warmup_batches:]
         timed_events = events_per_batch * len(timed)
         total = sum(timed)
@@ -88,6 +96,7 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
             "timed_sec": round(total, 3),
             "events_per_sec": round(timed_events / total, 1),
             "final_rows": driver.table.row_count(),
+            "partition_skew": skew,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -424,6 +424,29 @@ class LakeTable:
                     expired.append(v)
         return expired
 
+    def compact(self, min_files_per_bucket: int = 2,
+                properties: dict | None = None) -> Manifest | None:
+        """Bin-pack small files: rewrite every bucket holding >=
+        min_files_per_bucket files into a single file set (Iceberg
+        rewrite_data_files analog). The small-file problem is the classic
+        failure mode of per-batch appends at 10^10 scale — reads degrade
+        linearly with file count. One atomic snapshot; returns None if no
+        bucket qualifies. Files from old schema versions are rewritten to
+        the current schema (read() projects by field id)."""
+        base = self.manifest()
+        counts: dict = {}
+        for f in base.files:
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        victims = {b for b, n in counts.items() if n >= min_files_per_bucket}
+        if not victims:
+            return None
+        df = self.read(buckets=victims)
+        props = dict(properties or {})
+        props.setdefault("operation", "compact")
+        keep = [f for f in base.files if f["bucket"] not in victims]
+        new = self._write_data_files(df, base)
+        return self._commit(base, keep + new, props)
+
     def remove_orphan_files(self) -> list[str]:
         """Delete data files referenced by NO remaining manifest (Iceberg
         remove_orphan_files analog). Safe after expire_snapshots: the

@@ -154,3 +154,31 @@ def test_expire_snapshots_and_remove_orphans(spark, warehouse):
         t.manifest(1)
     # nothing else to reclaim on a second pass
     assert t.remove_orphan_files() == []
+
+
+def test_compact_bin_packs_small_files(spark, warehouse):
+    """Small-file maintenance: N per-batch appends leave N files per bucket;
+    compact() rewrites them into one file set per bucket, same rows, one
+    atomic snapshot; buckets below the threshold are untouched."""
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("c", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            [(f"d{i}", [i, i + 1], 2, "web")], SEQUENCES_SCHEMA))
+    rows_before = sorted(tuple(r) for r in t.read().collect())
+    files_before = len(t.manifest().files)
+    assert files_before == 4
+
+    m = t.compact(min_files_per_bucket=2)
+    assert m is not None
+    files_after = len(t.manifest().files)
+    assert files_after < files_before
+    assert sorted(tuple(r) for r in t.read().collect()) == rows_before
+    # idempotent second pass: nothing left to compact
+    assert t.compact(min_files_per_bucket=2) is None
+    # reclaimed space
+    assert len(t.remove_orphan_files()) == 0  # old snapshots still reference
+    t.expire_snapshots(keep_last=1)
+    assert len(t.remove_orphan_files()) == 4

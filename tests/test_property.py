@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): the engine's core kernels against
+independent Python oracles on randomized inputs — coverage the reference's
+golden-string tests never had (SURVEY.md §5.1: 'No property-based tests').
+
+Spark round-trips are expensive, so examples are batched: hypothesis
+generates a LIST of cases and each property runs them through one Spark job.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from embulk_output_databricks_spark.functions import portable as P
+from embulk_output_databricks_spark.operators.lww import lww_dedup
+from embulk_output_databricks_spark.transforms import (
+    MOD,
+    MULT,
+    tokens_fingerprint_arrow,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+tokens_lists = st.lists(
+    st.lists(st.integers(min_value=0, max_value=50256), max_size=80),
+    min_size=1, max_size=24,
+)
+
+
+def _py_fp(toks):
+    h = 0
+    for t in toks:
+        h = (h * MULT + t) % MOD
+    return h
+
+
+@settings(**_SETTINGS)
+@given(tokens_lists)
+def test_fingerprint_three_ways(spark, batches):
+    """JVM expression == Arrow pandas_udf == pure-Python fold, any input."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batches)], "i long, tokens array<int>"
+    )
+    rows = df.select(
+        "i",
+        P.f_tokens_fingerprint(F.col("tokens")).alias("jvm"),
+        tokens_fingerprint_arrow(F.col("tokens")).alias("arrow"),
+    ).collect()
+    for r in rows:
+        expect = _py_fp(batches[r["i"]])
+        assert r["jvm"] == expect and r["arrow"] == expect
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # key
+        st.integers(min_value=0, max_value=50),     # lsn (ties likely)
+        st.integers(min_value=0, max_value=10**6),  # event_id (tie-break)
+        st.integers(min_value=-100, max_value=100), # payload
+    ),
+    min_size=1, max_size=60, unique_by=lambda e: (e[0], e[1], e[2]),
+)
+
+
+@settings(**_SETTINGS)
+@given(events)
+def test_lww_strategies_match_python_argmax(spark, evs):
+    """All four dedup strategies pick exactly the python argmax row per key
+    under the (lsn, event_id) total order — including ties on lsn."""
+    df = spark.createDataFrame(evs, "k int, lsn long, eid long, v int")
+    expect = {}
+    for k, lsn, eid, v in evs:
+        cur = expect.get(k)
+        if cur is None or (lsn, eid) > (cur[0], cur[1]):
+            expect[k] = (lsn, eid, v)
+    for strategy in ("maxby", "maxstruct", "salted", "window"):
+        got = {
+            r["k"]: (r["lsn"], r["eid"], r["v"])
+            for r in lww_dedup(df, keys=["k"], order=["lsn", "eid"],
+                               strategy=strategy, salt=3).collect()
+        }
+        assert got == expect, strategy
+
+
+texts = st.lists(
+    st.text(alphabet=st.characters(codec="utf-8",
+                                   blacklist_categories=("Cs",)),
+            max_size=60),
+    min_size=1, max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_word_ids_always_in_vocab(spark, docs):
+    """Derived token ids stay in [0, VOCAB) for arbitrary unicode text."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "i long, text string")
+    rows = df.select(P.f_word_ids(F.col("text")).alias("toks")).collect()
+    for r in rows:
+        assert all(0 <= t < P.VOCAB for t in r["toks"])
