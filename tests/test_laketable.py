@@ -182,3 +182,43 @@ def test_compact_bin_packs_small_files(spark, warehouse):
     assert len(t.remove_orphan_files()) == 0  # old snapshots still reference
     t.expire_snapshots(keep_last=1)
     assert len(t.remove_orphan_files()) == 4
+
+
+def test_concurrent_commit_conflict(spark, warehouse):
+    """Single-writer protection: two writers racing to the same version —
+    the loser gets CommitConflict, state stays consistent (SURVEY §1:
+    'concurrent commits raise CommitConflict instead of corrupting state')."""
+    from embulk_output_databricks_spark.sources.laketable import (
+        CommitConflict, LakeCatalog)
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("race", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    df = spark.createDataFrame([("a", [1], 1, "web")], SEQUENCES_SCHEMA)
+    base = t.manifest()          # both writers read the same base...
+    files = t._write_data_files(df, base)
+    t._commit(base, base.files + files, {})   # writer 1 wins
+    with pytest.raises(CommitConflict):
+        t._commit(base, base.files + files, {})  # writer 2 loses
+    assert t.current_version() == 1 and t.row_count() == 1
+
+
+def test_merge_rules_non_ascii_columns(spark, warehouse):
+    """Reference parity: merge_rule expressions over non-ASCII column names
+    (TestDatabricksOutputPluginByNonAscii.java:69-74,123-131)."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    schema = T.StructType([
+        T.StructField("キー", T.StringType()),
+        T.StructField("値", T.LongType()),
+        T.StructField("メモ", T.StringType()),
+    ])
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("日本語テーブル", schema, n_buckets=2, bucket_key="キー")
+    t.append(spark.createDataFrame([("あ", 1, "x"), ("い", 2, "y")], schema))
+    staged = spark.createDataFrame([("あ", 10, "z"), ("う", 30, "w")], schema)
+    merge_apply(t, staged, keys=["キー"],
+                merge_rules={"値": "T.`値` + S.`値`",
+                             "メモ": "concat(T.`メモ`, 'test', S.`メモ`)"})
+    got = {r["キー"]: (r["値"], r["メモ"]) for r in t.read().collect()}
+    assert got == {"あ": (11, "xtestz"), "い": (2, "y"), "う": (30, "w")}
