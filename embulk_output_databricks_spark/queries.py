@@ -348,6 +348,43 @@ FROM (
 """
 
 
+FENCED_BATCHES = [0, 2]
+
+
+def q_cdc_fence_antijoin(spark, sf_dir):
+    """Distributed fence variant (SURVEY §2.C joins): left-anti join of the
+    incoming stream against the committed-batch fence set — the plan used
+    when the fence list itself is a table instead of driver metadata."""
+    binlog = _binlog_batches(spark, sf_dir)
+    fence = spark.createDataFrame([(b,) for b in FENCED_BATCHES], "batch_id long")
+    return (
+        binlog.join(F.broadcast(fence), "batch_id", "left_anti")
+        .select("batch_id", "user_id", "event_id", "seq_lsn")
+    )
+
+
+def q_cdc_time_travel(spark, sf_dir):
+    """Snapshot isolation / time travel: read the table AS OF the first
+    commit after a second commit has landed."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "time_travel")
+    tbl.append(t_half.select(*_STATE_COLS))
+    v1 = tbl.current_version()
+    tbl.append(s_half.select(*_STATE_COLS))
+    return tbl.read(version=v1)
+
+
+def q_cdc_incremental_read(spark, sf_dir):
+    """Changelog-style incremental scan: only the rows added between two
+    snapshots (the CDC *read* side — consumers tail the table itself)."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "incr_read")
+    tbl.append(t_half.select(*_STATE_COLS))
+    v1 = tbl.current_version()
+    tbl.append(s_half.select(*_STATE_COLS))
+    return tbl.added_rows(since_version=v1)
+
+
 def q_cdc_lineage_stats(spark, sf_dir):
     """Per-batch lineage metrics aggregate (SURVEY §2.C aggregations)."""
     binlog = _binlog_batches(spark, sf_dir)
@@ -735,6 +772,9 @@ SPARK_QUERIES = {
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
+    "cdc_fence_antijoin": q_cdc_fence_antijoin,
+    "cdc_time_travel": q_cdc_time_travel,
+    "cdc_incremental_read": q_cdc_incremental_read,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_lineage_stats": q_cdc_lineage_stats,
     "text_profile": q_text_profile,
@@ -787,6 +827,21 @@ def _oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 1 GROUP BY user_id
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
+        "cdc_fence_antijoin": f"""
+            SELECT CAST((day(ts) - 1) // 8 AS BIGINT) AS batch_id,
+                   user_id, event_id, epoch_us(ts) AS seq_lsn
+            FROM events
+            WHERE CAST((day(ts) - 1) // 8 AS BIGINT) NOT IN
+                  ({", ".join(str(b) for b in FENCED_BATCHES)})
+        """,
+        "cdc_time_travel": (
+            "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props "
+            "FROM events WHERE event_id % 2 = 0"
+        ),
+        "cdc_incremental_read": (
+            "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props "
+            "FROM events WHERE event_id % 2 = 1"
+        ),
         "cdc_schema_evolution": _SQL_EVOLUTION,
         "cdc_lineage_stats": """
             SELECT CAST((day(ts) - 1) // 8 AS BIGINT) AS batch_id,

@@ -226,10 +226,25 @@ class LakeTable:
         `buckets` prunes the file list before any IO — the merge fast path.
         """
         m = self.manifest(version)
-        cur = m.schema_version
         files = m.files
         if buckets is not None:
             files = [f for f in files if f["bucket"] in buckets]
+        return self._df_for_files(m, files)
+
+    def added_rows(self, since_version: int, version: int | None = None) -> DataFrame:
+        """Incremental read (Iceberg incremental-scan analog): rows in data
+        files ADDED strictly after `since_version`, projected to the target
+        snapshot's schema. Exact for append-only history; after a
+        copy-on-write MERGE the rewritten buckets' files count as added
+        (their rows are the post-merge state of those buckets) — consumers
+        downstream of a CDC sink typically re-upsert by key, so replayed
+        unchanged rows are harmless."""
+        old = {f["path"] for f in self.manifest(since_version).files}
+        m = self.manifest(version)
+        return self._df_for_files(m, [f for f in m.files if f["path"] not in old])
+
+    def _df_for_files(self, m: Manifest, files: list[dict]) -> DataFrame:
+        cur = m.schema_version
         if not files:
             return self.spark.createDataFrame([], m.schema())
         by_sv: dict[int, list[str]] = {}
