@@ -474,6 +474,26 @@ def q_dedup_simhash(spark, sf_dir):
     return d.select("doc_id", P.f_simhash32(F.col("text")).alias("simhash"))
 
 
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: Hamming distance over 32-bit signatures."""
+    from .operators.dedupe import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""
+    WITH s AS (SELECT doc_id, {P.sql_simhash32('text')} AS h FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.h, b.h)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
 # ---------------------------------------------------------------- tokens
 # Token-array transforms (north_star: vectorized pandas/Arrow UDFs; the
 # JVM expression form is the scale path, the *_arrow twins prove the Arrow
@@ -782,6 +802,7 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "tok_derive": q_tok_derive,
     "tok_fingerprint_arrow": q_tok_fingerprint_arrow,
     "tok_chunks": q_tok_chunks,
@@ -879,6 +900,7 @@ def _oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"""
             SELECT doc_id, {P.sql_simhash32('text')} AS simhash FROM documents
         """,
+        "dedup_simhash_pairs": _sql_simhash_pairs(),
         "tok_derive": f"""
             SELECT doc_id, {P.sql_word_ids('text')} AS tokens,
                    len({P.sql_word_ids('text')}) AS n_tok,
