@@ -119,12 +119,16 @@ def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+    # 6M-event batches: small batches understate sustained rate (fixed
+    # per-batch driver overhead ~4-6s dominates; see BENCH/BASELINE.md)
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "30000000"))
     n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "5"))
+    os.environ.setdefault("SPARK_GRAFT_OFFHEAP", "20g")  # GC-free sort buffers
     spark = build_session(app_name="bench")
     try:
         t0 = time.perf_counter()
-        replay = bench_replay(spark, n_events, n_batches)
+        replay = bench_replay(spark, n_events, n_batches,
+                              warmup_batches=2 if n_batches >= 4 else 1)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
