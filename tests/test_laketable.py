@@ -222,3 +222,24 @@ def test_merge_rules_non_ascii_columns(spark, warehouse):
                              "メモ": "concat(T.`メモ`, 'test', S.`メモ`)"})
     got = {r["キー"]: (r["値"], r["メモ"]) for r in t.read().collect()}
     assert got == {"あ": (11, "xtestz"), "い": (2, "y"), "う": (30, "w")}
+
+
+def test_torn_write_invisible_and_reclaimed(spark, warehouse):
+    """Crash-during-write safety: data files that never made it into a
+    committed manifest are invisible to readers and reclaimed by
+    remove_orphan_files (the write path stages under data/ only after the
+    parquet job completes; the manifest commit is the only publish point)."""
+    import os
+
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("torn", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    t.append(spark.createDataFrame([("a", [1], 1, "web")], SEQUENCES_SCHEMA))
+    # simulate a torn write: orphan parquet bytes in data/ with no manifest
+    orphan = os.path.join(t.root, "data", "deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a committed file")
+    assert t.read().count() == 1           # invisible to readers
+    assert t.remove_orphan_files() == ["data/deadbeef.parquet"]
+    assert t.read().count() == 1
