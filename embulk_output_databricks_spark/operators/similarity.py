@@ -48,6 +48,46 @@ def cosine_topk(emb: DataFrame, n_queries: int, k: int,
     )
 
 
+def ivf_topk(emb: DataFrame, n_queries: int, k: int, n_centroids: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate top-k: every vector is assigned to its nearest
+    centroid (deterministic seed centroids: the first n_centroids vectors;
+    a k-means refinement would slot in here), then search runs only inside
+    the query's cell. The assignment is one broadcast-cross-join against
+    n_centroids rows + a rank; the candidate join is an equi-join on cell id
+    — the same shuffle-partitionable shape as the LSH variant, with cell
+    count (and a multi-probe extension) as the recall/work knob."""
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", P.f_cosine(F.col(vec_col), F.col("cv"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cid"
+    )
+    n = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cid"
+    )
+    pairs = (
+        q.join(n, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", P.f_cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def srp_bucketed_topk(emb: DataFrame, n_queries: int, k: int,
                       planes: int = 4, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

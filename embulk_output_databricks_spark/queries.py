@@ -633,6 +633,41 @@ def q_ann_lsh_topk(spark, sf_dir):
     return srp_bucketed_topk(e, n_queries=ANN_QUERIES, k=ANN_K, planes=ANN_PLANES)
 
 
+ANN_CENTROIDS = 8
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF scale path: nearest-centroid cell assignment, search in-cell only."""
+    from .operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(e, n_queries=ANN_QUERIES, k=ANN_K, n_centroids=ANN_CENTROIDS)
+
+
+def _sql_ann_ivf() -> str:
+    ccos = P.sql_cosine("e.embedding", "c.cv")
+    cos = P.sql_cosine("q.embedding", "n.embedding")
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                  WHERE vec_id < {ANN_CENTROIDS}),
+         a AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {ccos} DESC, c.cid) AS rn
+             FROM embeddings e, cent c
+           ) WHERE rn = 1
+         )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, n.vec_id) AS rank
+      FROM a q JOIN a n ON q.cid = n.cid AND q.vec_id <> n.vec_id
+      WHERE q.vec_id < {ANN_QUERIES}
+    ) WHERE rank <= {ANN_K}
+    """
+
+
 def _sql_ann_lsh() -> str:
     cos = P.sql_cosine("q.embedding", "n.embedding")
     bucket = P.sql_srp_bucket("embedding", ANN_PLANES)
@@ -811,6 +846,7 @@ SPARK_QUERIES = {
     "media_decode": q_media_decode,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "emb_neardup": q_emb_neardup,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -918,6 +954,7 @@ def _oracle_sql() -> dict[str, str]:
         "media_decode": _sql_media_decode(),
         "ann_cosine_topk": _sql_ann(),
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_ivf_topk": _sql_ann_ivf(),
         "emb_neardup": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    {P.sql_cosine('a.embedding', 'b.embedding')} AS cos

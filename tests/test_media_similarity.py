@@ -103,3 +103,21 @@ class TestANN:
         hits = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
         recall = sum((q, n) in hits for q, n in bf.items()) / len(bf)
         assert recall >= 0.5
+
+
+class TestIVF:
+    def test_ivf_agrees_with_bruteforce_on_hits(self, emb):
+        from embulk_output_databricks_spark.operators.similarity import ivf_topk
+
+        bf = {(r["query_id"], r["neighbor_id"]): r["cos"]
+              for r in cosine_topk(emb, 8, 50).collect()}
+        out = ivf_topk(emb, n_queries=8, k=5, n_centroids=4).collect()
+        assert out
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+            if (r["query_id"], r["neighbor_id"]) in bf:
+                assert abs(bf[(r["query_id"], r["neighbor_id"])] - r["cos"]) < 1e-12
+        for q, rows in by_q.items():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
