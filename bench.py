@@ -54,7 +54,7 @@ HEADLINE_QUERIES = [
 
 
 def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None,
-                 warmup_batches: int = 1) -> dict:
+                 warmup_batches: int = 1, hot_frac: float = 0.05) -> dict:
     """North metric: events/sec of checkpointed MERGE replay, steady state."""
     n_docs = n_docs or max(1000, n_events // 20)
     events_per_batch = n_events // n_batches
@@ -69,7 +69,7 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
         for b in range(n_batches):
             events = synth_binlog(
                 spark, events_per_batch, n_docs, events_per_batch,
-                hot_frac=0.05, partitions=cpus * 2,
+                hot_frac=hot_frac, partitions=cpus * 2,
                 start=b * events_per_batch,
             )
             t0 = time.perf_counter()
@@ -129,6 +129,20 @@ def main() -> None:
         t0 = time.perf_counter()
         replay = bench_replay(spark, n_events, n_batches,
                               warmup_batches=2 if n_batches >= 4 else 1)
+        # skew stress: 30% of all events hit ONE doc_id. The maxby dedup is
+        # an associative argmax with map-side combine, so the hot key reduces
+        # partially on every input partition before the single shuffle —
+        # throughput should stay near the uniform-ish baseline (ratio ~1).
+        skew_events = max(replay["events_per_batch"], 1) * 2
+        stress = bench_replay(spark, skew_events, 2, n_docs=replay["n_docs"],
+                              warmup_batches=1, hot_frac=0.3)
+        skew_stress = {
+            "hot_frac": 0.3,
+            "events_per_sec": stress["events_per_sec"],
+            "vs_baseline": round(
+                stress["events_per_sec"] / replay["events_per_sec"], 3),
+            "partition_skew": stress["partition_skew"],
+        }
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -138,6 +152,7 @@ def main() -> None:
             "queries": q,
             "sf": sf,
             "replay": replay,
+            "skew_stress": skew_stress,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))

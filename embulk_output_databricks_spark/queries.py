@@ -397,6 +397,20 @@ def q_cdc_lineage_stats(spark, sf_dir):
     )
 
 
+def q_cdc_kafka_roundtrip(spark, sf_dir):
+    """Kafka-wire ingestion path: events encoded as key-hash-partitioned
+    JSON frames (sources/kafka_tail.py), parsed back with a pure-JVM
+    from_json projection, then LWW-deduped. Oracle = plain LWW over the
+    same events — equality proves the wire round-trip is lossless."""
+    from .sources.kafka_tail import encode_kafka_frame, parse_change_events
+
+    ev = _events(spark, sf_dir)
+    frame = encode_kafka_frame(ev, topic="events", n_partitions=8,
+                               key_col="user_id", order_col="ts_us")
+    parsed = parse_change_events(frame, ev.schema)
+    return _lww(parsed)
+
+
 # ================================================================ Group B
 # Text analysis + dedup family over `documents` (task brief: training-data ops)
 
@@ -832,6 +846,7 @@ SPARK_QUERIES = {
     "cdc_incremental_read": q_cdc_incremental_read,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_lineage_stats": q_cdc_lineage_stats,
+    "cdc_kafka_roundtrip": q_cdc_kafka_roundtrip,
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -862,6 +877,7 @@ def _oracle_sql() -> dict[str, str]:
     charge = f"({disc}) * (1 + l_tax)"
     return {
         "cdc_lww_latest": lww,
+        "cdc_kafka_roundtrip": lww,
         "cdc_lww_maxstruct": lww,
         "cdc_lww_salted": lww,
         "cdc_lww_window": lww,

@@ -1,0 +1,164 @@
+"""Kafka-shaped change-event source.
+
+The reference consumes an Embulk page stream (DatabricksOutputPlugin.java:
+189-205); production CDC tails arrive as Kafka topics (Debezium et al.).
+This module speaks the standard Spark-Kafka *wire schema* — the exact
+columns `spark-sql-kafka-0-10` produces — so the engine's parse/dedup/apply
+path is identical whether events come from the real connector, from a
+directory tail, or from the deterministic synthesizer:
+
+    key binary, value binary, topic string, partition int,
+    offset long, timestamp timestamp, timestampType int
+
+Three pieces:
+  * encode_kafka_frame  — deterministic binlog -> wire frame (tests/bench;
+    partition = pmod(xxhash64(key), N) mirrors Kafka's default key-hash
+    partitioner, so per-key ordering within a partition holds, which is the
+    delivery guarantee real Kafka gives a CDC consumer).
+  * parse_change_events — wire frame -> typed change events, pure JVM
+    (`from_json`; no per-row Python, per the input_hint mandate).
+  * tail_kafka          — the real readStream.format("kafka") entry, gated:
+    the connector jar is not in this sandbox, so it raises
+    NotImplementedError with the exact --packages coordinate needed; the
+    foreachBatch body it WOULD run is the same fenced run_batch path as
+    tail.py, and is unit-tested through encode/parse instead.
+
+Scale notes (10^10 events): parse is a projection over the kafka scan —
+no shuffle, fully pipelined into the dedup shuffle that follows. Offset
+bookkeeping per (topic, partition) is a tiny agg (#partitions rows).
+`encode_kafka_frame`'s per-partition offset assignment uses one window
+shuffle keyed by partition id — fine for test/bench synthesis; real Kafka
+assigns offsets at append and the engine never computes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..schema import BINLOG_SCHEMA
+
+# Exactly the schema spark-sql-kafka-0-10 presents (public Spark docs,
+# structured-streaming-kafka-integration).
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+
+def encode_kafka_frame(
+    events: DataFrame,
+    topic: str = "binlog.sequences",
+    n_partitions: int = 8,
+    key_col: str = "doc_id",
+    order_col: str = "seq_lsn",
+) -> DataFrame:
+    """Deterministic binlog DF -> Kafka wire frame.
+
+    value = JSON of the full event row (Debezium-style flattened payload),
+    key = the merge key's bytes, partition = key-hash (Kafka default
+    partitioner), offset = arrival order within the partition. All JVM-side.
+    """
+    payload = F.to_json(F.struct(*[F.col(c) for c in events.columns]))
+    part = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
+    framed = events.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        part.alias("partition"),
+        F.col(order_col).alias("_order"),
+    )
+    w = Window.partitionBy("partition").orderBy("_order")
+    return framed.select(
+        "key",
+        "value",
+        "topic",
+        "partition",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("offset"),
+        F.timestamp_micros(F.col("_order")).alias("timestamp"),
+        F.lit(0).alias("timestampType"),  # 0 = CreateTime
+    )
+
+
+def parse_change_events(frame: DataFrame, schema: T.StructType = BINLOG_SCHEMA) -> DataFrame:
+    """Wire frame -> typed change events. Pure JVM `from_json` projection —
+    pipelines straight into the dedup shuffle, zero Python in the row path.
+
+    Corrupt payloads (unparseable JSON) yield a NULL struct; they are
+    surfaced, not dropped, so callers can dead-letter them (`bad_records`).
+    """
+    v = F.from_json(F.col("value").cast("string"), schema)
+    return frame.select(v.alias("_v")).select("_v.*")
+
+
+def bad_records(frame: DataFrame, schema: T.StructType = BINLOG_SCHEMA) -> DataFrame:
+    """Dead-letter slice: frames whose value fails to parse as `schema`.
+
+    from_json is PERMISSIVE: malformed JSON parses to a struct of NULLs (not
+    a NULL struct), so corruption is detected via the schema's first field —
+    which every well-formed change event carries non-null (seq_lsn in
+    BINLOG_SCHEMA)."""
+    v = F.from_json(F.col("value").cast("string"), schema)
+    probe = schema.fields[0].name
+    return frame.filter(
+        F.col("value").isNotNull() & (v.isNull() | v.getField(probe).isNull())
+    )
+
+
+def latest_offsets(frame: DataFrame) -> DataFrame:
+    """Per (topic, partition) high-water mark — the offset-commit analog the
+    checkpoint store records alongside batch lsn ranges. Tiny agg:
+    #partitions output rows, map-side combined."""
+    return frame.groupBy("topic", "partition").agg(
+        F.max("offset").alias("max_offset"), F.count(F.lit(1)).alias("events")
+    )
+
+
+def tail_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    driver,
+    stream_checkpoint_dir: str,
+    starting_offsets: str = "earliest",
+    schema: T.StructType = BINLOG_SCHEMA,
+):
+    """Real Kafka tail -> fenced replay (same contract as tail.tail_binlog_dir:
+    batch_id = epoch_id; a redelivered epoch hits the engine fence and is a
+    no-op, so exactly-once holds without Kafka transactional producers).
+
+    Gated: requires the spark-sql-kafka connector on the classpath, which
+    this sandbox does not ship.
+    """
+    try:
+        src = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # connector jar absent -> clear, actionable error
+        raise NotImplementedError(
+            "Kafka connector not on classpath; launch with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>. "
+            f"(underlying: {type(e).__name__}: {e})"
+        ) from None
+
+    def apply_epoch(frame, epoch_id: int) -> None:
+        driver.run_batch(parse_change_events(frame, schema), int(epoch_id))
+
+    return (
+        src.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", stream_checkpoint_dir)
+        .start()
+    )

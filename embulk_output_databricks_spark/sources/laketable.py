@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -191,6 +192,7 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.name = name
+        self.last_commit_s = 0.0  # snapshot-publish latency of the last _commit
 
     # ---------- snapshot resolution ----------
 
@@ -331,7 +333,12 @@ class LakeTable:
             properties={**base.properties, **(properties or {})},
             next_field_id=base.next_field_id if next_field_id is None else next_field_id,
         )
+        t0 = time.monotonic()
         self._write_manifest(m)
+        # snapshot-publish latency (metadata swap only, excludes data write);
+        # surfaced in checkpoint metrics so per-batch lineage shows how much
+        # of the apply was commit overhead vs. data-plane work.
+        self.last_commit_s = time.monotonic() - t0
         return m
 
     # ---------- load modes (SURVEY §2.B) ----------

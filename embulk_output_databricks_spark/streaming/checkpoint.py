@@ -88,7 +88,8 @@ class CheckpointStore:
     # ---- commit ----
 
     def commit(self, batch_id: int, lsn_from: int, lsn_to: int,
-               snapshot_version: int, lineage: list[dict]) -> dict:
+               snapshot_version: int, lineage: list[dict],
+               metrics: dict | None = None) -> dict:
         rec = {
             "batch_id": batch_id,
             "lsn_from": lsn_from,
@@ -98,6 +99,8 @@ class CheckpointStore:
             "status": "committed",
             "lineage": lineage,
         }
+        if metrics:
+            rec["metrics"] = metrics
         self._write(rec)
         return rec
 

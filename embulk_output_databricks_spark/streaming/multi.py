@@ -1,0 +1,104 @@
+"""Multi-table replay: one binlog fanned out to several target tables.
+
+The reference loads exactly one table per Embulk run (`transaction()` takes
+a single target, DatabricksOutputPlugin.java:166-186); a real CDC tail
+carries changes for MANY tables in one stream (one topic/WAL, a `table`
+discriminator per event — the Debezium envelope shape). This driver routes
+each batch's events to per-table ReplayDrivers, so every target keeps its
+OWN fence + checkpoint lineage:
+
+  * exactly-once is per (table, batch_id) — a crash after table A committed
+    batch k but before table B did resumes with A fenced and B applied,
+    which is the multi-table generalization of the reference's
+    "all work in intermediates, one final statement per table".
+  * tables are independent: different apply modes, merge keys, schemas, and
+    evolution plans per target are allowed.
+
+Scale notes (10^10 events): the per-table slice is a filter on the route
+column — on a binlog source partitioned (or sorted/z-ordered) by `table`
+this is partition pruning, so each target's apply scans only its own
+events. Targets are applied sequentially per batch to bound peak cluster
+memory; the per-table plans are independent, so a deployment that prefers
+latency over isolation can submit them from concurrent driver threads in
+separate Spark scheduler pools without code changes here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import ConfigError, JobConfig
+from ..schema import SEQUENCES_SCHEMA
+from ..sources.laketable import LakeCatalog
+from .replay import EvolutionOp, InjectedCrash, ReplayDriver
+
+
+class MultiTableReplayDriver:
+    def __init__(
+        self,
+        catalog: LakeCatalog,
+        configs: list[JobConfig],
+        schemas: dict[str, object] | None = None,
+        table_col: str = "table",
+    ):
+        names = [c.table for c in configs]
+        if len(set(names)) != len(names):
+            raise ConfigError(f"duplicate target tables in configs: {names}")
+        self.table_col = table_col
+        # deterministic apply order (sorted) so crash/resume points are stable
+        self.drivers: dict[str, ReplayDriver] = {
+            c.table: ReplayDriver(
+                catalog, c, (schemas or {}).get(c.table, SEQUENCES_SCHEMA)
+            )
+            for c in sorted(configs, key=lambda c: c.table)
+        }
+
+    def run_batch(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        evolution: dict[str, list[EvolutionOp]] | None = None,
+        crash_after_table: str | None = None,
+        collect_metrics: bool | str = True,
+    ) -> dict[str, dict | None]:
+        """Apply one batch to every target. Returns {table: checkpoint record
+        or None-if-fenced}. A crash mid-fan-out leaves committed targets
+        fenced; re-running the batch completes only the remainder."""
+        out: dict[str, dict | None] = {}
+        for name, drv in self.drivers.items():
+            slice_ = events.filter(F.col(self.table_col) == name).drop(self.table_col)
+            out[name] = drv.run_batch(
+                slice_,
+                batch_id,
+                evolution=(evolution or {}).get(name),
+                collect_metrics=collect_metrics,
+            )
+            if crash_after_table == name:
+                raise InjectedCrash(
+                    f"crash after table {name!r} committed batch {batch_id}"
+                )
+        return out
+
+    def replay(
+        self,
+        binlog: DataFrame,
+        batch_ids: list[int] | None = None,
+        evolution_plan: dict[int, dict[str, list[EvolutionOp]]] | None = None,
+        collect_metrics: bool | str = True,
+    ) -> list[dict[str, dict | None]]:
+        if batch_ids is None:
+            batch_ids = [
+                r["batch_id"]
+                for r in binlog.select("batch_id").distinct().orderBy("batch_id").collect()
+            ]
+        out = []
+        for b in batch_ids:
+            recs = self.run_batch(
+                binlog.filter(F.col("batch_id") == b),
+                b,
+                evolution=(evolution_plan or {}).get(b),
+                collect_metrics=collect_metrics,
+            )
+            if any(r is not None for r in recs.values()):
+                out.append(recs)
+        return out

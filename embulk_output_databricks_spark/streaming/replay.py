@@ -171,20 +171,30 @@ class ReplayDriver:
         props = {"batch_id": batch_id}
         if obs is None:
             props.update({"lsn_from": lo, "lsn_to": hi + 1, "events_in": n_in})
+        import time as _time
+
+        t_apply = _time.monotonic()
         try:
             m = apply_batch(self.table, staged, self.cfg, properties=props)
         finally:
             if self.cfg.persist_source:
                 events.unpersist()
+        apply_s = _time.monotonic() - t_apply
         if obs is not None:
             got = obs.get  # ready: the apply action executed the observed plan
             lo, hi, n_in = got["lo"], got["hi"], got["events_in"]
 
         if crash_before_checkpoint:
             raise InjectedCrash(f"crash after snapshot v{m.version}, before checkpoint")
+        metrics = {
+            "apply_s": round(apply_s, 6),
+            "snapshot_commit_s": round(self.table.last_commit_s, 6),
+        }
         if fenced:
-            return self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage)
-        return {"batch_id": batch_id, "snapshot_version": m.version, "lineage": lineage}
+            return self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage,
+                                    metrics=metrics)
+        return {"batch_id": batch_id, "snapshot_version": m.version,
+                "lineage": lineage, "metrics": metrics}
 
     def replay(self, binlog: DataFrame, batch_ids: list[int] | None = None,
                evolution_plan: dict[int, list[EvolutionOp]] | None = None,

@@ -1,0 +1,95 @@
+"""Kafka-shaped source: wire-schema fidelity, lossless JSON round-trip,
+per-key ordering under key-hash partitioning, replay equivalence, and the
+gated real-connector entry (sources/kafka_tail.py)."""
+
+import pytest
+
+from embulk_output_databricks_spark.config import JobConfig
+from embulk_output_databricks_spark.schema import BINLOG_SCHEMA
+from embulk_output_databricks_spark.sources.kafka_tail import (
+    KAFKA_WIRE_SCHEMA,
+    bad_records,
+    encode_kafka_frame,
+    latest_offsets,
+    parse_change_events,
+    tail_kafka,
+)
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+from embulk_output_databricks_spark.synth import synth_binlog
+
+
+def _key(r):
+    return (r["seq_lsn"], r["event_id"])
+
+
+def test_wire_schema_and_roundtrip(spark):
+    binlog = synth_binlog(spark, 600, 50, 200, delete_frac=0.1).cache()
+    frame = encode_kafka_frame(binlog, n_partitions=4).cache()
+    # same names+types as the spark-sql-kafka wire schema (nullability is
+    # tighter here because the synthesizer provably fills every field)
+    assert [(f.name, f.dataType) for f in frame.schema.fields] == \
+        [(f.name, f.dataType) for f in KAFKA_WIRE_SCHEMA.fields]
+    parsed = parse_change_events(frame)
+    assert parsed.schema.fieldNames() == BINLOG_SCHEMA.fieldNames()
+    # lossless: every event (incl. NULL token arrays on deletes) survives
+    want = {_key(r): r.asDict() for r in binlog.collect()}
+    got = {_key(r): r.asDict() for r in parsed.collect()}
+    assert got == want
+    binlog.unpersist()
+    frame.unpersist()
+
+
+def test_key_hash_partitioning_preserves_per_key_order(spark):
+    binlog = synth_binlog(spark, 800, 30, 400, hot_frac=0.1)
+    frame = encode_kafka_frame(binlog, n_partitions=4).cache()
+    rows = frame.select("key", "partition", "offset").collect()
+    # all events of one key land in one partition (Kafka default partitioner)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(bytes(r["key"]), set()).add(r["partition"])
+    assert all(len(parts) == 1 for parts in by_key.values())
+    # offsets are dense per partition
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+    hw = {(r["topic"], r["partition"]): r["max_offset"]
+          for r in latest_offsets(frame).collect()}
+    assert hw == {("binlog.sequences", p): len(offs) - 1
+                  for p, offs in by_part.items()}
+    frame.unpersist()
+
+
+def test_kafka_parse_replay_matches_direct_replay(spark, warehouse):
+    from tests.test_replay import python_oracle, table_state
+
+    binlog = synth_binlog(spark, 900, 60, 300, delete_frac=0.1).cache()
+    parsed = parse_change_events(encode_kafka_frame(binlog))
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/kafka"),
+                       JobConfig(mode="merge", n_buckets=4))
+    drv.replay(parsed)
+    assert table_state(drv.table) == python_oracle(
+        [r.asDict() for r in binlog.collect()])
+    binlog.unpersist()
+
+
+def test_bad_records_dead_letter(spark):
+    good = encode_kafka_frame(synth_binlog(spark, 10, 5, 10))
+    from pyspark.sql import functions as F
+
+    corrupt = good.withColumn(
+        "value",
+        F.when(F.col("offset") == 0, F.lit(b"not json")).otherwise(F.col("value")),
+    )
+    assert bad_records(corrupt).count() >= 1
+    assert bad_records(good).count() == 0
+    # parse surfaces corrupt rows as NULL doc_id rather than dropping them
+    assert parse_change_events(corrupt).filter("doc_id IS NULL").count() >= 1
+
+
+def test_tail_kafka_gated_without_connector(spark, tmp_path):
+    drv = None  # never reached: source construction fails first
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        tail_kafka(spark, "localhost:9092", "t", drv, str(tmp_path / "ck"))

@@ -1,0 +1,100 @@
+"""Multi-table replay: routing, per-table fences, crash mid-fan-out, mixed
+apply modes, per-table evolution (streaming/multi.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_databricks_spark.config import ConfigError, JobConfig
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+from embulk_output_databricks_spark.streaming.multi import MultiTableReplayDriver
+from embulk_output_databricks_spark.streaming.replay import EvolutionOp, InjectedCrash
+from embulk_output_databricks_spark.synth import synth_binlog
+from tests.test_replay import python_oracle, table_state
+
+
+def tagged_binlog(spark, n=1200, docs=80, per_batch=400):
+    """Deterministic two-table stream: route by doc hash parity."""
+    b = synth_binlog(spark, n, docs, per_batch, delete_frac=0.1)
+    return b.withColumn(
+        "table",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0, F.lit("seq_a"))
+        .otherwise(F.lit("seq_b")),
+    )
+
+
+def oracles(binlog):
+    rows = [r.asDict() for r in binlog.collect()]
+    return {
+        t: python_oracle([r for r in rows if r["table"] == t])
+        for t in ("seq_a", "seq_b")
+    }
+
+
+@pytest.fixture()
+def cat(spark, warehouse):
+    return LakeCatalog(spark, warehouse)
+
+
+def test_fan_out_matches_per_table_oracles(spark, cat):
+    binlog = tagged_binlog(spark).cache()
+    mt = MultiTableReplayDriver(
+        cat,
+        [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+         JobConfig(table="seq_b", mode="merge", n_buckets=4)],
+    )
+    recs = mt.replay(binlog)
+    assert len(recs) == 3 and all(set(r) == {"seq_a", "seq_b"} for r in recs)
+    want = oracles(binlog)
+    for t, drv in mt.drivers.items():
+        assert table_state(drv.table) == want[t]
+        # lsn contiguity is a whole-stream invariant; a per-table slice has
+        # gaps by construction — per-table the invariant is batch completeness
+        assert drv.ckpt.committed_batch_ids() == [0, 1, 2]
+    # full rerun: every (table, batch) fenced, no new snapshots anywhere
+    vs = {t: d.table.current_version() for t, d in mt.drivers.items()}
+    assert mt.replay(binlog) == []
+    assert {t: d.table.current_version() for t, d in mt.drivers.items()} == vs
+    binlog.unpersist()
+
+
+def test_crash_mid_fan_out_resumes_remaining_tables(spark, cat):
+    binlog = tagged_binlog(spark).cache()
+    cfgs = [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+            JobConfig(table="seq_b", mode="merge", n_buckets=4)]
+    mt = MultiTableReplayDriver(cat, cfgs)
+    b0 = binlog.filter("batch_id = 0")
+    # crash after seq_a committed batch 0, before seq_b saw it
+    with pytest.raises(InjectedCrash):
+        mt.run_batch(b0, 0, crash_after_table="seq_a")
+    # fresh driver (process restart): seq_a fenced, seq_b applied
+    mt2 = MultiTableReplayDriver(cat, cfgs)
+    recs = mt2.run_batch(b0, 0)
+    assert recs["seq_a"] is None and recs["seq_b"] is not None
+    mt2.replay(binlog)  # remaining batches
+    want = oracles(binlog)
+    for t, drv in mt2.drivers.items():
+        assert table_state(drv.table) == want[t]
+    binlog.unpersist()
+
+
+def test_mixed_modes_and_per_table_evolution(spark, cat):
+    binlog = tagged_binlog(spark, n=800, per_batch=400).cache()
+    mt = MultiTableReplayDriver(
+        cat,
+        [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+         JobConfig(table="seq_b", mode="insert", n_buckets=4)],
+    )
+    plan = {1: {"seq_a": [EvolutionOp("add", name="lang", type="string")]}}
+    mt.replay(binlog, evolution_plan=plan)
+    a, b = mt.drivers["seq_a"].table, mt.drivers["seq_b"].table
+    assert "lang" in a.read().columns and "lang" not in b.read().columns
+    # insert mode appends every event (bag semantics, no dedup)
+    assert b.read().count() == binlog.filter("table = 'seq_b'").count()
+    binlog.unpersist()
+
+
+def test_duplicate_targets_rejected(spark, cat):
+    with pytest.raises(ConfigError, match="duplicate"):
+        MultiTableReplayDriver(
+            cat, [JobConfig(table="t"), JobConfig(table="t")]
+        )

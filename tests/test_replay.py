@@ -110,6 +110,10 @@ def test_lineage_metrics_recorded(spark, cat):
     for rec in recs:
         assert sum(p["events_in"] for p in rec["lineage"]) == 200
         assert rec["lsn_to"] - rec["lsn_from"] == 200
+        # snapshot-commit-latency metrics ride the checkpoint record
+        assert rec["metrics"]["apply_s"] > 0
+        assert 0 < rec["metrics"]["snapshot_commit_s"] <= rec["metrics"]["apply_s"]
+        assert drv.ckpt.read(rec["batch_id"])["metrics"] == rec["metrics"]
     binlog.unpersist()
 
 
