@@ -397,6 +397,45 @@ def q_cdc_lineage_stats(spark, sf_dir):
     )
 
 
+def q_cdc_multi_table(spark, sf_dir):
+    """Multi-table fan-out (streaming/multi.py): one binlog routed to two
+    merge targets by a per-event `table` discriminator, each with its own
+    fence/checkpoint; result is the union of both final states. Routing is
+    by user parity, so per-table LWW == global LWW restricted to the slice —
+    which is exactly what the oracle computes."""
+    from .streaming.multi import MultiTableReplayDriver
+
+    binlog = _binlog_batches(spark, sf_dir, split_days=16).withColumn(
+        "table",
+        F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+    )
+    cat = _fresh_catalog(spark, "multi")
+    names = ("even", "odd")
+    mt = MultiTableReplayDriver(
+        cat,
+        [JobConfig(table=t, mode="merge", merge_keys=["user_id"], n_buckets=8)
+         for t in names],
+        schemas={t: _REPLAY_SCHEMA for t in names},
+    )
+    mt.replay(binlog, batch_ids=[0, 1])
+    parts = [
+        mt.drivers[t].table.read().withColumn("tbl", F.lit(t)) for t in names
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+_SQL_MULTI_TABLE = """
+SELECT user_id, ts_us AS seq_lsn, event_type, value, props,
+       CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tbl
+FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q_cdc_kafka_roundtrip(spark, sf_dir):
     """Kafka-wire ingestion path: events encoded as key-hash-partitioned
     JSON frames (sources/kafka_tail.py), parsed back with a pure-JVM
@@ -847,6 +886,7 @@ SPARK_QUERIES = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_kafka_roundtrip": q_cdc_kafka_roundtrip,
+    "cdc_multi_table": q_cdc_multi_table,
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -878,6 +918,7 @@ def _oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_latest": lww,
         "cdc_kafka_roundtrip": lww,
+        "cdc_multi_table": _SQL_MULTI_TABLE,
         "cdc_lww_maxstruct": lww,
         "cdc_lww_salted": lww,
         "cdc_lww_window": lww,
