@@ -450,6 +450,78 @@ def q_cdc_kafka_roundtrip(spark, sf_dir):
     return _lww(parsed)
 
 
+def q_cdc_tsv_ingest(spark, sf_dir):
+    """Staged-TSV leg (ref B1/A4): events written in the reference's exact
+    TSV dialect (\\N nulls, tab, quoted empty), scanned back as raw _cN
+    strings, then the COPY projection casts/renames positionally — with
+    CLOB / DOUBLE PRECISION exercising the type-name normalization
+    (DatabricksOutputConnection.java:251-262). Oracle reads the parquet
+    directly: equality proves the staging round-trip is lossless."""
+    from .sources.tsv_ingest import copy_cast, read_staged_tsv, write_staged_tsv
+
+    ev = _events(spark, sf_dir)  # user_id, ts_us, event_id, event_type, value, props
+    path = f"{WORK_ROOT}/tsv/{uuid.uuid4().hex}"
+    write_staged_tsv(ev, path)
+    raw = read_staged_tsv(spark, path, n_cols=len(ev.columns))
+    return copy_cast(raw, [
+        ("user_id", "BIGINT"),
+        ("ts_us", "BIGINT"),
+        ("event_id", "BIGINT"),
+        ("event_type", "CLOB"),
+        ("value", "DOUBLE PRECISION"),
+        ("props", "VARCHAR"),
+    ])
+
+
+_SQL_TSV_INGEST = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value, props
+FROM events
+"""
+
+
+def q_cdc_value_types(spark, sf_dir):
+    """value_type conversion matrix (ref README.md:42, matrix test
+    TestDatabricksOutputPluginByOutputValueType.java:11-34): one column per
+    intermediate representation — integral truncation, tinyint, boolean,
+    float32, decimal(38,9), date, clock-time text, and the ruby-strftime
+    default timestamp format, plus the Asia/Tokyo zone shift (the UTC->JST
+    day-rollover semantics of TestDatabricksOutputPluginByOutputType.java:
+    79-83; JST has no DST, so the oracle shifts a constant +9h)."""
+    from .functions.typemap import coerce_value, format_timestamp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        coerce_value(F.col("event_id"), "pass").alias("event_id"),
+        coerce_value(F.col("value"), "long").alias("v_long"),
+        coerce_value(F.pmod(F.col("user_id"), F.lit(100)), "byte").alias("v_byte"),
+        coerce_value(F.pmod(F.col("user_id"), F.lit(2)), "boolean").alias("v_bool"),
+        coerce_value(F.col("value"), "float").alias("v_float"),
+        coerce_value(F.col("value"), "decimal").cast("string").alias("v_decimal"),
+        coerce_value(ts, "date").cast("string").alias("v_date"),
+        coerce_value(ts, "time").alias("v_time"),
+        coerce_value(ts, "timestamp").alias("v_ts"),
+        format_timestamp(ts, timezone="Asia/Tokyo").alias("v_ts_tokyo"),
+        coerce_value(F.col("props"), "null").cast("string").alias("v_null"),
+    )
+
+
+_SQL_VALUE_TYPES = """
+SELECT event_id,
+       CAST(trunc(value) AS BIGINT)                          AS v_long,
+       CAST(user_id % 100 AS TINYINT)                        AS v_byte,
+       CAST(user_id % 2 AS BOOLEAN)                          AS v_bool,
+       CAST(value AS REAL)                                   AS v_float,
+       CAST(CAST(value AS DECIMAL(38,9)) AS VARCHAR)         AS v_decimal,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d')                AS v_date,
+       strftime(ts, '%H:%M:%S.%f')                           AS v_time,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f')                  AS v_ts,
+       strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS v_ts_tokyo,
+       CAST(NULL AS VARCHAR)                                 AS v_null
+FROM events
+"""
+
+
 # ================================================================ Group B
 # Text analysis + dedup family over `documents` (task brief: training-data ops)
 
@@ -887,6 +959,8 @@ SPARK_QUERIES = {
     "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_kafka_roundtrip": q_cdc_kafka_roundtrip,
     "cdc_multi_table": q_cdc_multi_table,
+    "cdc_tsv_ingest": q_cdc_tsv_ingest,
+    "cdc_value_types": q_cdc_value_types,
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -919,6 +993,8 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": lww,
         "cdc_kafka_roundtrip": lww,
         "cdc_multi_table": _SQL_MULTI_TABLE,
+        "cdc_tsv_ingest": _SQL_TSV_INGEST,
+        "cdc_value_types": _SQL_VALUE_TYPES,
         "cdc_lww_maxstruct": lww,
         "cdc_lww_salted": lww,
         "cdc_lww_window": lww,
