@@ -65,6 +65,12 @@ class JobConfig:
     n_buckets: int = 16          # target-table bucket count; scale with data
     dedup_salt: int = 8          # salt fan-out for skewed LWW dedup
     dedup_strategy: str = "maxby"  # maxby | maxstruct | salted | window
+    merge_strategy: str = "cow"   # cow (copy-on-write, the north-rule default)
+                                  # | mor (merge-on-read: O(batch) delta
+                                  #   appends, read-side resolution — the
+                                  #   write-heavy/frequent-batch extension)
+    mor_compact_every: int = 0    # mor only: fold deltas into base every N
+                                  # batches (0 = manual compact_deltas())
     persist_source: bool = False  # cache batch events across lineage+dedup
                                   # passes (worth it only when the source is
                                   # expensive to rescan; a seeded synth or a
@@ -94,6 +100,14 @@ class JobConfig:
                 raise ConfigError(f"column_types[{col!r}]: unsupported type {typ!r}")
         if self.dedup_strategy not in ("maxby", "maxstruct", "salted", "window"):
             raise ConfigError(f"unknown dedup_strategy {self.dedup_strategy!r}")
+        if self.merge_strategy not in ("cow", "mor"):
+            raise ConfigError(f"unknown merge_strategy {self.merge_strategy!r}")
+        if self.merge_strategy == "mor" and self.merge_rules:
+            # a merge_rule reads T.col at write time — exactly the target
+            # scan merge-on-read avoids; rules require copy-on-write
+            raise ConfigError("merge_rules require merge_strategy='cow'")
+        if self.mor_compact_every < 0:
+            raise ConfigError("mor_compact_every must be >= 0")
         if self.n_buckets < 1 or self.dedup_salt < 1:
             raise ConfigError("n_buckets and dedup_salt must be >= 1")
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 
 from ..config import ApplyMode, JobConfig
 from ..sources.laketable import LakeCatalog, LakeTable, Manifest
-from .merge import merge_apply
+from .merge import merge_apply, merge_apply_mor
 
 
 def _run_hook(table: LakeTable, sql: str | None) -> None:
@@ -66,14 +66,23 @@ def apply_batch(
         drop = [c for c in staged.columns if c == "op"]
         m = table.replace(staged.drop(*drop), properties=properties)
     elif mode is ApplyMode.MERGE:
-        m = merge_apply(
-            table,
-            staged,
-            keys=cfg.merge_keys,
-            merge_rules=cfg.merge_rules,
-            support_deletes=cfg.support_deletes,
-            properties=properties,
-        )
+        if cfg.merge_strategy == "mor":
+            m = merge_apply_mor(
+                table,
+                staged,
+                keys=cfg.merge_keys,
+                support_deletes=cfg.support_deletes,
+                properties=properties,
+            )
+        else:
+            m = merge_apply(
+                table,
+                staged,
+                keys=cfg.merge_keys,
+                merge_rules=cfg.merge_rules,
+                support_deletes=cfg.support_deletes,
+                properties=properties,
+            )
     else:  # pragma: no cover
         raise ValueError(f"unhandled mode {mode}")
     _run_hook(table, cfg.after_load)

@@ -36,6 +36,32 @@ _T_HIT = "__t_present"
 _S_HIT = "__s_present"
 
 
+def merge_apply_mor(
+    table: LakeTable,
+    staged: DataFrame,
+    keys: list[str],
+    support_deletes: bool = True,
+    properties: dict | None = None,
+) -> Manifest:
+    """Merge-on-read MERGE: the deduped batch is appended as delta files
+    (LakeTable.append_delta) instead of joining + rewriting target buckets —
+    write cost O(batch) regardless of table size; read() resolves per-key
+    winners. Same final-state semantics as merge_apply for upserts/deletes;
+    merge_rules are NOT supported (a rule reads T.col at write time, which
+    is exactly the target scan MOR exists to avoid — use copy-on-write)."""
+    m = table.manifest()
+    payload = [f["name"] for f in m.schema_version.fields]
+    missing = [k for k in keys if k not in payload]
+    if missing:
+        raise ValueError(f"merge keys not in table schema: {missing}")
+    has_op = OP_COL in staged.columns
+    op = (F.col(OP_COL) if (has_op and support_deletes) else F.lit("U"))
+    df = staged.select(*payload, op.alias("__op"))
+    props = dict(properties or {})
+    props.setdefault("operation", "merge-mor")
+    return table.append_delta(df, merge_keys=keys, properties=props)
+
+
 def merge_apply(
     table: LakeTable,
     staged: DataFrame,

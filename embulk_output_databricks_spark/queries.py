@@ -207,6 +207,25 @@ def q_cdc_merge_delete(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_merge_mor(spark, sf_dir):
+    """Merge-on-read strategy: the staged batch (upserts + deletes) lands as
+    delta files — no bucket rewrite — and read() resolves per-key winners
+    by commit sequence. Same semantics as the copy-on-write delete merge,
+    same oracle."""
+    from .plans.merge import merge_apply_mor
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "merge_mor")
+    tbl.append(_lww(t_half))
+    s_half = s_half.withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    staged = _lww(s_half, extra=["op"])
+    merge_apply_mor(tbl, staged, keys=["user_id"], support_deletes=True)
+    assert tbl.delta_file_count() > 0  # proves no copy-on-write happened
+    return tbl.read()
+
+
 def q_cdc_apply_insert(spark, sf_dir):
     """B2/B3: bag-semantics staged append (UNION ALL fold)."""
     t_half, s_half = _halves(spark, sf_dir)
@@ -948,6 +967,7 @@ SPARK_QUERIES = {
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "cdc_merge_rules": q_cdc_merge_rules,
     "cdc_merge_delete": q_cdc_merge_delete,
+    "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
@@ -1001,6 +1021,10 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_merge_upsert": _sql_merge(_UPSERT_COLS),
         "cdc_merge_rules": _sql_merge(_RULES_COLS),
         "cdc_merge_delete": _sql_merge(
+            _UPSERT_COLS,
+            where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",
+        ),
+        "cdc_merge_mor": _sql_merge(
             _UPSERT_COLS,
             where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",
         ),

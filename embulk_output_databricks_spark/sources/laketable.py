@@ -49,6 +49,12 @@ from pyspark.sql import types as T
 
 _BUCKET_COL = "__bucket"
 
+# MOR delta-file envelope: commit sequence (the snapshot version that added
+# the delta — strictly increasing, so later deltas win) + the row operation.
+_DSEQ_COL = "__dseq"
+_DOP_COL = "__op"
+_DELTA_FIELDS = [(_DSEQ_COL, "bigint"), (_DOP_COL, "string")]
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the same version first."""
@@ -226,12 +232,36 @@ class LakeTable:
         """Current-schema DataFrame over the snapshot, projecting old-schema
         files by field id (rename/widen/add are resolved here, zero rewrite).
         `buckets` prunes the file list before any IO — the merge fast path.
+
+        If the snapshot holds merge-on-read delta files (append_delta), the
+        read resolves them: per merge key the highest-__dseq row wins (base
+        rows rank 0), and a winning delete drops the key. Bucket pruning
+        stays exact because base and delta files share the bucket function.
         """
         m = self.manifest(version)
         files = m.files
         if buckets is not None:
             files = [f for f in files if f["bucket"] in buckets]
-        return self._df_for_files(m, files)
+        deltas = [f for f in files if f.get("kind") == "delta"]
+        if not deltas:
+            return self._df_for_files(m, files)
+        from ..operators.lww import lww_dedup  # lazy: avoids module cycle
+
+        keys = [k for k in (m.properties.get("merge_keys") or "").split(",") if k]
+        if not keys:
+            raise ValueError(
+                f"{self.name}: delta files present but no merge_keys property"
+            )
+        base = (
+            self._df_for_files(m, [f for f in files if f.get("kind") != "delta"])
+            .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
+            .withColumn(_DOP_COL, F.lit("U"))
+        )
+        delta = self._df_for_files(m, deltas, extra_fields=_DELTA_FIELDS)
+        winners = lww_dedup(
+            base.unionByName(delta), keys=keys, order=[_DSEQ_COL], strategy="maxby"
+        )
+        return winners.filter(F.col(_DOP_COL) != "D").drop(_DSEQ_COL, _DOP_COL)
 
     def added_rows(self, since_version: int, version: int | None = None) -> DataFrame:
         """Incremental read (Iceberg incremental-scan analog): rows in data
@@ -245,10 +275,19 @@ class LakeTable:
         m = self.manifest(version)
         return self._df_for_files(m, [f for f in m.files if f["path"] not in old])
 
-    def _df_for_files(self, m: Manifest, files: list[dict]) -> DataFrame:
+    def _df_for_files(self, m: Manifest, files: list[dict],
+                      extra_fields: list[tuple[str, str]] | None = None) -> DataFrame:
+        """Current-schema DF over `files`; `extra_fields` (name, type) are
+        physical columns beyond the schema version (the MOR delta envelope),
+        read and passed through verbatim."""
         cur = m.schema_version
+        extra = extra_fields or []
         if not files:
-            return self.spark.createDataFrame([], m.schema())
+            schema = T.StructType(
+                m.schema().fields
+                + [T.StructField(n, _type_of(t)) for n, t in extra]
+            )
+            return self.spark.createDataFrame([], schema)
         by_sv: dict[int, list[str]] = {}
         for f in files:
             by_sv.setdefault(f["sv"], []).append(os.path.join(self.root, f["path"]))
@@ -256,7 +295,11 @@ class LakeTable:
         parts = []
         for sv, paths in sorted(by_sv.items()):
             phys = svs[sv]
-            df = self.spark.read.schema(phys.struct()).parquet(*paths)
+            read_schema = T.StructType(
+                phys.struct().fields
+                + [T.StructField(n, _type_of(t)) for n, t in extra]
+            )
+            df = self.spark.read.schema(read_schema).parquet(*paths)
             phys_by_id = phys.by_id()
             cols = []
             for cf in cur.fields:
@@ -265,6 +308,7 @@ class LakeTable:
                     cols.append(F.lit(None).cast(cf["type"]).alias(cf["name"]))
                 else:  # rename/widen resolved by id
                     cols.append(F.col(pf["name"]).cast(cf["type"]).alias(cf["name"]))
+            cols += [F.col(n) for n, _t in extra]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -276,15 +320,18 @@ class LakeTable:
 
     # ---------- write primitives ----------
 
-    def _write_data_files(self, df: DataFrame, m: Manifest) -> list[dict]:
+    def _write_data_files(self, df: DataFrame, m: Manifest,
+                          extra_fields: list[tuple[str, str]] | None = None) -> list[dict]:
         """Write df (current schema) as new immutable data files; returns file
         entries. If the table is bucketed, rows are routed to one file set per
-        bucket via partitionBy so bucket pruning stays exact.
+        bucket via partitionBy so bucket pruning stays exact. `extra_fields`
+        are physical columns written beyond the schema (MOR delta envelope).
         """
         import pyarrow.parquet as pq
 
         cur = m.schema()
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
+        cols += [F.col(n).cast(t).alias(n) for n, t in extra_fields or []]
         df = df.select(*cols)
         tmp = os.path.join(self.root, f"data/.tmp-{uuid.uuid4().hex}")
         if m.bucket_key:
@@ -380,6 +427,57 @@ class LakeTable:
                                 next_field_id=base.next_field_id + len(fields))
         new = self._write_data_files(df, base)
         return self._commit(base, new, properties)
+
+    def append_delta(self, df: DataFrame, merge_keys: list[str],
+                     properties: dict | None = None) -> Manifest:
+        """Merge-on-read write path (Iceberg v2 row-level-delta analog; the
+        copy-on-write alternative for write-heavy CDC): the staged batch —
+        payload columns plus an optional `__op` I/U/D — is APPENDED as
+        bucket-partitioned delta files instead of rewriting target buckets.
+        read() resolves deltas per merge key (highest commit sequence wins,
+        winning 'D' drops the key); compact_deltas() folds them into base.
+
+        Write cost per batch is O(batch) regardless of table size — the
+        10^10-event lever when batches are frequent and the table is wide.
+        Read cost grows with outstanding delta files, so deployments pair
+        this with periodic compaction (JobConfig.mor_compact_every).
+
+        Intended for merge-managed tables: rows in BASE files must be unique
+        per merge key (bag-append rows would be deduped arbitrarily).
+        """
+        if not merge_keys:
+            raise ValueError("append_delta requires merge_keys")
+        base = self.manifest()
+        prev = base.properties.get("merge_keys")
+        if prev and prev != ",".join(merge_keys):
+            raise ValueError(
+                f"{self.name}: merge_keys {merge_keys} != table's {prev!r}")
+        df = df.withColumn(_DSEQ_COL, F.lit(base.version + 1).cast("bigint"))
+        if _DOP_COL not in df.columns:
+            df = df.withColumn(_DOP_COL, F.lit("U"))
+        new = self._write_data_files(df, base, extra_fields=_DELTA_FIELDS)
+        for e in new:
+            e["kind"] = "delta"
+        props = {"merge_keys": ",".join(merge_keys), **(properties or {})}
+        return self._commit(base, base.files + new, props)
+
+    def compact_deltas(self, properties: dict | None = None) -> Manifest | None:
+        """Fold every outstanding delta into base files (one atomic snapshot):
+        buckets holding deltas are resolved via read() and rewritten; other
+        buckets are untouched. Returns None when there is nothing to fold."""
+        base = self.manifest()
+        victims = {f["bucket"] for f in base.files if f.get("kind") == "delta"}
+        if not victims:
+            return None
+        df = self.read(buckets=victims)
+        keep = [f for f in base.files if f["bucket"] not in victims]
+        new = self._write_data_files(df, base)
+        props = dict(properties or {})
+        props.setdefault("operation", "compact_deltas")
+        return self._commit(base, keep + new, props)
+
+    def delta_file_count(self) -> int:
+        return sum(1 for f in self.manifest().files if f.get("kind") == "delta")
 
     def replace_files(self, remove_buckets: set[int], add_df: DataFrame,
                       properties: dict | None = None) -> Manifest:

@@ -186,6 +186,14 @@ class ReplayDriver:
 
         if crash_before_checkpoint:
             raise InjectedCrash(f"crash after snapshot v{m.version}, before checkpoint")
+        # MOR housekeeping: fold deltas into base every N batches. Runs
+        # before the checkpoint write, which is crash-safe: snapshot
+        # properties are inherited across commits, so reconciliation still
+        # sees this batch_id on the compaction snapshot.
+        ce = self.cfg.mor_compact_every
+        if (self.cfg.merge_strategy == "mor" and ce > 0
+                and (batch_id + 1) % ce == 0):
+            self.table.compact_deltas()
         metrics = {
             "apply_s": round(apply_s, 6),
             "snapshot_commit_s": round(self.table.last_commit_s, 6),

@@ -1,0 +1,99 @@
+"""Merge-on-read (MOR) apply strategy: delta appends + read-side resolution
++ compaction (sources/laketable.py append_delta/compact_deltas,
+plans/merge.py merge_apply_mor). Final-state semantics must be identical to
+copy-on-write, which is itself pinned to the python oracle."""
+
+import pytest
+
+from embulk_output_databricks_spark.config import ConfigError, JobConfig
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+from embulk_output_databricks_spark.streaming.replay import EvolutionOp, InjectedCrash
+from embulk_output_databricks_spark.synth import synth_binlog
+from tests.test_replay import python_oracle, table_state
+
+
+def _cfg(**kw):
+    kw.setdefault("mode", "merge")
+    kw.setdefault("merge_strategy", "mor")
+    kw.setdefault("n_buckets", 4)
+    return JobConfig(**kw)
+
+
+def test_mor_matches_oracle_and_cow(spark, warehouse):
+    binlog = synth_binlog(spark, 1500, 100, 500, hot_frac=0.1, delete_frac=0.1).cache()
+    oracle = python_oracle([r.asDict() for r in binlog.collect()])
+    mor = ReplayDriver(LakeCatalog(spark, f"{warehouse}/mor"), _cfg())
+    mor.replay(binlog)
+    assert mor.table.delta_file_count() > 0  # appends, no bucket rewrites
+    assert table_state(mor.table) == oracle
+    cow = ReplayDriver(LakeCatalog(spark, f"{warehouse}/cow"),
+                       _cfg(merge_strategy="cow"))
+    cow.replay(binlog)
+    assert table_state(cow.table) == table_state(mor.table)
+    binlog.unpersist()
+
+
+def test_mor_compaction_preserves_state(spark, warehouse):
+    binlog = synth_binlog(spark, 900, 60, 300, delete_frac=0.1).cache()
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/c"), _cfg())
+    drv.replay(binlog)
+    before = table_state(drv.table)
+    assert drv.table.compact_deltas() is not None
+    assert drv.table.delta_file_count() == 0
+    assert table_state(drv.table) == before
+    assert drv.table.compact_deltas() is None  # nothing left to fold
+    # deltas continue to work on top of the compacted base
+    more = synth_binlog(spark, 300, 60, 300, start=900)
+    drv.run_batch(more, 3)
+    oracle = python_oracle(
+        [r.asDict() for r in binlog.collect()] + [r.asDict() for r in more.collect()])
+    assert table_state(drv.table) == oracle
+    binlog.unpersist()
+
+
+def test_mor_auto_compact_every(spark, warehouse):
+    binlog = synth_binlog(spark, 1200, 80, 300, delete_frac=0.05).cache()
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/a"),
+                       _cfg(mor_compact_every=2))
+    drv.replay(binlog)  # 4 batches -> compactions after batch 1 and 3
+    assert drv.table.delta_file_count() == 0
+    assert table_state(drv.table) == python_oracle(
+        [r.asDict() for r in binlog.collect()])
+    binlog.unpersist()
+
+
+def test_mor_fence_and_crash_reconcile(spark, warehouse):
+    binlog = synth_binlog(spark, 600, 40, 300).cache()
+    cat = LakeCatalog(spark, f"{warehouse}/f")
+    drv = ReplayDriver(cat, _cfg())
+    drv.run_batch(binlog.filter("batch_id = 0"), 0)
+    with pytest.raises(InjectedCrash):
+        drv.run_batch(binlog.filter("batch_id = 1"), 1, crash_before_checkpoint=True)
+    drv2 = ReplayDriver(cat, _cfg())  # restart: reconcile from snapshot props
+    assert drv2.ckpt.is_committed(1) and drv2.ckpt.read(1).get("recovered")
+    assert drv2.replay(binlog) == []  # everything fenced
+    assert table_state(drv2.table) == python_oracle(
+        [r.asDict() for r in binlog.collect()])
+    binlog.unpersist()
+
+
+def test_mor_schema_evolution_mid_replay(spark, warehouse):
+    binlog = synth_binlog(spark, 600, 50, 200, delete_frac=0.0).cache()
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/e"), _cfg())
+    plan = {1: [EvolutionOp("add", name="lang", type="string")],
+            2: [EvolutionOp("rename", old="source", new="origin")]}
+    drv.replay(binlog, evolution_plan=plan)
+    df = drv.table.read()
+    assert "lang" in df.columns and "origin" in df.columns
+    oracle = python_oracle([r.asDict() for r in binlog.collect()])
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["origin"])
+           for r in df.collect()}
+    assert got == oracle
+    binlog.unpersist()
+
+
+def test_mor_rejects_merge_rules(spark):
+    with pytest.raises(ConfigError, match="merge_rules"):
+        JobConfig(mode="merge", merge_strategy="mor",
+                  merge_rules={"value": "T.value + S.value"})
