@@ -455,6 +455,52 @@ FROM (
 """
 
 
+def q_cdc_stateful_stream(spark, sf_dir):
+    """True-streaming stateful LWW (streaming/stateful.py,
+    applyInPandasWithState): events streamed file-by-file through the
+    per-key state-store operator; the emitted upsert changelog's winners
+    must equal batch LWW. event_id is zero-padded so the stream's string
+    tie-break matches the oracle's numeric one."""
+    from .schema import BINLOG_SCHEMA
+    from .streaming.stateful import CHANGELOG_SCHEMA, streaming_lww_changelog
+
+    base = f"{WORK_ROOT}/stateful/{uuid.uuid4().hex}"
+    binlog = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("ts_us").alias("seq_lsn"),
+        F.lit(0).cast("long").alias("batch_id"),
+        F.lit("U").alias("op"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.format_string("%020d", F.col("event_id")).alias("event_id"),
+    )
+    # 4 files / 2 per trigger -> 2 micro-batches: cross-batch state exercised
+    # without paying stateful-trigger overhead 4x
+    binlog.repartition(4).write.parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(BINLOG_SCHEMA)
+        .option("maxFilesPerTrigger", 2).parquet(f"{base}/src")
+    )
+    q = (
+        streaming_lww_changelog(stream)
+        .writeStream
+        .foreachBatch(lambda df, _e: df.write.mode("append").parquet(f"{base}/out"))
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.schema(CHANGELOG_SCHEMA).parquet(f"{base}/out")
+    win = lww_dedup(out, keys=["doc_id"], order=["seq_lsn", "event_id"])
+    return win.select(
+        F.col("doc_id").cast("bigint").alias("user_id"),
+        F.col("seq_lsn").alias("ts_us"),
+        F.col("source").alias("event_type"),
+    )
+
+
 def q_cdc_kafka_roundtrip(spark, sf_dir):
     """Kafka-wire ingestion path: events encoded as key-hash-partitioned
     JSON frames (sources/kafka_tail.py), parsed back with a pure-JVM
@@ -979,6 +1025,7 @@ SPARK_QUERIES = {
     "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_kafka_roundtrip": q_cdc_kafka_roundtrip,
     "cdc_multi_table": q_cdc_multi_table,
+    "cdc_stateful_stream": q_cdc_stateful_stream,
     "cdc_tsv_ingest": q_cdc_tsv_ingest,
     "cdc_value_types": q_cdc_value_types,
     "text_profile": q_text_profile,
@@ -1013,6 +1060,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": lww,
         "cdc_kafka_roundtrip": lww,
         "cdc_multi_table": _SQL_MULTI_TABLE,
+        "cdc_stateful_stream": f"SELECT user_id, ts_us, event_type FROM {_sql_lww()}",
         "cdc_tsv_ingest": _SQL_TSV_INGEST,
         "cdc_value_types": _SQL_VALUE_TYPES,
         "cdc_lww_maxstruct": lww,
