@@ -226,6 +226,46 @@ def q_cdc_merge_mor(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_nonascii_merge(spark, sf_dir):
+    """Non-ASCII identifiers end-to-end (ref TestDatabricksOutputPluginByNonAscii
+    .java:29-114, merge rules over non-ASCII columns at :123-131): a target
+    whose payload columns are Japanese, merged with a rule referencing them
+    via backticks; the oracle uses DuckDB double-quoted unicode identifiers."""
+    t_half, s_half = _halves(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("値", T.DoubleType()),      # "value"
+        T.StructField("種別", T.StringType()),    # "kind"
+    ])
+    tbl = _new_table(spark, "nonascii", schema=schema)
+
+    def shape(df):
+        return df.select("user_id", F.col("value").alias("値"),
+                         F.col("event_type").alias("種別"))
+
+    tbl.append(shape(_lww(t_half)))
+    merge_apply(tbl, shape(_lww(s_half)), keys=["user_id"],
+                merge_rules={"値": "T.`値` + S.`値`",
+                             "種別": "concat(T.`種別`, '→', S.`種別`)"})
+    return tbl.read()
+
+
+_SQL_NONASCII = f"""
+WITH t AS (SELECT user_id, value AS "値", event_type AS "種別"
+           FROM {_sql_lww("event_id % 2 = 0")}),
+     s AS (SELECT user_id, value AS "値", event_type AS "種別"
+           FROM {_sql_lww("event_id % 2 = 1")})
+SELECT coalesce(s.user_id, t.user_id) AS user_id,
+       CASE WHEN s.user_id IS NOT NULL AND t.user_id IS NOT NULL
+            THEN t."値" + s."値"
+            WHEN s.user_id IS NOT NULL THEN s."値" ELSE t."値" END AS "値",
+       CASE WHEN s.user_id IS NOT NULL AND t.user_id IS NOT NULL
+            THEN t."種別" || '→' || s."種別"
+            WHEN s.user_id IS NOT NULL THEN s."種別" ELSE t."種別" END AS "種別"
+FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+"""
+
+
 def q_cdc_apply_insert(spark, sf_dir):
     """B2/B3: bag-semantics staged append (UNION ALL fold)."""
     t_half, s_half = _halves(spark, sf_dir)
@@ -1014,6 +1054,7 @@ SPARK_QUERIES = {
     "cdc_merge_rules": q_cdc_merge_rules,
     "cdc_merge_delete": q_cdc_merge_delete,
     "cdc_merge_mor": q_cdc_merge_mor,
+    "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
@@ -1076,6 +1117,7 @@ def _oracle_sql() -> dict[str, str]:
             _UPSERT_COLS,
             where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",
         ),
+        "cdc_nonascii_merge": _SQL_NONASCII,
         "cdc_apply_insert": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),

@@ -36,8 +36,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--batches", type=int, default=5)
     p.add_argument("--warmup-batches", type=int, default=1)
     p.add_argument("--n-buckets", type=int, default=32)
-    p.add_argument("--dedup-strategy", default="maxstruct",
-                   choices=["maxstruct", "salted", "window"])
+    p.add_argument("--dedup-strategy", default="maxby",
+                   choices=["maxby", "maxstruct", "salted", "window"])
+    p.add_argument("--merge-strategy", default="cow", choices=["cow", "mor"],
+                   help="cow: copy-on-write bucket rewrite (read-optimized); "
+                        "mor: merge-on-read delta appends (write-optimized)")
+    p.add_argument("--mor-compact-every", type=int, default=0,
+                   help="mor only: fold deltas into base every N batches")
     p.add_argument("--hot-frac", type=float, default=0.05)
     p.add_argument("--partitions", type=int, default=0, help="binlog partitions; 0 -> default")
     p.add_argument("--seed", type=int, default=42)
@@ -61,7 +66,9 @@ def main(argv: list[str] | None = None) -> None:
     cat = LakeCatalog(spark, args.warehouse)
     cfg = JobConfig(table=args.table, mode=args.mode,
                     merge_keys=args.merge_keys.split(","),
-                    n_buckets=args.n_buckets, dedup_strategy=args.dedup_strategy)
+                    n_buckets=args.n_buckets, dedup_strategy=args.dedup_strategy,
+                    merge_strategy=args.merge_strategy,
+                    mor_compact_every=args.mor_compact_every)
     driver = ReplayDriver(cat, cfg)
 
     per_batch, lineage_totals = [], []
@@ -95,7 +102,9 @@ def main(argv: list[str] | None = None) -> None:
         "batch_sec": per_batch,
         "timed_sec": round(total, 3),
         "events_per_sec": round(events_per_batch * len(timed) / total, 1),
-        "final_rows": driver.table.row_count(),
+        "final_rows": (driver.table.read().count()
+                       if args.merge_strategy == "mor"
+                       else driver.table.row_count()),
         "lineage_events_in": lineage_totals,
         "checkpoints": driver.ckpt.committed_batch_ids(),
     }
