@@ -92,6 +92,39 @@ class TestPlanQuality:
         plan = _plan(df)
         assert "codegen id" in plan, plan
 
+    def test_kafka_parse_is_shuffle_free_projection(self, spark):
+        """Wire-frame parse must pipeline into whatever follows: a pure
+        from_json projection — zero exchanges, zero Python."""
+        from embulk_output_databricks_spark.sources.kafka_tail import (
+            encode_kafka_frame, parse_change_events)
+        from embulk_output_databricks_spark.synth import synth_binlog
+
+        frame = encode_kafka_frame(synth_binlog(spark, 100, 10, 100))
+        # plan of parse applied to a materialized frame (parquet round-trip
+        # stands in for the kafka scan)
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            frame.write.parquet(f"{d}/f")
+            parsed = parse_change_events(spark.read.parquet(f"{d}/f"))
+            plan = _plan(parsed)
+            assert "Exchange" not in plan, plan
+            assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+    def test_mor_read_resolution_single_shuffle(self, spark, tmp_path):
+        """MOR read = base∪delta -> one maxby shuffle with map-side combine;
+        a second exchange would mean the resolution re-shuffles the union."""
+        from embulk_output_databricks_spark.config import JobConfig
+        from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+        from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+        from embulk_output_databricks_spark.synth import synth_binlog
+
+        drv = ReplayDriver(LakeCatalog(spark, str(tmp_path / "wh")),
+                           JobConfig(mode="merge", merge_strategy="mor", n_buckets=4))
+        drv.replay(synth_binlog(spark, 400, 30, 200))
+        plan = _plan(drv.table.read())
+        assert "partial_max_by" in plan, plan
+        assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+
 
 class TestNoPerRowPython:
     """North-rule audit: the engine package must not use per-row Python.
