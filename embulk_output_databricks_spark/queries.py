@@ -170,6 +170,46 @@ _UPSERT_COLS = """
 """
 
 
+def q_cdc_merge_composite(spark, sf_dir):
+    """B7/S7: composite merge keys — (user_id, event_type) both must match;
+    a row agreeing on only one component inserts instead of updating
+    (ref TestDatabricksOutputPluginByMode.java:104-110)."""
+    keys = ["user_id", "event_type"]
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "merge_composite")
+
+    def lww2(df):
+        return lww_dedup(df, keys=keys, order=["ts_us", "event_id"]).select(*_STATE_COLS)
+
+    tbl.append(lww2(t_half))
+    merge_apply(tbl, lww2(s_half), keys=keys)
+    return tbl.read()
+
+
+def _sql_lww_composite(where: str) -> str:
+    return f"""(
+      SELECT user_id, ts_us, event_type, value, props FROM (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value, props,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE {where}
+      ) WHERE rn = 1
+    )"""
+
+
+_SQL_MERGE_COMPOSITE = f"""
+WITH t AS (SELECT * FROM {_sql_lww_composite("event_id % 2 = 0")}),
+     s AS (SELECT * FROM {_sql_lww_composite("event_id % 2 = 1")})
+SELECT coalesce(s.user_id, t.user_id) AS user_id,
+       CASE WHEN s.user_id IS NOT NULL THEN s.ts_us ELSE t.ts_us END AS ts_us,
+       coalesce(s.event_type, t.event_type) AS event_type,
+       CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+       CASE WHEN s.user_id IS NOT NULL THEN s.props ELSE t.props END AS props
+FROM t FULL OUTER JOIN s
+  ON t.user_id = s.user_id AND t.event_type = s.event_type
+"""
+
+
 def q_cdc_merge_rules(spark, sf_dir):
     """B8: per-column merge_rule expressions referencing T./S. verbatim
     (ref TestDatabricksOutputPluginByMode.java:115,124)."""
@@ -1051,6 +1091,7 @@ SPARK_QUERIES = {
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_lww_window": q_cdc_lww_window,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "cdc_merge_composite": q_cdc_merge_composite,
     "cdc_merge_rules": q_cdc_merge_rules,
     "cdc_merge_delete": q_cdc_merge_delete,
     "cdc_merge_mor": q_cdc_merge_mor,
@@ -1108,6 +1149,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": lww,
         "cdc_lww_window": lww,
         "cdc_merge_upsert": _sql_merge(_UPSERT_COLS),
+        "cdc_merge_composite": _SQL_MERGE_COMPOSITE,
         "cdc_merge_rules": _sql_merge(_RULES_COLS),
         "cdc_merge_delete": _sql_merge(
             _UPSERT_COLS,

@@ -252,8 +252,15 @@ class LakeTable:
             raise ValueError(
                 f"{self.name}: delta files present but no merge_keys property"
             )
+        # only buckets that actually hold deltas pay the resolution shuffle;
+        # clean buckets are read directly (at 10^10 scale a batch touches a
+        # small fraction of buckets — the read must not re-shuffle the rest)
+        hot = {f["bucket"] for f in deltas}
+        clean = [f for f in files if f.get("kind") != "delta" and f["bucket"] not in hot]
+        dirty_base = [f for f in files
+                      if f.get("kind") != "delta" and f["bucket"] in hot]
         base = (
-            self._df_for_files(m, [f for f in files if f.get("kind") != "delta"])
+            self._df_for_files(m, dirty_base)
             .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
             .withColumn(_DOP_COL, F.lit("U"))
         )
@@ -261,7 +268,10 @@ class LakeTable:
         winners = lww_dedup(
             base.unionByName(delta), keys=keys, order=[_DSEQ_COL], strategy="maxby"
         )
-        return winners.filter(F.col(_DOP_COL) != "D").drop(_DSEQ_COL, _DOP_COL)
+        resolved = winners.filter(F.col(_DOP_COL) != "D").drop(_DSEQ_COL, _DOP_COL)
+        if not clean:
+            return resolved
+        return self._df_for_files(m, clean).unionByName(resolved)
 
     def added_rows(self, since_version: int, version: int | None = None) -> DataFrame:
         """Incremental read (Iceberg incremental-scan analog): rows in data

@@ -93,6 +93,29 @@ def test_mor_schema_evolution_mid_replay(spark, warehouse):
     binlog.unpersist()
 
 
+def test_mor_clean_buckets_bypass_resolution(spark, warehouse):
+    """After compaction, a delta touching ONE key must not re-shuffle the
+    other buckets: their base files are unioned in directly. State must
+    still match the oracle exactly."""
+    from pyspark.sql import functions as F
+
+    binlog = synth_binlog(spark, 800, 60, 800, delete_frac=0.05).cache()
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/cb"), _cfg(n_buckets=8))
+    drv.replay(binlog)
+    drv.table.compact_deltas()
+    one_doc = synth_binlog(spark, 40, 60, 40, delete_frac=0.0, start=800) \
+        .withColumn("doc_id", F.lit("doc00000007"))
+    drv.run_batch(one_doc, 1)
+    hot = {f["bucket"] for f in drv.table.manifest().files
+           if f.get("kind") == "delta"}
+    assert len(hot) == 1  # a single bucket holds deltas
+    oracle = python_oracle(
+        [r.asDict() for r in binlog.collect()]
+        + [r.asDict() for r in one_doc.collect()])
+    assert table_state(drv.table) == oracle
+    binlog.unpersist()
+
+
 def test_mor_rejects_merge_rules(spark):
     with pytest.raises(ConfigError, match="merge_rules"):
         JobConfig(mode="merge", merge_strategy="mor",
