@@ -815,16 +815,61 @@ def q_tok_chunks_arrow(spark, sf_dir):
     return chunk_tokens_arrow(_doc_tokens(spark, sf_dir), TOK_CHUNK_LEN)
 
 
+PACK_LEN, PACK_GROUPS = 512, 16
+
+
 def q_tok_pack(spark, sf_dir):
     """Greedy packing of docs into 512-token training sequences
-    (applyInPandas over hash-bucketed groups; stateful -> rows-only check)."""
+    (applyInPandas over hash-bucketed groups). The per-group fold is
+    inherently sequential, but still oracle-checkable: the DuckDB oracle
+    replays the same greedy recurrence with a recursive CTE. Grouping uses
+    the portable md5-hex hash so both engines bucket identically."""
     from .transforms import pack_sequences
 
-    packed = pack_sequences(_doc_tokens(spark, sf_dir), seq_len=512, n_groups=16)
+    grp = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(PACK_GROUPS),
+    )
+    packed = pack_sequences(_doc_tokens(spark, sf_dir), seq_len=PACK_LEN,
+                            n_groups=PACK_GROUPS, group_expr=grp)
     return packed.select(
         "group_id", "seq_id", "n_tok", "n_docs",
         P.f_tokens_fingerprint(F.col("tokens")).alias("fp"),
     )
+
+
+def _sql_tok_pack() -> str:
+    toks = P.sql_word_ids("text")
+    L, G = PACK_LEN, PACK_GROUPS
+    fp = P.sql_tokens_fingerprint("flatten(list(toks ORDER BY rn))")
+    return f"""
+    WITH RECURSIVE
+    d0 AS (SELECT doc_id, {toks} AS toks FROM documents),
+    d AS (SELECT doc_id,
+                 CAST({_sql_hexint("doc_id::VARCHAR", 1, 8)} % {G} AS INTEGER) AS g,
+                 list_slice(toks, 1, {L}) AS toks,
+                 least(len(toks), {L}) AS L
+          FROM d0 WHERE len(toks) > 0),
+    docs AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY doc_id) AS rn
+             FROM d),
+    pk AS (
+      SELECT g, rn, L, toks, L AS cur_len, 0::BIGINT AS seq_id
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT dd.g, dd.rn, dd.L, dd.toks,
+             CASE WHEN p.cur_len + dd.L > {L} THEN dd.L
+                  ELSE p.cur_len + dd.L END,
+             CASE WHEN p.cur_len + dd.L > {L} THEN p.seq_id + 1
+                  ELSE p.seq_id END
+      FROM pk p JOIN docs dd ON dd.g = p.g AND dd.rn = p.rn + 1
+    )
+    SELECT g AS group_id, seq_id,
+           CAST(sum(L) AS INTEGER) AS n_tok,
+           CAST(count(*) AS INTEGER) AS n_docs,
+           {fp} AS fp
+    FROM pk GROUP BY g, seq_id
+    """
 
 
 # ---------------------------------------------------------------- media
@@ -1239,6 +1284,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "tok_chunks": _sql_tok_chunks(),
         "tok_chunks_arrow": _sql_tok_chunks(),
+        "tok_pack": _sql_tok_pack(),
         # tok_pack: stateful greedy packing (applyInPandas) — rows-only check
         "media_decode": _sql_media_decode(),
         "ann_cosine_topk": _sql_ann(),

@@ -139,7 +139,8 @@ def chunk_tokens_arrow(df: DataFrame, max_len: int, id_col: str = "doc_id",
 # ---------------------------------------------------------------- packing
 
 def pack_sequences(df: DataFrame, seq_len: int, n_groups: int = 64,
-                   id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+                   id_col: str = "doc_id", tokens_col: str = "tokens",
+                   group_expr: "F.Column | None" = None) -> DataFrame:
     """Greedy packing of documents into fixed-capacity training sequences —
     the canonical pre-training batch prep step. Stateful-per-group, so it
     runs as applyInPandas over hash-bucketed groups: deterministic (docs
@@ -187,8 +188,12 @@ def pack_sequences(df: DataFrame, seq_len: int, n_groups: int = 64,
             "n_docs": pd.Series(ndocs, dtype="int32"),
         })
 
+    # group assignment: xxhash64 by default; callers needing an
+    # engine-portable grouping (oracle checks) pass their own expression
+    grp = group_expr if group_expr is not None else \
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
     g = df.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int").alias("__g"),
+        grp.cast("int").alias("__g"),
         F.col(id_col),
         F.col(tokens_col),
     )
