@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cpus: int, events: int, batches: int, driver_mem: str,
-              warmup: int = 2, tag: str = "") -> dict:
+              warmup: int = 2, tag: str = "", merge_strategy: str = "cow") -> dict:
     work = tempfile.mkdtemp(prefix=f"scaling_{cpus}_")
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -48,6 +48,7 @@ def run_level(cpus: int, events: int, batches: int, driver_mem: str,
         "--events", str(events),
         "--batches", str(batches),
         "--warmup-batches", str(warmup),
+        "--merge-strategy", merge_strategy,
     ]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
@@ -81,6 +82,10 @@ def main() -> None:
                    help="comma-separated core counts; every consecutive "
                         "pair is reported as an N-vs-kN efficiency")
     p.add_argument("--driver-mem", default="16g")
+    p.add_argument("--merge-strategy", default="cow", choices=["cow", "mor"],
+                   help="mor: supplementary write-path scaling evidence; "
+                        "results go to results_mor.json and BASELINE.md is "
+                        "NOT rewritten (the headline stays the COW/north run)")
     args = p.parse_args()
 
     subprocess.run(["sh", os.path.join(REPO, "tools", "make_pyfiles.sh")], check=True)
@@ -91,7 +96,9 @@ def main() -> None:
     for r in range(args.repeats):          # interleaved: noise spreads evenly
         for c in levels:
             runs[c].append(run_level(c, args.events, args.batches,
-                                     args.driver_mem, args.warmup, tag=f"_r{r}"))
+                                     args.driver_mem, args.warmup,
+                                     tag=f"_{args.merge_strategy}_r{r}",
+                                     merge_strategy=args.merge_strategy))
     agg = {}
     for c in levels:
         timed = [t for rec in runs[c] for t in rec["batch_sec"][args.warmup:]]
@@ -126,8 +133,17 @@ def main() -> None:
         "target": 0.8,
         "pass": headline["pass"],
     }
-    with open(os.path.join(REPO, "BENCH", "results.json"), "w") as f:
+    out["merge_strategy"] = args.merge_strategy
+    results_name = ("results.json" if args.merge_strategy == "cow"
+                    else f"results_{args.merge_strategy}.json")
+    with open(os.path.join(REPO, "BENCH", results_name), "w") as f:
         json.dump(out, f, indent=1)
+    if args.merge_strategy != "cow":
+        # supplementary evidence only; never overwrite the north-rule md
+        print(json.dumps({"pairs": pairs,
+                          "levels": {str(c): agg[c]["events_per_sec"] for c in levels},
+                          "merge_strategy": args.merge_strategy}))
+        return
 
     rows = "\n".join(
         f"| local[{c}] | {agg[c]['events_per_sec']:,.0f} | "
@@ -179,6 +195,24 @@ where each executor brings its own memory channels.
 All runs verify: identical final_rows at every level/repeat, contiguous
 checkpoint offsets, deterministic input (seeded spark.range synth — same
 data at any parallelism).
+
+**Skew stress.** Every `bench.py` run appends a `skew_stress` probe: the
+same replay with `hot_frac=0.3` (30% of ALL events hitting ONE doc_id —
+6x the standard 5% hot key). The LWW dedup is an associative argmax with
+map-side partial combine (`partial_max_by`), so the hot key pre-reduces to
+one row per input partition before the single shuffle and throughput holds
+(measured ~0.95x baseline at 6M-event batches). A window-rank dedup
+without salting would instead serialize 3x10^9 events through one task at
+the 10^10 target.
+
+**Merge-on-read probe.** `bench.py` also reports a `mor` record: the same
+replay with `merge_strategy='mor'` (delta appends + read-side resolution
+instead of copy-on-write bucket rewrites) — measured ~1.5-1.9x COW write
+throughput with identical final state. The crossover rule at 10^10 scale:
+MOR wins while (batches between compactions) x (batch size) < table size,
+i.e. frequent small batches into a large table — the steady-state CDC
+regime. Supplementary MOR scaling pairs: BENCH/results_mor.json
+(`python BENCH/scaling.py --merge-strategy mor`).
 
 Raw records: BENCH/results.json (+ per-level spark logs in BENCH/).
 Re-run: `python BENCH/scaling.py`.
