@@ -489,6 +489,19 @@ class LakeTable:
     def delta_file_count(self) -> int:
         return sum(1 for f in self.manifest().files if f.get("kind") == "delta")
 
+    def changelog(self, since_version: int, version: int | None = None) -> DataFrame:
+        """Row-level change feed between two snapshots of a merge-managed
+        table: every delta row added in the interval, with `__op` ('U'/'D')
+        and `__dseq` (the commit that produced it). The MOR counterpart of
+        added_rows() — downstream consumers apply it as an upsert/delete
+        stream without rescanning the table. For COW commits in the
+        interval (which fold rows into base files) use added_rows()."""
+        old = {f["path"] for f in self.manifest(since_version).files}
+        m = self.manifest(version)
+        new_deltas = [f for f in m.files
+                      if f.get("kind") == "delta" and f["path"] not in old]
+        return self._df_for_files(m, new_deltas, extra_fields=_DELTA_FIELDS)
+
     def replace_files(self, remove_buckets: set[int], add_df: DataFrame,
                       properties: dict | None = None) -> Manifest:
         """Copy-on-write primitive used by MERGE (plans/merge.py): swap out

@@ -116,6 +116,37 @@ def test_mor_clean_buckets_bypass_resolution(spark, warehouse):
     binlog.unpersist()
 
 
+def test_mor_changelog_between_snapshots(spark, warehouse):
+    """changelog(v1, v2) returns exactly the interval's delta rows with op
+    and commit sequence — an applyable upsert/delete feed."""
+    binlog = synth_binlog(spark, 600, 40, 200, delete_frac=0.1).cache()
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/cl"), _cfg())
+    drv.run_batch(binlog.filter("batch_id = 0"), 0)
+    v1 = drv.table.current_version()
+    drv.run_batch(binlog.filter("batch_id = 1"), 1)
+    drv.run_batch(binlog.filter("batch_id = 2"), 2)
+    feed = drv.table.changelog(v1).collect()
+    assert {"__op", "__dseq"} <= set(feed[0].asDict())
+    assert {r["__dseq"] for r in feed} == {v1 + 1, v1 + 2}
+    # the feed is the LWW-deduped slice of batches 1-2 (one row per key/batch)
+    from embulk_output_databricks_spark.operators.lww import lww_dedup
+
+    want = lww_dedup(binlog.filter("batch_id in (1, 2)"),
+                     keys=["doc_id", "batch_id"]).count()
+    assert len(feed) == want
+    # replaying the feed onto a copy of snapshot v1 reproduces the table
+    state_v1 = {r["doc_id"]: r for r in drv.table.read(version=v1).collect()}
+    for r in sorted(feed, key=lambda r: r["__dseq"]):
+        if r["__op"] == "D":
+            state_v1.pop(r["doc_id"], None)
+        else:
+            state_v1[r["doc_id"]] = r
+    got = {d: (list(r["tokens"]), r["n_tok"], r["source"])
+           for d, r in state_v1.items()}
+    assert got == table_state(drv.table)
+    binlog.unpersist()
+
+
 def test_mor_rejects_merge_rules(spark):
     with pytest.raises(ConfigError, match="merge_rules"):
         JobConfig(mode="merge", merge_strategy="mor",
