@@ -1082,6 +1082,37 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_events_tumbling_stream(spark, sf_dir):
+    """True-streaming twin of events_tumbling (streaming/windows.py family):
+    readStream over the events dump -> watermarked tumbling window ->
+    complete-mode drain. Single input file = one micro-batch, so nothing is
+    late and the finalized result must equal the batch aggregation; the
+    late-drop semantics themselves are pinned by tests/test_windows.py."""
+    base = f"{WORK_ROOT}/tumbling/{uuid.uuid4().hex}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    ev.coalesce(1).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/src")
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_CENTS_S(F.col("value"))).alias("value_cents"))
+        .select(F.unix_micros(F.col("w.start")).alias("hour_us"),
+                "event_type", "n", "value_cents")
+    )
+    q = (
+        agg.writeStream
+        .foreachBatch(lambda df, _e: df.write.mode("overwrite").parquet(f"{base}/out"))
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{base}/out")
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
@@ -1174,6 +1205,7 @@ SPARK_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "events_tumbling": q_events_tumbling,
+    "events_tumbling_stream": q_events_tumbling_stream,
     "events_sessionize": q_events_sessionize,
 }
 
@@ -1320,6 +1352,12 @@ def _oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "events_tumbling": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_tumbling_stream": """
             SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
                    count(*) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
