@@ -93,6 +93,27 @@ def test_mixed_modes_and_per_table_evolution(spark, cat):
     binlog.unpersist()
 
 
+def test_kafka_frames_fan_out_to_tables(spark, cat):
+    """Debezium-shaped end-to-end: a Kafka topic whose JSON payloads carry a
+    `table` discriminator, parsed JVM-side and fanned out to per-table
+    merge targets."""
+    from embulk_output_databricks_spark.sources.kafka_tail import (
+        encode_kafka_frame, parse_change_events)
+
+    binlog = tagged_binlog(spark, n=600, per_batch=300).cache()
+    parsed = parse_change_events(encode_kafka_frame(binlog), binlog.schema)
+    mt = MultiTableReplayDriver(
+        cat,
+        [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+         JobConfig(table="seq_b", mode="merge", n_buckets=4)],
+    )
+    mt.replay(parsed)
+    want = oracles(binlog)
+    for t, drv in mt.drivers.items():
+        assert table_state(drv.table) == want[t]
+    binlog.unpersist()
+
+
 def test_duplicate_targets_rejected(spark, cat):
     with pytest.raises(ConfigError, match="duplicate"):
         MultiTableReplayDriver(
