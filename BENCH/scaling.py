@@ -196,6 +196,13 @@ All runs verify: identical final_rows at every level/repeat, contiguous
 checkpoint offsets, deterministic input (seeded spark.range synth — same
 data at any parallelism).
 
+**Broadcast merge plan.** COW merge picks its physical plan by batch size:
+staged batches <= `broadcast_merge_threshold` (default 500k deduped rows)
+use a broadcast plan — the target slice is only SCANNED, never shuffled
+(left-outer broadcast join + key-pruned semi join). Measured ~2.3x over
+the full-outer shuffle at 200k-event batches into a multi-million-row
+table, identical final state (tests/test_merge_plans.py).
+
 **Skew stress.** Every `bench.py` run appends a `skew_stress` probe: the
 same replay with `hot_frac=0.3` (30% of ALL events hitting ONE doc_id —
 6x the standard 5% hot key). The LWW dedup is an associative argmax with

@@ -71,6 +71,12 @@ class JobConfig:
                                   #   write-heavy/frequent-batch extension)
     mor_compact_every: int = 0    # mor only: fold deltas into base every N
                                   # batches (0 = manual compact_deltas())
+    broadcast_merge_threshold: int = 500_000
+                                  # cow merge: staged batches at or below this
+                                  # row count use the broadcast plan (target
+                                  # scanned, never shuffled); larger batches
+                                  # fall back to the full-outer shuffle join.
+                                  # 0 forces the shuffle plan.
     persist_source: bool = False  # cache batch events across lineage+dedup
                                   # passes (worth it only when the source is
                                   # expensive to rescan; a seeded synth or a

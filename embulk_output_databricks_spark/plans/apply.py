@@ -82,6 +82,7 @@ def apply_batch(
                 merge_rules=cfg.merge_rules,
                 support_deletes=cfg.support_deletes,
                 properties=properties,
+                broadcast_threshold_rows=cfg.broadcast_merge_threshold,
             )
     else:  # pragma: no cover
         raise ValueError(f"unhandled mode {mode}")

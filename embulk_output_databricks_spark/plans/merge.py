@@ -69,9 +69,22 @@ def merge_apply(
     merge_rules: dict[str, str] | None = None,
     support_deletes: bool = True,
     properties: dict | None = None,
+    broadcast_threshold_rows: int = 500_000,
 ) -> Manifest:
     """staged: exactly one row per key (run operators.lww_dedup first),
-    columns = target payload columns (+ optional `op` I/U/D)."""
+    columns = target payload columns (+ optional `op` I/U/D).
+
+    Physical plan is chosen by batch size (the persisted staged count):
+      * small batch (<= broadcast_threshold_rows): broadcast plan — the
+        target slice is only SCANNED, never shuffled. One left-outer
+        broadcast join decides keep/update/delete per target row; a
+        key-pruned semi join finds matched keys; inserts are staged
+        anti-join matched-keys. At 100 TB this is the difference between
+        shuffling the table and streaming it through map tasks — the
+        steady-state CDC regime (small batches into a huge table).
+      * large batch: full-outer sort-merge join (both sides shuffle on the
+        merge keys; a batch comparable to the table cannot broadcast).
+    """
     m = table.manifest()
     payload = [f["name"] for f in m.schema_version.fields]
     missing = [k for k in keys if k not in payload]
@@ -95,32 +108,65 @@ def merge_apply(
     target = table.read(buckets=affected).alias("T")
     staged = staged.alias("S")
 
-    # -- 2. full outer join on merge keys --
     cond = None
     for k in keys:
         c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
         cond = c if cond is None else (cond & c)
-    j = (
-        target.withColumn(_T_HIT, F.lit(True))
-        .join(staged.withColumn(_S_HIT, F.lit(True)), cond, "full_outer")
-    )
-
-    matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
-    s_only = F.col(_T_HIT).isNull()
-    is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) else F.lit(False)
-
     rules = merge_rules or {}
-    out_cols = []
-    for c in payload:
-        upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
-        out_cols.append(
-            F.when(s_only, F.col(f"S.{c}"))
-            .when(matched, upd)
-            .otherwise(F.col(f"T.{c}"))
-            .alias(c)
+
+    if staged.count() <= broadcast_threshold_rows:
+        # -- 2a. broadcast plan: target never shuffles --
+        is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) \
+            else F.lit(False)
+        # pass 1 (full target scan, map-only): keep / update / delete per row
+        j = target.join(F.broadcast(staged.withColumn(_S_HIT, F.lit(True))),
+                        cond, "left_outer")
+        matched = F.col(_S_HIT).isNotNull()
+        upd_cols = []
+        for c in payload:
+            upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
+            upd_cols.append(
+                F.when(matched, upd).otherwise(F.col(f"T.{c}")).alias(c))
+        updated = j.filter(~F.coalesce(matched & is_del, F.lit(False))) \
+            .select(*upd_cols)
+        # pass 2 (key-pruned target scan, map-only): which staged keys matched
+        tk = table.read(buckets=affected).select(*keys).alias("TK")
+        sk = staged.select(*[F.col(f"S.{k}").alias(k) for k in keys]).alias("SK")
+        mk = tk.join(
+            F.broadcast(sk),
+            [F.col(f"TK.{k}").eqNullSafe(F.col(f"SK.{k}")) for k in keys],
+            "left_semi",
+        ).alias("MK")
+        # inserts: staged keys the target does not have ('D' on a miss = no-op)
+        ins = staged.join(
+            F.broadcast(mk),
+            [F.col(f"S.{k}").eqNullSafe(F.col(f"MK.{k}")) for k in keys],
+            "left_anti",
+        ).filter(~is_del)
+        result = updated.unionByName(
+            ins.select(*[F.col(f"S.{c}").alias(c) for c in payload]))
+    else:
+        # -- 2b. full outer join on merge keys (large batch) --
+        j = (
+            target.withColumn(_T_HIT, F.lit(True))
+            .join(staged.withColumn(_S_HIT, F.lit(True)), cond, "full_outer")
         )
-    # delete drops matched rows; an unmatched 'D' contributes nothing either
-    result = j.filter(~F.coalesce((matched | s_only) & is_del, F.lit(False))).select(*out_cols)
+
+        matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
+        s_only = F.col(_T_HIT).isNull()
+        is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) else F.lit(False)
+
+        out_cols = []
+        for c in payload:
+            upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
+            out_cols.append(
+                F.when(s_only, F.col(f"S.{c}"))
+                .when(matched, upd)
+                .otherwise(F.col(f"T.{c}"))
+                .alias(c)
+            )
+        # delete drops matched rows; an unmatched 'D' contributes nothing either
+        result = j.filter(~F.coalesce((matched | s_only) & is_del, F.lit(False))).select(*out_cols)
 
     # -- 4. atomic bucket swap --
     props = dict(properties or {})
