@@ -36,6 +36,58 @@ _T_HIT = "__t_present"
 _S_HIT = "__s_present"
 
 
+def broadcast_upsert_plan(
+    target: DataFrame,
+    target_keys: DataFrame,
+    staged: DataFrame,
+    keys: list[str],
+    payload: list[str],
+    rules: dict[str, str] | None = None,
+    has_op: bool = False,
+    support_deletes: bool = True,
+) -> DataFrame:
+    """The zero-target-shuffle merge plan, reusable by COW merge and MOR
+    compaction. `target` is the full-width target slice; `target_keys` the
+    key columns of the SAME rows (separate so callers hand in a
+    column-pruned scan); `staged` has one row per key, payload (+ `op`).
+    Every join broadcasts a staged-derived frame — the target side has no
+    exchange anywhere."""
+    target = target.alias("T")
+    staged = staged.alias("S")
+    cond = None
+    for k in keys:
+        c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
+        cond = c if cond is None else (cond & c)
+    rules = rules or {}
+    is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) \
+        else F.lit(False)
+    # pass 1 (full target scan, map-only): keep / update / delete per row
+    j = target.join(F.broadcast(staged.withColumn(_S_HIT, F.lit(True))),
+                    cond, "left_outer")
+    matched = F.col(_S_HIT).isNotNull()
+    upd_cols = []
+    for c in payload:
+        upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
+        upd_cols.append(F.when(matched, upd).otherwise(F.col(f"T.{c}")).alias(c))
+    updated = j.filter(~F.coalesce(matched & is_del, F.lit(False))).select(*upd_cols)
+    # pass 2 (key-pruned target scan, map-only): which staged keys matched
+    tk = target_keys.alias("TK")
+    sk = staged.select(*[F.col(f"S.{k}").alias(k) for k in keys]).alias("SK")
+    mk = tk.join(
+        F.broadcast(sk),
+        [F.col(f"TK.{k}").eqNullSafe(F.col(f"SK.{k}")) for k in keys],
+        "left_semi",
+    ).alias("MK")
+    # inserts: staged keys the target does not have ('D' on a miss = no-op)
+    ins = staged.join(
+        F.broadcast(mk),
+        [F.col(f"S.{k}").eqNullSafe(F.col(f"MK.{k}")) for k in keys],
+        "left_anti",
+    ).filter(~is_del)
+    return updated.unionByName(
+        ins.select(*[F.col(f"S.{c}").alias(c) for c in payload]))
+
+
 def merge_apply_mor(
     table: LakeTable,
     staged: DataFrame,
@@ -116,35 +168,11 @@ def merge_apply(
 
     if staged.count() <= broadcast_threshold_rows:
         # -- 2a. broadcast plan: target never shuffles --
-        is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) \
-            else F.lit(False)
-        # pass 1 (full target scan, map-only): keep / update / delete per row
-        j = target.join(F.broadcast(staged.withColumn(_S_HIT, F.lit(True))),
-                        cond, "left_outer")
-        matched = F.col(_S_HIT).isNotNull()
-        upd_cols = []
-        for c in payload:
-            upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
-            upd_cols.append(
-                F.when(matched, upd).otherwise(F.col(f"T.{c}")).alias(c))
-        updated = j.filter(~F.coalesce(matched & is_del, F.lit(False))) \
-            .select(*upd_cols)
-        # pass 2 (key-pruned target scan, map-only): which staged keys matched
-        tk = table.read(buckets=affected).select(*keys).alias("TK")
-        sk = staged.select(*[F.col(f"S.{k}").alias(k) for k in keys]).alias("SK")
-        mk = tk.join(
-            F.broadcast(sk),
-            [F.col(f"TK.{k}").eqNullSafe(F.col(f"SK.{k}")) for k in keys],
-            "left_semi",
-        ).alias("MK")
-        # inserts: staged keys the target does not have ('D' on a miss = no-op)
-        ins = staged.join(
-            F.broadcast(mk),
-            [F.col(f"S.{k}").eqNullSafe(F.col(f"MK.{k}")) for k in keys],
-            "left_anti",
-        ).filter(~is_del)
-        result = updated.unionByName(
-            ins.select(*[F.col(f"S.{c}").alias(c) for c in payload]))
+        result = broadcast_upsert_plan(
+            target, table.read(buckets=affected).select(*keys), staged,
+            keys, payload, rules=rules, has_op=has_op,
+            support_deletes=support_deletes,
+        )
     else:
         # -- 2b. full outer join on merge keys (large batch) --
         j = (

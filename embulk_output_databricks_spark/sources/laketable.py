@@ -471,15 +471,40 @@ class LakeTable:
         props = {"merge_keys": ",".join(merge_keys), **(properties or {})}
         return self._commit(base, base.files + new, props)
 
-    def compact_deltas(self, properties: dict | None = None) -> Manifest | None:
+    def compact_deltas(self, properties: dict | None = None,
+                       broadcast_threshold_rows: int = 500_000) -> Manifest | None:
         """Fold every outstanding delta into base files (one atomic snapshot):
-        buckets holding deltas are resolved via read() and rewritten; other
-        buckets are untouched. Returns None when there is nothing to fold."""
+        buckets holding deltas are rewritten; others untouched. Small delta
+        sets (<= broadcast_threshold_rows physical delta rows) fold via the
+        zero-target-shuffle broadcast plan — delta winners are LWW-reduced
+        (tiny shuffle) then broadcast-merged into the dirty buckets' base,
+        so a large base never shuffles; bigger backlogs use the resolved
+        read (maxby over base∪delta). Returns None when nothing to fold."""
         base = self.manifest()
-        victims = {f["bucket"] for f in base.files if f.get("kind") == "delta"}
+        delta_files = [f for f in base.files if f.get("kind") == "delta"]
+        victims = {f["bucket"] for f in delta_files}
         if not victims:
             return None
-        df = self.read(buckets=victims)
+        n_delta_rows = sum(f["rows"] for f in delta_files)
+        keys = [k for k in (base.properties.get("merge_keys") or "").split(",") if k]
+        if n_delta_rows <= broadcast_threshold_rows and keys:
+            from ..operators.lww import lww_dedup
+            from ..plans.merge import broadcast_upsert_plan  # lazy: cycle-safe
+
+            payload = [f["name"] for f in base.schema_version.fields]
+            winners = lww_dedup(
+                self._df_for_files(base, delta_files, extra_fields=_DELTA_FIELDS),
+                keys=keys, order=[_DSEQ_COL], strategy="maxby",
+            ).select(*payload, F.col(_DOP_COL).alias("op"))
+            dirty_base = [f for f in base.files
+                          if f.get("kind") != "delta" and f["bucket"] in victims]
+            df = broadcast_upsert_plan(
+                self._df_for_files(base, dirty_base),
+                self._df_for_files(base, dirty_base).select(*keys),
+                winners, keys, payload, has_op=True, support_deletes=True,
+            )
+        else:
+            df = self.read(buckets=victims)
         keep = [f for f in base.files if f["bucket"] not in victims]
         new = self._write_data_files(df, base)
         props = dict(properties or {})

@@ -193,7 +193,8 @@ class ReplayDriver:
         ce = self.cfg.mor_compact_every
         if (self.cfg.merge_strategy == "mor" and ce > 0
                 and (batch_id + 1) % ce == 0):
-            self.table.compact_deltas()
+            self.table.compact_deltas(
+                broadcast_threshold_rows=self.cfg.broadcast_merge_threshold)
         metrics = {
             "apply_s": round(apply_s, 6),
             "snapshot_commit_s": round(self.table.last_commit_s, 6),

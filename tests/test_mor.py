@@ -116,6 +116,24 @@ def test_mor_clean_buckets_bypass_resolution(spark, warehouse):
     binlog.unpersist()
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("thresh", [10**9, 0])
+def test_mor_compaction_broadcast_and_shuffle_paths_agree(spark, warehouse, thresh):
+    """compact_deltas folds via the broadcast plan (small backlog) or the
+    resolved-read shuffle (large); both must produce the same state."""
+    binlog = synth_binlog(spark, 900, 60, 300, delete_frac=0.1).cache()
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/cp{thresh}"), _cfg())
+    drv.replay(binlog)
+    before = table_state(drv.table)
+    assert drv.table.compact_deltas(broadcast_threshold_rows=thresh) is not None
+    assert drv.table.delta_file_count() == 0
+    assert table_state(drv.table) == before == python_oracle(
+        [r.asDict() for r in binlog.collect()])
+    binlog.unpersist()
+
+
 def test_mor_changelog_between_snapshots(spark, warehouse):
     """changelog(v1, v2) returns exactly the interval's delta rows with op
     and commit sequence — an applyable upsert/delete feed."""
