@@ -107,6 +107,42 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_steady_state(spark, table_events: int = 10_000_000,
+                       batch: int = 200_000, n_batches: int = 4) -> dict:
+    """Steady-state CDC regime (small batch into a large table): the
+    broadcast merge plan's home turf — target scanned map-only, zero target
+    shuffle. Reported separately from the north metric, whose 6M batches
+    are comparable to the table and correctly take the shuffle plan."""
+    from embulk_output_databricks_spark.operators.lww import lww_dedup
+
+    work = tempfile.mkdtemp(prefix="bench_steady_")
+    try:
+        cat = LakeCatalog(spark, work)
+        drv = ReplayDriver(cat, JobConfig(table="sequences", mode="merge",
+                                          merge_keys=["doc_id"], n_buckets=64))
+        seed = synth_binlog(spark, table_events, table_events // 4,
+                            table_events, delete_frac=0.0, partitions=64)
+        drv.table.append(lww_dedup(seed).select("doc_id", "tokens", "n_tok", "source"))
+        times = []
+        for b in range(n_batches):
+            ev = synth_binlog(spark, batch, table_events // 4, batch,
+                              start=table_events + b * batch,
+                              delete_frac=0.05, partitions=16)
+            t0 = time.perf_counter()
+            drv.run_batch(ev, b, collect_metrics=False)
+            times.append(round(time.perf_counter() - t0, 3))
+        timed = times[1:]  # first batch pays plan/codegen warmup
+        return {
+            "table_rows": drv.table.row_count(),
+            "events_per_batch": batch,
+            "batch_sec": times,
+            "events_per_sec": round(batch * len(timed) / sum(timed), 1),
+            "plan": "broadcast (batch <= broadcast_merge_threshold)",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from __spark_entry__ import queries
 
@@ -158,6 +194,7 @@ def main() -> None:
             "vs_cow": round(mor["events_per_sec"] / replay["events_per_sec"], 3),
             "final_rows": mor["final_rows"],
         }
+        steady = bench_steady_state(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -169,6 +206,7 @@ def main() -> None:
             "replay": replay,
             "skew_stress": skew_stress,
             "mor": mor_probe,
+            "steady_state": steady,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))
