@@ -93,6 +93,24 @@ def test_mixed_modes_and_per_table_evolution(spark, cat):
     binlog.unpersist()
 
 
+def test_mixed_cow_and_mor_targets(spark, cat):
+    """Per-table strategies compose: one copy-on-write target, one
+    merge-on-read target, same stream, same per-slice oracles."""
+    binlog = tagged_binlog(spark).cache()
+    mt = MultiTableReplayDriver(
+        cat,
+        [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+         JobConfig(table="seq_b", mode="merge", n_buckets=4,
+                   merge_strategy="mor", mor_compact_every=2)],
+    )
+    mt.replay(binlog)
+    want = oracles(binlog)
+    assert table_state(mt.drivers["seq_a"].table) == want["seq_a"]
+    assert table_state(mt.drivers["seq_b"].table) == want["seq_b"]
+    assert mt.drivers["seq_a"].table.delta_file_count() == 0  # cow: no deltas
+    binlog.unpersist()
+
+
 def test_kafka_frames_fan_out_to_tables(spark, cat):
     """Debezium-shaped end-to-end: a Kafka topic whose JSON payloads carry a
     `table` discriminator, parsed JVM-side and fanned out to per-table
