@@ -60,15 +60,41 @@ class MultiTableReplayDriver:
         evolution: dict[str, list[EvolutionOp]] | None = None,
         crash_after_table: str | None = None,
         collect_metrics: bool | str = True,
+        parallel: bool = False,
     ) -> dict[str, dict | None]:
         """Apply one batch to every target. Returns {table: checkpoint record
         or None-if-fenced}. A crash mid-fan-out leaves committed targets
-        fenced; re-running the batch completes only the remainder."""
+        fenced; re-running the batch completes only the remainder.
+
+        parallel=True submits each target's apply from its own driver thread
+        (Spark schedules the independent jobs concurrently) — the latency
+        lever when targets are many and small. Per-table fences make a
+        partial failure resumable exactly as in sequential mode, just
+        without a deterministic completion order; crash_after_table (a test
+        hook) requires sequential mode."""
+        slices = {
+            name: events.filter(F.col(self.table_col) == name).drop(self.table_col)
+            for name in self.drivers
+        }
+        if parallel:
+            if crash_after_table is not None:
+                raise ValueError("crash_after_table requires sequential mode")
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(self.drivers)) as ex:
+                futs = {
+                    name: ex.submit(
+                        drv.run_batch, slices[name], batch_id,
+                        evolution=(evolution or {}).get(name),
+                        collect_metrics=collect_metrics,
+                    )
+                    for name, drv in self.drivers.items()
+                }
+            return {name: f.result() for name, f in futs.items()}
         out: dict[str, dict | None] = {}
         for name, drv in self.drivers.items():
-            slice_ = events.filter(F.col(self.table_col) == name).drop(self.table_col)
             out[name] = drv.run_batch(
-                slice_,
+                slices[name],
                 batch_id,
                 evolution=(evolution or {}).get(name),
                 collect_metrics=collect_metrics,

@@ -139,7 +139,9 @@ class ReplayDriver:
         if collect_metrics == "light":
             from pyspark.sql import Observation
 
-            obs = Observation(f"batch-{batch_id}")
+            # name carries the table: concurrent per-table applies (multi.py
+            # parallel mode) must not collide on observation identity
+            obs = Observation(f"batch-{batch_id}-{self.table.name}")
             events = events.observe(
                 obs,
                 F.count(F.lit(1)).alias("events_in"),

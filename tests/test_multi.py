@@ -93,6 +93,27 @@ def test_mixed_modes_and_per_table_evolution(spark, cat):
     binlog.unpersist()
 
 
+def test_parallel_fan_out_matches_sequential(spark, cat, warehouse):
+    """parallel=True applies per-table from concurrent driver threads;
+    state and fences must match the sequential result."""
+    binlog = tagged_binlog(spark).cache()
+    want = oracles(binlog)
+    mt = MultiTableReplayDriver(
+        LakeCatalog(spark, f"{warehouse}/par"),
+        [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+         JobConfig(table="seq_b", mode="merge", n_buckets=4)],
+    )
+    for b in (0, 1, 2):
+        recs = mt.run_batch(binlog.filter(F.col("batch_id") == b), b,
+                            parallel=True, collect_metrics="light")
+        assert set(recs) == {"seq_a", "seq_b"}
+        assert all(r is not None for r in recs.values())
+    for t, drv in mt.drivers.items():
+        assert table_state(drv.table) == want[t]
+        assert drv.ckpt.committed_batch_ids() == [0, 1, 2]
+    binlog.unpersist()
+
+
 def test_mixed_cow_and_mor_targets(spark, cat):
     """Per-table strategies compose: one copy-on-write target, one
     merge-on-read target, same stream, same per-slice oracles."""
