@@ -78,12 +78,14 @@ def broadcast_upsert_plan(
         [F.col(f"TK.{k}").eqNullSafe(F.col(f"SK.{k}")) for k in keys],
         "left_semi",
     ).alias("MK")
-    # inserts: staged keys the target does not have ('D' on a miss = no-op)
+    # inserts: staged keys the target does not have ('D' on a miss = no-op).
+    # coalesce: a NULL op must insert (parity with the shuffle plan, whose
+    # filter also coalesces) — bare ~NULL would silently drop the row.
     ins = staged.join(
         F.broadcast(mk),
         [F.col(f"S.{k}").eqNullSafe(F.col(f"MK.{k}")) for k in keys],
         "left_anti",
-    ).filter(~is_del)
+    ).filter(~F.coalesce(is_del, F.lit(False)))
     return updated.unionByName(
         ins.select(*[F.col(f"S.{c}").alias(c) for c in payload]))
 
@@ -159,11 +161,6 @@ def merge_apply(
         affected = {f["bucket"] for f in m.files}
     target = table.read(buckets=affected).alias("T")
     staged = staged.alias("S")
-
-    cond = None
-    for k in keys:
-        c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
-        cond = c if cond is None else (cond & c)
     rules = merge_rules or {}
 
     if staged.count() <= broadcast_threshold_rows:
@@ -175,6 +172,10 @@ def merge_apply(
         )
     else:
         # -- 2b. full outer join on merge keys (large batch) --
+        cond = None
+        for k in keys:
+            c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
+            cond = c if cond is None else (cond & c)
         j = (
             target.withColumn(_T_HIT, F.lit(True))
             .join(staged.withColumn(_S_HIT, F.lit(True)), cond, "full_outer")

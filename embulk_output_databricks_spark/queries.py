@@ -262,7 +262,8 @@ def q_cdc_merge_mor(spark, sf_dir):
     )
     staged = _lww(s_half, extra=["op"])
     merge_apply_mor(tbl, staged, keys=["user_id"], support_deletes=True)
-    assert tbl.delta_file_count() > 0  # proves no copy-on-write happened
+    if tbl.delta_file_count() == 0:  # proves no copy-on-write happened
+        raise RuntimeError("merge_apply_mor wrote no delta files")
     return tbl.read()
 
 

@@ -77,7 +77,8 @@ def encode_kafka_frame(
         part.alias("partition"),
         F.col(order_col).alias("_order"),
     )
-    w = Window.partitionBy("partition").orderBy("_order")
+    # key+value break order_col ties so offsets are reproducible run-to-run
+    w = Window.partitionBy("partition").orderBy("_order", "key", "value")
     return framed.select(
         "key",
         "value",

@@ -283,7 +283,16 @@ class LakeTable:
         unchanged rows are harmless."""
         old = {f["path"] for f in self.manifest(since_version).files}
         m = self.manifest(version)
-        return self._df_for_files(m, [f for f in m.files if f["path"] not in old])
+        new = [f for f in m.files if f["path"] not in old]
+        if any(f.get("kind") == "delta" for f in new):
+            # projecting delta files to the current schema would strip the
+            # op/commit-seq envelope and surface deletes as upserts — refuse
+            # instead of returning a silently-wrong feed
+            raise ValueError(
+                f"{self.name}: interval contains merge-on-read delta files; "
+                "use changelog(since_version) for the row-level change feed"
+            )
+        return self._df_for_files(m, new)
 
     def _df_for_files(self, m: Manifest, files: list[dict],
                       extra_fields: list[tuple[str, str]] | None = None) -> DataFrame:
@@ -458,6 +467,15 @@ class LakeTable:
         if not merge_keys:
             raise ValueError("append_delta requires merge_keys")
         base = self.manifest()
+        # the MOR read/compaction clean-bucket split assumes a key's delta
+        # lands in the SAME bucket as its base row — true only when the
+        # bucket key is a merge key. Reject the unsound layout up front
+        # (the engine's ensure_table always buckets by merge_keys[0]).
+        if base.bucket_key and base.bucket_key not in merge_keys:
+            raise ValueError(
+                f"{self.name}: merge-on-read requires the bucket key "
+                f"{base.bucket_key!r} to be a merge key (got {merge_keys})"
+            )
         prev = base.properties.get("merge_keys")
         if prev and prev != ",".join(merge_keys):
             raise ValueError(

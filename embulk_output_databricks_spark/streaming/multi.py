@@ -40,11 +40,15 @@ class MultiTableReplayDriver:
         configs: list[JobConfig],
         schemas: dict[str, object] | None = None,
         table_col: str = "table",
+        unknown_tables: str = "error",
     ):
         names = [c.table for c in configs]
         if len(set(names)) != len(names):
             raise ConfigError(f"duplicate target tables in configs: {names}")
+        if unknown_tables not in ("error", "ignore"):
+            raise ConfigError(f"unknown_tables must be 'error'|'ignore', got {unknown_tables!r}")
         self.table_col = table_col
+        self.unknown_tables = unknown_tables
         # deterministic apply order (sorted) so crash/resume points are stable
         self.drivers: dict[str, ReplayDriver] = {
             c.table: ReplayDriver(
@@ -71,7 +75,25 @@ class MultiTableReplayDriver:
         lever when targets are many and small. Per-table fences make a
         partial failure resumable exactly as in sequential mode, just
         without a deterministic completion order; crash_after_table (a test
-        hook) requires sequential mode."""
+        hook) requires sequential mode.
+
+        Events whose discriminator matches no configured target fail the
+        batch (unknown_tables='error', the default) rather than vanishing —
+        a new upstream table or a typo'd config name must be loud. Pass
+        unknown_tables='ignore' to drop them deliberately."""
+        if self.unknown_tables == "error":
+            # cheap probe: discriminator column only, first offender stops the scan
+            stray = (
+                events.filter(~F.col(self.table_col).isin(list(self.drivers)))
+                .select(self.table_col).limit(1).collect()
+            )
+            if stray:
+                raise ValueError(
+                    f"batch {batch_id}: events for unconfigured table "
+                    f"{stray[0][0]!r} (configured: {sorted(self.drivers)}); "
+                    "add a target or construct the driver with "
+                    "unknown_tables='ignore'"
+                )
         slices = {
             name: events.filter(F.col(self.table_col) == name).drop(self.table_col)
             for name in self.drivers

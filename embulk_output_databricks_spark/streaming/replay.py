@@ -62,6 +62,7 @@ class ReplayDriver:
         self.cfg = cfg
         self.table = ensure_table(catalog, cfg, target_schema)
         self.ckpt = CheckpointStore(self.table)
+        self._applied_since_compact = 0  # mor auto-compact cadence counter
 
     def _payload_cols(self) -> list[str]:
         return [f["name"] for f in self.table.manifest().schema_version.fields]
@@ -188,19 +189,25 @@ class ReplayDriver:
 
         if crash_before_checkpoint:
             raise InjectedCrash(f"crash after snapshot v{m.version}, before checkpoint")
-        # MOR housekeeping: fold deltas into base every N batches. Runs
-        # before the checkpoint write, which is crash-safe: snapshot
-        # properties are inherited across commits, so reconciliation still
-        # sees this batch_id on the compaction snapshot.
-        ce = self.cfg.mor_compact_every
-        if (self.cfg.merge_strategy == "mor" and ce > 0
-                and (batch_id + 1) % ce == 0):
-            self.table.compact_deltas(
-                broadcast_threshold_rows=self.cfg.broadcast_merge_threshold)
+        # capture the APPLY commit's latency before compaction can overwrite it
         metrics = {
             "apply_s": round(apply_s, 6),
             "snapshot_commit_s": round(self.table.last_commit_s, 6),
         }
+        # MOR housekeeping: fold deltas into base every N APPLIED batches
+        # (a counter, not batch_id arithmetic — batch ids may be sparse).
+        # Runs before the checkpoint write, which is crash-safe: snapshot
+        # properties are inherited across commits, so reconciliation still
+        # sees this batch_id on the compaction snapshot.
+        ce = self.cfg.mor_compact_every
+        if self.cfg.merge_strategy == "mor" and ce > 0:
+            self._applied_since_compact += 1
+            if self._applied_since_compact >= ce:
+                t_c = _time.monotonic()
+                self.table.compact_deltas(
+                    broadcast_threshold_rows=self.cfg.broadcast_merge_threshold)
+                metrics["compact_s"] = round(_time.monotonic() - t_c, 6)
+                self._applied_since_compact = 0
         if fenced:
             return self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage,
                                     metrics=metrics)

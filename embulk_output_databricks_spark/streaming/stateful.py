@@ -62,12 +62,12 @@ def _lww_update(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    # batch winner: vectorized argmax on (seq_lsn, event_id) — event_id is a
-    # fixed-width hex digest, so string order is a valid tie-break (S10)
+    # batch winner: vectorized O(n) argmax on (seq_lsn, event_id) — event_id
+    # is a fixed-width hex digest, so string order is a valid tie-break (S10)
     best = None
     for pdf in pdfs:
-        idx = pdf.sort_values(["seq_lsn", "event_id"]).index[-1]
-        row = pdf.loc[idx]
+        top = pdf[pdf["seq_lsn"] == pdf["seq_lsn"].max()]
+        row = top.loc[top["event_id"].idxmax()]
         if best is None or (row["seq_lsn"], row["event_id"]) > (best["seq_lsn"], best["event_id"]):
             best = row
     if best is None:  # no data for this key this batch (timeout path, unused)

@@ -55,6 +55,29 @@ def test_replay_identical_under_both_plans(spark, warehouse):
     binlog.unpersist()
 
 
+def test_null_op_rows_insert_under_both_plans(spark, warehouse):
+    """A staged row whose op is NULL (e.g. a permissively-parsed event) must
+    INSERT when unmatched under BOTH plans — the broadcast insert filter
+    once dropped it (~NULL is NULL, filter discards)."""
+    states = []
+    base_keys = {r["doc_id"] for r in _staged(spark, 50).collect()}
+    batch = _staged(spark, 80, start=20).withColumn(
+        "op", F.when(F.col("n_tok") % 2 == 0, None).otherwise(F.col("op")))
+    null_unmatched = {r["doc_id"] for r in batch.collect()
+                      if r["op"] is None and r["doc_id"] not in base_keys}
+    assert null_unmatched  # the scenario under test actually occurs
+    for i, thresh in enumerate((10**9, 0)):
+        cat = LakeCatalog(spark, f"{warehouse}/no{i}")
+        tbl = cat.create_table("t", SEQUENCES_SCHEMA, n_buckets=4,
+                               bucket_key="doc_id")
+        tbl.append(_staged(spark, 50).drop("op"))
+        merge_apply(tbl, batch, keys=["doc_id"], broadcast_threshold_rows=thresh)
+        states.append(table_state(tbl))
+    assert states[0] == states[1]
+    # the NULL-op unmatched rows were INSERTED, not dropped
+    assert null_unmatched <= set(states[0])
+
+
 def test_broadcast_plan_composite_keys_with_nulls(spark, warehouse):
     """eqNullSafe parity: NULL key components match each other under both
     plans (composite key with a nullable component)."""

@@ -169,3 +169,42 @@ def test_mor_rejects_merge_rules(spark):
     with pytest.raises(ConfigError, match="merge_rules"):
         JobConfig(mode="merge", merge_strategy="mor",
                   merge_rules={"value": "T.value + S.value"})
+
+
+def test_mor_rejects_non_merge_key_bucketing(spark, warehouse):
+    """Deltas must co-locate with their base rows: bucketing by a non-key
+    column would leave stale base rows in 'clean' buckets."""
+    from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA
+
+    cat = LakeCatalog(spark, f"{warehouse}/bk")
+    tbl = cat.create_table("t", SEQUENCES_SCHEMA, n_buckets=4,
+                           bucket_key="source")
+    df = synth_binlog(spark, 10, 5, 10).select(
+        "doc_id", "tokens", "n_tok", "source")
+    with pytest.raises(ValueError, match="bucket key"):
+        tbl.append_delta(df, merge_keys=["doc_id"])
+
+
+def test_added_rows_refuses_mor_interval(spark, warehouse):
+    """added_rows would strip the op envelope and surface deletes as
+    upserts; it must refuse and point at changelog()."""
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/ar"), _cfg())
+    drv.run_batch(synth_binlog(spark, 200, 20, 200), 0)
+    v1 = drv.table.current_version()
+    drv.run_batch(synth_binlog(spark, 200, 20, 200, start=200), 1)
+    with pytest.raises(ValueError, match="changelog"):
+        drv.table.added_rows(v1)
+    assert drv.table.changelog(v1).count() > 0
+
+
+def test_auto_compact_counts_applied_batches_not_ids(spark, warehouse):
+    """Sparse batch ids (e.g. even-only) must still compact every N applies."""
+    binlog = synth_binlog(spark, 600, 40, 150)  # batch ids 0..3
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/sp"),
+                       _cfg(mor_compact_every=2))
+    # apply only even ids: (id+1) % 2 == 1 forever under id-arithmetic
+    from pyspark.sql import functions as F
+
+    for b in (0, 2):
+        drv.run_batch(binlog.filter(F.col("batch_id") == b), b)
+    assert drv.table.delta_file_count() == 0  # compacted after 2 applies

@@ -153,6 +153,26 @@ def test_kafka_frames_fan_out_to_tables(spark, cat):
     binlog.unpersist()
 
 
+def test_unknown_table_events_fail_loud(spark, cat, warehouse):
+    """Events for an unconfigured table must fail the batch by default and
+    be droppable only by explicit opt-out."""
+    binlog = tagged_binlog(spark, n=200, per_batch=200).withColumn(
+        "table",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0, F.lit("seq_c"))
+        .otherwise(F.col("table")),
+    ).cache()
+    cfgs = [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+            JobConfig(table="seq_b", mode="merge", n_buckets=4)]
+    mt = MultiTableReplayDriver(LakeCatalog(spark, f"{warehouse}/uk1"), cfgs)
+    with pytest.raises(ValueError, match="seq_c"):
+        mt.run_batch(binlog, 0)
+    loose = MultiTableReplayDriver(LakeCatalog(spark, f"{warehouse}/uk2"),
+                                   cfgs, unknown_tables="ignore")
+    recs = loose.run_batch(binlog, 0)
+    assert all(r is not None for r in recs.values())
+    binlog.unpersist()
+
+
 def test_duplicate_targets_rejected(spark, cat):
     with pytest.raises(ConfigError, match="duplicate"):
         MultiTableReplayDriver(
