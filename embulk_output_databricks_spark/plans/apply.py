@@ -21,8 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..config import ApplyMode, JobConfig
-from ..sources.laketable import LakeCatalog, LakeTable, Manifest
+from pyspark.sql import types as T
+
+from ..config import ApplyMode, ConfigError, JobConfig
+from ..sources.laketable import LakeCatalog, LakeTable, Manifest, _type_of
 from .merge import merge_apply, merge_apply_mor
 
 
@@ -35,9 +37,23 @@ def _run_hook(table: LakeTable, sql: str | None) -> None:
 
 def ensure_table(catalog: LakeCatalog, cfg: JobConfig, schema) -> LakeTable:
     """Auto-create the target when missing (ref B11: auto-create target,
-    README.md:51,55,67)."""
+    README.md:51,55,67). cfg.column_types overrides per-column types at
+    create time — the engine's column_options.type (ref README.md:40-41,
+    type matrix TestDatabricksOutputPluginByOutputType.java:14-102); data
+    conforms automatically because every write casts to the manifest
+    schema."""
     if catalog.table_exists(cfg.table):
         return catalog.load(cfg.table)
+    if cfg.column_types:
+        known = {f.name for f in schema.fields}
+        unknown = set(cfg.column_types) - known
+        if unknown:
+            raise ConfigError(f"column_types for unknown columns: {sorted(unknown)}")
+        schema = T.StructType([
+            T.StructField(f.name, _type_of(cfg.column_types[f.name]), f.nullable)
+            if f.name in cfg.column_types else f
+            for f in schema.fields
+        ])
     bucket_key = cfg.merge_keys[0] if cfg.merge_keys else None
     return catalog.create_table(cfg.table, schema, n_buckets=cfg.n_buckets, bucket_key=bucket_key)
 

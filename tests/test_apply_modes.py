@@ -163,6 +163,32 @@ def test_s19_invalid_config_rejected():
     assert JobConfig(mode="insert").mode is ApplyMode.INSERT
 
 
+def test_column_types_override_on_create(spark, cat, warehouse):
+    """cfg.column_types types the auto-created target (ref
+    column_options.type, README.md:40-41): n_tok created as bigint, values
+    preserved through replay; unknown column names rejected fail-fast."""
+    from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+    from embulk_output_databricks_spark.synth import synth_binlog
+
+    cfg = JobConfig(mode="merge", n_buckets=4,
+                    column_types={"n_tok": "bigint", "tokens": "array<bigint>"})
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/ct"), cfg)
+    df = drv.table.read()
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+    assert dict(df.dtypes)["tokens"] == "array<bigint>"
+    binlog = synth_binlog(spark, 200, 20, 200)
+    drv.run_batch(binlog, 0)
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+           for r in drv.table.read().collect()}
+    assert all(len(t) == n for t, n in got.values()) and got
+
+    with pytest.raises(ConfigError, match="unknown columns"):
+        ReplayDriver(LakeCatalog(spark, f"{warehouse}/ct2"),
+                     JobConfig(table="t2", mode="merge",
+                               column_types={"nope": "bigint"}))
+
+
 def test_hooks_run(spark, cat):
     cfg = JobConfig(mode="insert", before_load="SELECT count(*) FROM sequences",
                     after_load="SELECT 1")
