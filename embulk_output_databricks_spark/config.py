@@ -60,7 +60,10 @@ class JobConfig:
     after_load: str | None = None
     column_types: dict[str, str] = field(default_factory=dict)
     timezone: str = "UTC"
-    timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    # ruby strftime, exactly as the reference's column_options accepts it
+    # (default %Y-%m-%d %H:%M:%S.%6N, README.md:39); rendered via
+    # functions/typemap.format_timestamp -> render_timestamp() below
+    timestamp_format: str = "%Y-%m-%d %H:%M:%S.%6N"
     max_events_per_batch: int = 10_000_000
     n_buckets: int = 16          # target-table bucket count; scale with data
     dedup_salt: int = 8          # salt fan-out for skewed LWW dedup
@@ -84,6 +87,13 @@ class JobConfig:
                                   # than to cache — measured in BENCH)
     keep_staging_on_error: bool = False
     support_deletes: bool = True  # op='D' extension (FIXTURES.md S12)
+    # replay-level retry of a failed batch apply (ref retry_limit 12 /
+    # retry_wait 1000ms doubling to max_retry_wait 30min, README.md:32-34;
+    # inherited AbstractJdbcOutputConnector). Idempotent by the fence: a
+    # batch that died mid-apply is reconciled/skipped or cleanly re-applied.
+    retry_limit: int = 12
+    retry_wait_s: float = 1.0
+    max_retry_wait_s: float = 1800.0
 
     def __post_init__(self) -> None:
         if isinstance(self.mode, str):
@@ -114,8 +124,20 @@ class JobConfig:
             raise ConfigError("merge_rules require merge_strategy='cow'")
         if self.mor_compact_every < 0:
             raise ConfigError("mor_compact_every must be >= 0")
+        if self.retry_limit < 0 or self.retry_wait_s <= 0 \
+                or self.max_retry_wait_s < self.retry_wait_s:
+            raise ConfigError("retry_limit must be >= 0 and "
+                              "retry_wait_s <= max_retry_wait_s (both > 0)")
         if self.n_buckets < 1 or self.dedup_salt < 1:
             raise ConfigError("n_buckets and dedup_salt must be >= 1")
+
+    def render_timestamp(self, col):
+        """Render a (UTC-stored) timestamp Column as text under this
+        config's ruby timestamp_format + timezone — the per-column
+        column_options leg (ref README.md:39,43-44)."""
+        from .functions.typemap import format_timestamp
+
+        return format_timestamp(col, self.timestamp_format, self.timezone)
 
     def redacted(self) -> dict:
         """Loggable config dump with secret-shaped keys masked (analog of

@@ -633,6 +633,19 @@ class LakeTable:
         new = self._write_data_files(df, base)
         return self._commit(base, keep + new, props)
 
+    def clean_staging(self) -> list[str]:
+        """Remove leftover write-staging dirs (data/.tmp-*) after a failed
+        apply — the engine's delete_stage_on_error policy (ref
+        DatabricksOutputPlugin.java:176-183). Committed data files are
+        never under .tmp-*, so this is always safe."""
+        removed = []
+        data_dir = os.path.join(self.root, "data")
+        for fn in os.listdir(data_dir):
+            if fn.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(data_dir, fn), ignore_errors=True)
+                removed.append(f"data/{fn}")
+        return removed
+
     def remove_orphan_files(self) -> list[str]:
         """Delete data files referenced by NO remaining manifest (Iceberg
         remove_orphan_files analog). Safe after expire_snapshots: the

@@ -159,13 +159,34 @@ class ReplayDriver:
             cols.append(F.col(src).alias(cur) if src else F.lit(None).alias(cur))
         if "op" in events.columns:
             cols.append(F.col("op"))
-        if self.cfg.mode is ApplyMode.MERGE:
-            staged = lww_dedup(
-                events, keys=self.cfg.merge_keys, order=["seq_lsn", "event_id"],
-                strategy=self.cfg.dedup_strategy, salt=self.cfg.dedup_salt,
-            ).select(*cols)
-        else:
-            staged = events.select(*cols)
+
+        def stage(ev: DataFrame) -> DataFrame:
+            if self.cfg.mode is ApplyMode.MERGE:
+                return lww_dedup(
+                    ev, keys=self.cfg.merge_keys, order=["seq_lsn", "event_id"],
+                    strategy=self.cfg.dedup_strategy, salt=self.cfg.dedup_salt,
+                ).select(*cols)
+            return ev.select(*cols)
+
+        # A6 chunking (ref batch_size, DatabricksCopyBatchInsert.java:78-100):
+        # an oversized batch splits into lsn-range sub-batches applied in
+        # order. Correct for append modes trivially and for merge because a
+        # later chunk's writer wins per key — same final state as one apply.
+        # The fence stamp rides ONLY the last chunk's snapshot, so a crash
+        # mid-chunks leaves the batch unfenced and the rerun (idempotent by
+        # LWW order) completes it. Needs known (n, lo, hi): full-metrics
+        # mode only; chunking does not apply to truncate_insert/replace
+        # (each overwrite would clobber the previous chunk).
+        nmax = self.cfg.max_events_per_batch
+        ranges: list[tuple[int, int] | None] = [None]
+        if (nmax and collect_metrics is True and n_in > nmax
+                and self.cfg.mode in (ApplyMode.MERGE, ApplyMode.INSERT,
+                                      ApplyMode.INSERT_DIRECT)):
+            import math
+            n_chunks = math.ceil(n_in / nmax)
+            span = (hi - lo + 1) / n_chunks
+            bounds = [lo + round(i * span) for i in range(n_chunks)] + [hi + 1]
+            ranges = [(bounds[i], bounds[i + 1]) for i in range(n_chunks)]
 
         # batch_id is the fence anchor and MUST ride the snapshot commit
         # itself (crash reconciliation reads it back); lsn stats are
@@ -178,7 +199,19 @@ class ReplayDriver:
 
         t_apply = _time.monotonic()
         try:
-            m = apply_batch(self.table, staged, self.cfg, properties=props)
+            for i, rng in enumerate(ranges):
+                ev_i = events if rng is None else events.filter(
+                    (F.col("seq_lsn") >= rng[0]) & (F.col("seq_lsn") < rng[1]))
+                last = i == len(ranges) - 1
+                # interim chunks commit WITHOUT the fence props (properties
+                # are inherited across snapshots; only the completing chunk
+                # may stamp batch_id)
+                m = apply_batch(self.table, stage(ev_i), self.cfg,
+                                properties=props if last else None)
+        except BaseException:
+            if not self.cfg.keep_staging_on_error:
+                self.table.clean_staging()  # ref delete_stage_on_error (A3)
+            raise
         finally:
             if self.cfg.persist_source:
                 events.unpersist()
@@ -223,11 +256,40 @@ class ReplayDriver:
                          binlog.select("batch_id").distinct().orderBy("batch_id").collect()]
         out = []
         for b in batch_ids:
-            rec = self.run_batch(
+            rec = self._retrying(lambda b=b: self.run_batch(
                 binlog.filter(F.col("batch_id") == b), b,
                 evolution=(evolution_plan or {}).get(b),
                 collect_metrics=collect_metrics,
-            )
+            ))
             if rec is not None:
                 out.append(rec)
         return out
+
+    def _retrying(self, fn):
+        """Replay-level retry with doubling backoff (ref retry_limit 12 /
+        retry_wait 1000ms -> max_retry_wait 30min, README.md:32-34, inherited
+        AbstractJdbcOutputConnector via DatabricksOutputConnector.java:12).
+        Re-running the whole batch is safe: if the failed attempt's snapshot
+        committed, the fence (or crash reconciliation) turns the retry into a
+        no-op; if it didn't, the retry applies from scratch. Deterministic
+        plan-time errors (bad merge-rule SQL, config errors) are NOT retried
+        — only runtime failures, the analog of retryable SQLExceptions."""
+        import time
+
+        from pyspark.errors import AnalysisException
+
+        from ..config import ConfigError
+
+        wait = self.cfg.retry_wait_s
+        attempt = 0
+        while True:
+            try:
+                return fn()
+            except (InjectedCrash, AnalysisException, ConfigError):
+                raise
+            except Exception:
+                if attempt >= self.cfg.retry_limit:
+                    raise
+                attempt += 1
+                time.sleep(wait)
+                wait = min(wait * 2, self.cfg.max_retry_wait_s)

@@ -1,0 +1,111 @@
+"""Config knobs mirroring reference behaviors: max_events_per_batch
+chunking (A6), keep_staging_on_error policy (A3), ruby timestamp_format +
+timezone rendering (A5)."""
+
+import datetime
+import os
+
+import pytest
+
+from embulk_output_databricks_spark.config import JobConfig
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+from embulk_output_databricks_spark.synth import synth_binlog
+from tests.test_replay import python_oracle, table_state
+
+
+def test_oversized_batch_chunks_and_matches_oracle(spark, warehouse):
+    binlog = synth_binlog(spark, 900, 60, 900, delete_frac=0.1).cache()
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/ch"),
+                       JobConfig(mode="merge", n_buckets=4,
+                                 max_events_per_batch=300))
+    v0 = drv.table.current_version()
+    rec = drv.run_batch(binlog, 0)
+    # three lsn-range chunks -> three snapshots; fence stamped on the last
+    assert drv.table.current_version() == v0 + 3
+    assert drv.table.manifest().properties["batch_id"] == 0
+    assert rec["lsn_to"] - rec["lsn_from"] == 900
+    assert table_state(drv.table) == python_oracle(
+        [r.asDict() for r in binlog.collect()])
+    # fence: rerun is a no-op even though the batch applied in chunks
+    assert drv.run_batch(binlog, 0) is None
+    binlog.unpersist()
+
+
+def test_undersized_batch_does_not_chunk(spark, warehouse):
+    binlog = synth_binlog(spark, 200, 20, 200)
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/nc"),
+                       JobConfig(mode="merge", n_buckets=4,
+                                 max_events_per_batch=1000))
+    v0 = drv.table.current_version()
+    drv.run_batch(binlog, 0)
+    assert drv.table.current_version() == v0 + 1
+
+
+@pytest.mark.parametrize("keep", [False, True])
+def test_staging_cleanup_policy_on_error(spark, warehouse, keep):
+    cat = LakeCatalog(spark, f"{warehouse}/st{keep}")
+    ok = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    ok.run_batch(synth_binlog(spark, 100, 10, 100), 0)  # creates target rows
+    bad = ReplayDriver(
+        cat, JobConfig(mode="merge", n_buckets=4, keep_staging_on_error=keep,
+                       merge_rules={"n_tok": "T.no_such_column + 1"}))
+    stray = os.path.join(bad.table.root, "data", ".tmp-leftover")
+    os.makedirs(stray, exist_ok=True)
+    with pytest.raises(Exception):
+        bad.run_batch(synth_binlog(spark, 100, 10, 100, start=100), 1)
+    assert os.path.exists(stray) == keep
+
+
+def test_replay_retries_transient_failures(spark, warehouse):
+    # A14: failed batch apply retries with backoff; fence keeps it idempotent
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/rt"),
+                       JobConfig(mode="merge", n_buckets=4,
+                                 retry_wait_s=0.01, max_retry_wait_s=0.02))
+    binlog = synth_binlog(spark, 300, 20, 300).cache()
+    fails = {"n": 2}
+    real = drv.run_batch
+
+    def flaky(*a, **kw):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("transient I/O")
+        return real(*a, **kw)
+
+    drv.run_batch = flaky
+    recs = drv.replay(binlog)
+    assert fails["n"] == 0 and len(recs) >= 1
+    assert table_state(drv.table) == python_oracle(
+        [r.asDict() for r in binlog.collect()])
+    binlog.unpersist()
+
+
+def test_replay_does_not_retry_plan_errors(spark, warehouse):
+    # deterministic plan-time failure (bad merge-rule SQL) must fail fast,
+    # not burn retry_limit * retry_wait on an error that cannot heal
+    import time
+
+    drv = ReplayDriver(
+        LakeCatalog(spark, f"{warehouse}/nr"),
+        JobConfig(mode="merge", n_buckets=4, retry_wait_s=20,
+                  merge_rules={"n_tok": "T.no_such_column + 1"}))
+    t0 = time.monotonic()
+    with pytest.raises(Exception):
+        drv.replay(synth_binlog(spark, 100, 10, 100))
+    assert time.monotonic() - t0 < 20  # no backoff sleep happened
+
+
+def test_render_timestamp_ruby_format_and_zone(spark):
+    from pyspark.sql import functions as F
+
+    cfg = JobConfig()  # default %Y-%m-%d %H:%M:%S.%6N, UTC
+    tokyo = JobConfig(timezone="Asia/Tokyo")
+    ts = datetime.datetime(2024, 1, 1, 20, 30, 0, 123456)
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+    row = df.select(
+        cfg.render_timestamp(F.col("ts")).alias("utc"),
+        tokyo.render_timestamp(F.col("ts")).alias("jst"),
+    ).collect()[0]
+    assert row["utc"] == "2024-01-01 20:30:00.123456"
+    # UTC -> JST day rollover (ref TestDatabricksOutputPluginByOutputType:79-83)
+    assert row["jst"] == "2024-01-02 05:30:00.123456"
