@@ -63,14 +63,22 @@ def apply_batch(
     staged: DataFrame,
     cfg: JobConfig,
     properties: dict | None = None,
+    hook_before: bool = True,
+    hook_after: bool = True,
 ) -> Manifest:
     """Commit one staged batch to the target under cfg.mode.
 
     `staged` carries the target payload columns (plus `op` for merge).
     For merge, run operators.lww_dedup on the raw events first — this
     function applies, it does not deduplicate.
+
+    hook_before/hook_after let a chunked caller (replay A6) run
+    before_load once before the first chunk and after_load once after the
+    last — the reference brackets the whole load, not each COPY
+    (DatabricksOutputConnection.java:150-152,166-168).
     """
-    _run_hook(table, cfg.before_load)
+    if hook_before:
+        _run_hook(table, cfg.before_load)
     mode = cfg.mode
     if mode in (ApplyMode.INSERT, ApplyMode.INSERT_DIRECT):
         drop = [c for c in staged.columns if c == "op"]
@@ -102,5 +110,6 @@ def apply_batch(
             )
     else:  # pragma: no cover
         raise ValueError(f"unhandled mode {mode}")
-    _run_hook(table, cfg.after_load)
+    if hook_after:
+        _run_hook(table, cfg.after_load)
     return m

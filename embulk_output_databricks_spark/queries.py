@@ -385,6 +385,27 @@ def q_cdc_fence_idempotent(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_chunked_batch(spark, sf_dir):
+    """A6 batch chunking (ref batch_size, DatabricksCopyBatchInsert.java:
+    78-100): a batch above max_events_per_batch splits into ordered
+    lsn-range sub-batches — one snapshot per chunk, fence stamped on the
+    last — and the final state equals a single-shot apply because LWW makes
+    the later chunk win per key."""
+    import math
+
+    binlog = _binlog_batches(spark, sf_dir, split_days=31)  # one big batch
+    cat = _fresh_catalog(spark, "chunked")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"],
+                    n_buckets=8, max_events_per_batch=4000)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    v0 = driver.table.current_version()
+    driver.replay(binlog, batch_ids=[0], collect_metrics=True)
+    n_chunks = max(1, math.ceil(binlog.count() / cfg.max_events_per_batch))
+    assert driver.table.current_version() - v0 == n_chunks
+    assert driver.table.manifest().properties["batch_id"] == 0
+    return driver.table.read()
+
+
 _SQL_REPLAY_FINAL = """
 SELECT user_id, ts_us AS seq_lsn, event_type, value, props FROM (
   SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props,
@@ -1177,6 +1198,7 @@ SPARK_QUERIES = {
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
+    "cdc_chunked_batch": q_cdc_chunked_batch,
     "cdc_fence_antijoin": q_cdc_fence_antijoin,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_read": q_cdc_incremental_read,
@@ -1251,6 +1273,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 1 GROUP BY user_id
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
+        "cdc_chunked_batch": _SQL_REPLAY_FINAL,
         "cdc_fence_antijoin": f"""
             SELECT CAST((day(ts) - 1) // 8 AS BIGINT) AS batch_id,
                    user_id, event_id, epoch_us(ts) AS seq_lsn

@@ -205,9 +205,12 @@ class ReplayDriver:
                 last = i == len(ranges) - 1
                 # interim chunks commit WITHOUT the fence props (properties
                 # are inherited across snapshots; only the completing chunk
-                # may stamp batch_id)
+                # may stamp batch_id); before/after_load hooks bracket the
+                # whole batch, not each chunk (ref runs them once per load,
+                # DatabricksOutputConnection.java:150-152,166-168)
                 m = apply_batch(self.table, stage(ev_i), self.cfg,
-                                properties=props if last else None)
+                                properties=props if last else None,
+                                hook_before=(i == 0), hook_after=last)
         except BaseException:
             if not self.cfg.keep_staging_on_error:
                 self.table.clean_staging()  # ref delete_stage_on_error (A3)

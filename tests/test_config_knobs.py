@@ -42,6 +42,28 @@ def test_undersized_batch_does_not_chunk(spark, warehouse):
     assert drv.table.current_version() == v0 + 1
 
 
+def test_hooks_bracket_chunked_batch(spark, warehouse, monkeypatch):
+    # B9 + A6: before/after_load run once around the WHOLE batch even when
+    # it applies in chunks (ref brackets the load, not each COPY,
+    # DatabricksOutputConnection.java:150-152,166-168)
+    from embulk_output_databricks_spark.plans import apply as apply_mod
+
+    calls = []
+    real = apply_mod._run_hook
+    monkeypatch.setattr(
+        apply_mod, "_run_hook",
+        lambda table, sql: (calls.append(sql) if sql else None,
+                            real(table, sql))[1])
+    drv = ReplayDriver(
+        LakeCatalog(spark, f"{warehouse}/hk"),
+        JobConfig(mode="merge", n_buckets=4, max_events_per_batch=300,
+                  before_load="SELECT 'pre'", after_load="SELECT 'post'"))
+    v0 = drv.table.current_version()
+    drv.run_batch(synth_binlog(spark, 900, 60, 900), 0)
+    assert drv.table.current_version() == v0 + 3  # really chunked
+    assert calls == ["SELECT 'pre'", "SELECT 'post'"]
+
+
 @pytest.mark.parametrize("keep", [False, True])
 def test_staging_cleanup_policy_on_error(spark, warehouse, keep):
     cat = LakeCatalog(spark, f"{warehouse}/st{keep}")
