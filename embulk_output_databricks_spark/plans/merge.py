@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..sources.laketable import LakeTable, Manifest, bucket_expr
+from ..sources.laketable import LakeTable, Manifest, _file_nb, bucket_expr
 
 OP_COL = "op"
 _T_HIT = "__t_present"
@@ -153,12 +153,19 @@ def merge_apply(
     staged = staged.select(*s_cols).persist()
 
     # -- 1. bucket pruning (only valid when the bucket key is a merge key,
-    # i.e. equal keys necessarily share a bucket) --
+    # i.e. equal keys necessarily share a bucket). After a rebucket() the
+    # snapshot can hold files under several bucket specs; the staged keys'
+    # buckets are computed under EVERY spec present (one aggregation job)
+    # so pruning stays exact per file --
     if m.bucket_key and m.bucket_key in keys:
-        rows = staged.select(bucket_expr(m.bucket_key, m.n_buckets).alias("b")).distinct().collect()
-        affected = {r["b"] for r in rows}
+        nbs = sorted({_file_nb(m, f) for f in m.files} | {m.n_buckets})
+        row = staged.select(*[
+            F.collect_set(bucket_expr(m.bucket_key, nb)).alias(f"b{nb}")
+            for nb in nbs
+        ]).collect()[0]
+        affected = {nb: set(row[f"b{nb}"]) for nb in nbs}
     else:
-        affected = {f["bucket"] for f in m.files}
+        affected = None  # unprunable: read / swap the whole table
     target = table.read(buckets=affected).alias("T")
     staged = staged.alias("S")
     rules = merge_rules or {}

@@ -406,6 +406,29 @@ def q_cdc_chunked_batch(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_rebucket(spark, sf_dir):
+    """Bucket-spec evolution mid-replay (Iceberg partition-spec evolution
+    analog; no reference counterpart — layout is delegated to Databricks):
+    rebucket() changes n_buckets with a METADATA-ONLY commit, later merges
+    prune exactly per-file under each file's own spec, and the final state
+    is identical to a fixed-layout replay."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "rebucket")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    driver.replay(binlog, batch_ids=[0, 1], collect_metrics=True)
+    files_pre = {f["path"] for f in driver.table.manifest().files}
+    m = driver.table.rebucket(32)  # grow the layout 4x mid-stream
+    assert m.n_buckets == 32
+    assert {f["path"] for f in m.files} == files_pre  # metadata-only
+    driver.replay(binlog, batch_ids=[2, 3], collect_metrics=True)
+    # compaction migrates the remaining old-spec files to the new layout
+    driver.table.compact(min_files_per_bucket=999)
+    mf = driver.table.manifest()
+    assert all(f.get("nb", mf.n_buckets) == 32 for f in mf.files)
+    return driver.table.read()
+
+
 _SQL_REPLAY_FINAL = """
 SELECT user_id, ts_us AS seq_lsn, event_type, value, props FROM (
   SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props,
@@ -1199,6 +1222,7 @@ SPARK_QUERIES = {
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
     "cdc_chunked_batch": q_cdc_chunked_batch,
+    "cdc_rebucket": q_cdc_rebucket,
     "cdc_fence_antijoin": q_cdc_fence_antijoin,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_read": q_cdc_incremental_read,
@@ -1274,6 +1298,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
         "cdc_chunked_batch": _SQL_REPLAY_FINAL,
+        "cdc_rebucket": _SQL_REPLAY_FINAL,
         "cdc_fence_antijoin": f"""
             SELECT CAST((day(ts) - 1) // 8 AS BIGINT) AS batch_id,
                    user_id, event_id, epoch_us(ts) AS seq_lsn

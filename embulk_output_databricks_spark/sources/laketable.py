@@ -135,6 +135,34 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _file_nb(m: "Manifest", f: dict) -> int:
+    """Bucket-spec (n_buckets) a file was written under. Files carry "nb"
+    only once the table has been rebucketed; absent means the manifest's
+    current spec — rebucket() stamps every pre-existing entry to keep the
+    invariant (Iceberg partition-spec-id-per-data-file analog)."""
+    return f.get("nb", m.n_buckets)
+
+
+def _split_files(m: "Manifest", files: list[dict],
+                 buckets) -> tuple[list[dict], list[dict]]:
+    """Partition `files` into (selected, rest) under a bucket filter.
+
+    `buckets` is None (select all), a set of bucket ids under the CURRENT
+    spec, or a {n_buckets: set(bucket_ids)} map covering multiple specs.
+    A file whose spec has no entry in the map is SELECTED (conservative:
+    a reader cannot prove the file misses the probed keys, so it must be
+    read — and a rewriter that read it must also remove it; callers rely
+    on read-selection == removal-selection)."""
+    if buckets is None:
+        return list(files), []
+    spec = buckets if isinstance(buckets, dict) else {m.n_buckets: set(buckets)}
+    sel, rest = [], []
+    for f in files:
+        chosen = spec.get(_file_nb(m, f))
+        (sel if chosen is None or f["bucket"] in chosen else rest).append(f)
+    return sel, rest
+
+
 class LakeCatalog:
     """Directory-of-tables catalog (analog of the reference's Unity Catalog
     schema namespace; tableExists/metadata probes map to SURVEY B10)."""
@@ -237,11 +265,14 @@ class LakeTable:
         read resolves them: per merge key the highest-__dseq row wins (base
         rows rank 0), and a winning delete drops the key. Bucket pruning
         stays exact because base and delta files share the bucket function.
+
+        `buckets` may be a set (bucket ids under the current spec) or an
+        {n_buckets: set} map when the table holds files from multiple bucket
+        specs after a rebucket(); files of a spec absent from the map are
+        always read (see _split_files).
         """
         m = self.manifest(version)
-        files = m.files
-        if buckets is not None:
-            files = [f for f in files if f["bucket"] in buckets]
+        files, _ = _split_files(m, m.files, buckets)
         deltas = [f for f in files if f.get("kind") == "delta"]
         if not deltas:
             return self._df_for_files(m, files)
@@ -254,11 +285,12 @@ class LakeTable:
             )
         # only buckets that actually hold deltas pay the resolution shuffle;
         # clean buckets are read directly (at 10^10 scale a batch touches a
-        # small fraction of buckets — the read must not re-shuffle the rest)
-        hot = {f["bucket"] for f in deltas}
-        clean = [f for f in files if f.get("kind") != "delta" and f["bucket"] not in hot]
-        dirty_base = [f for f in files
-                      if f.get("kind") != "delta" and f["bucket"] in hot]
+        # small fraction of buckets — the read must not re-shuffle the rest).
+        # A base file is provably delta-free only when it shares the delta
+        # files' bucket spec and misses their buckets: across a rebucket()
+        # the same key hashes to different ids, so cross-spec base files are
+        # conservatively dirty until compaction migrates them.
+        clean, dirty_base = self._mor_split(m, files, deltas)
         base = (
             self._df_for_files(m, dirty_base)
             .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
@@ -272,6 +304,23 @@ class LakeTable:
         if not clean:
             return resolved
         return self._df_for_files(m, clean).unionByName(resolved)
+
+    @staticmethod
+    def _mor_split(m: Manifest, files: list[dict],
+                   deltas: list[dict]) -> tuple[list[dict], list[dict]]:
+        """(clean, dirty) split of the non-delta files in `files` w.r.t.
+        `deltas`. Clean = no delta can hold one of the file's keys: requires
+        every delta to share the file's bucket spec AND miss its bucket."""
+        dmap: dict[int, set] = {}
+        for f in deltas:
+            dmap.setdefault(_file_nb(m, f), set()).add(f["bucket"])
+
+        def is_clean(f: dict) -> bool:
+            nb = _file_nb(m, f)
+            return set(dmap) <= {nb} and f["bucket"] not in dmap.get(nb, ())
+
+        base = [f for f in files if f.get("kind") != "delta"]
+        return [f for f in base if is_clean(f)], [f for f in base if not is_clean(f)]
 
     def added_rows(self, since_version: int, version: int | None = None) -> DataFrame:
         """Incremental read (Iceberg incremental-scan analog): rows in data
@@ -387,11 +436,12 @@ class LakeTable:
         schema_versions: list[SchemaVersion] | None = None,
         current_sv: int | None = None,
         next_field_id: int | None = None,
+        n_buckets: int | None = None,
     ) -> Manifest:
         m = Manifest(
             version=base.version + 1,
             parent=base.version,
-            n_buckets=base.n_buckets,
+            n_buckets=base.n_buckets if n_buckets is None else n_buckets,
             bucket_key=base.bucket_key,
             current_sv=base.current_sv if current_sv is None else current_sv,
             schema_versions=schema_versions or base.schema_versions,
@@ -500,12 +550,19 @@ class LakeTable:
         read (maxby over base∪delta). Returns None when nothing to fold."""
         base = self.manifest()
         delta_files = [f for f in base.files if f.get("kind") == "delta"]
-        victims = {f["bucket"] for f in delta_files}
-        if not victims:
+        if not delta_files:
             return None
-        n_delta_rows = sum(f["rows"] for f in delta_files)
         keys = [k for k in (base.properties.get("merge_keys") or "").split(",") if k]
-        if n_delta_rows <= broadcast_threshold_rows and keys:
+        if not keys:
+            raise ValueError(
+                f"{self.name}: delta files present but no merge_keys property")
+        # same clean/dirty classification as read(): after a rebucket, base
+        # files still on the old spec are conservatively dirty — compaction
+        # rewrites them under the CURRENT spec, i.e. it IS the incremental
+        # spec migration (Iceberg rewrite_data_files after spec evolution)
+        keep, dirty_base = self._mor_split(base, base.files, delta_files)
+        n_delta_rows = sum(f["rows"] for f in delta_files)
+        if n_delta_rows <= broadcast_threshold_rows:
             from ..operators.lww import lww_dedup
             from ..plans.merge import broadcast_upsert_plan  # lazy: cycle-safe
 
@@ -514,16 +571,21 @@ class LakeTable:
                 self._df_for_files(base, delta_files, extra_fields=_DELTA_FIELDS),
                 keys=keys, order=[_DSEQ_COL], strategy="maxby",
             ).select(*payload, F.col(_DOP_COL).alias("op"))
-            dirty_base = [f for f in base.files
-                          if f.get("kind") != "delta" and f["bucket"] in victims]
             df = broadcast_upsert_plan(
                 self._df_for_files(base, dirty_base),
                 self._df_for_files(base, dirty_base).select(*keys),
                 winners, keys, payload, has_op=True, support_deletes=True,
             )
         else:
-            df = self.read(buckets=victims)
-        keep = [f for f in base.files if f["bucket"] not in victims]
+            from ..operators.lww import lww_dedup
+
+            b = (self._df_for_files(base, dirty_base)
+                 .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
+                 .withColumn(_DOP_COL, F.lit("U")))
+            d = self._df_for_files(base, delta_files, extra_fields=_DELTA_FIELDS)
+            w = lww_dedup(b.unionByName(d), keys=keys,
+                          order=[_DSEQ_COL], strategy="maxby")
+            df = w.filter(F.col(_DOP_COL) != "D").drop(_DSEQ_COL, _DOP_COL)
         new = self._write_data_files(df, base)
         props = dict(properties or {})
         props.setdefault("operation", "compact_deltas")
@@ -545,13 +607,16 @@ class LakeTable:
                       if f.get("kind") == "delta" and f["path"] not in old]
         return self._df_for_files(m, new_deltas, extra_fields=_DELTA_FIELDS)
 
-    def replace_files(self, remove_buckets: set[int], add_df: DataFrame,
+    def replace_files(self, remove_buckets, add_df: DataFrame,
                       properties: dict | None = None) -> Manifest:
         """Copy-on-write primitive used by MERGE (plans/merge.py): swap out
-        every file in `remove_buckets` for the freshly-written result of
-        `add_df`, one atomic snapshot."""
+        every file selected by `remove_buckets` (set under the current spec,
+        {n_buckets: set} map across specs, or None for all files) for the
+        freshly-written result of `add_df`, one atomic snapshot. The caller
+        must have READ exactly the selected files into add_df — selection
+        here mirrors read()'s pruning bit-for-bit (_split_files)."""
         base = self.manifest()
-        keep = [f for f in base.files if f["bucket"] not in remove_buckets]
+        _sel, keep = _split_files(base, base.files, remove_buckets)
         new = self._write_data_files(add_df, base)
         return self._commit(base, keep + new, properties)
 
@@ -586,6 +651,29 @@ class LakeTable:
             raise SchemaEvolutionError(f"column {new!r} already exists")
         fields = [{**f, "name": new} if f["name"] == old else dict(f) for f in cur.fields]
         return self._evolved(base, fields, 0, properties)
+
+    def rebucket(self, n_buckets: int, properties: dict | None = None) -> Manifest:
+        """Bucket-spec evolution (Iceberg partition-spec evolution analog):
+        change the table's bucket count with a METADATA-ONLY commit — no
+        data file is touched. Existing file entries are stamped with the
+        spec they were written under ("nb"); new writes use the new spec.
+        Readers prune per-file by its own spec (_split_files) and MOR
+        resolution treats cross-spec base files as dirty; compact() then
+        migrates old-spec files incrementally. This is the only viable way
+        to grow bucket count on a 100 TB table: a 16-bucket layout chosen at
+        1 TB throttles merge parallelism at 100 TB, and an eager rewrite of
+        the whole table to fix it would be a multi-hour outage."""
+        base = self.manifest()
+        if not base.bucket_key:
+            raise ValueError(f"{self.name}: rebucket requires a bucketed table")
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        if n_buckets == base.n_buckets:
+            return base
+        files = [{**f, "nb": _file_nb(base, f)} for f in base.files]
+        props = dict(properties or {})
+        props.setdefault("operation", "rebucket")
+        return self._commit(base, files, props, n_buckets=n_buckets)
 
     # ---------- maintenance (SURVEY B12: cleanup DDL / expire snapshots) ----------
 
@@ -622,14 +710,23 @@ class LakeTable:
         base = self.manifest()
         counts: dict = {}
         for f in base.files:
-            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-        victims = {b for b, n in counts.items() if n >= min_files_per_bucket}
+            pair = (_file_nb(base, f), f["bucket"])
+            counts[pair] = counts.get(pair, 0) + 1
+        victims = {p for p, n in counts.items() if n >= min_files_per_bucket}
+        # files still on an OLD bucket spec (pre-rebucket) are always
+        # victims: compaction rewrites them under the current spec, so the
+        # table converges back to a single spec and full pruning/MOR fast
+        # paths — lazy migration, never a stop-the-world table rewrite
+        victims |= {p for p in counts if p[0] != base.n_buckets}
         if not victims:
             return None
-        df = self.read(buckets=victims)
+        vmap: dict[int, set] = {_file_nb(base, f): set() for f in base.files}
+        for nb, b in victims:
+            vmap[nb].add(b)
+        df = self.read(buckets=vmap)
         props = dict(properties or {})
         props.setdefault("operation", "compact")
-        keep = [f for f in base.files if f["bucket"] not in victims]
+        _sel, keep = _split_files(base, base.files, vmap)
         new = self._write_data_files(df, base)
         return self._commit(base, keep + new, props)
 
