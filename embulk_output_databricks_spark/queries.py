@@ -316,6 +316,29 @@ def q_cdc_apply_insert(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_stats_skipping(spark, sf_dir):
+    """Manifest-level file skipping by per-file column bounds (Iceberg
+    data-file min/max stats analog; the reference delegates scan pruning to
+    Databricks entirely). Time-sliced appends give files tight ts_us
+    bounds, so a range scan provably skips out-of-range files BEFORE any
+    IO and still returns exactly what a full-scan filter would."""
+    from embulk_output_databricks_spark.sources.laketable import _stats_keep
+
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "stats_skip", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    lo = mn + (mx - mn) * 3 // 8
+    hi = mn + (mx - mn) * 5 // 8  # middle quarter: outer slices must skip
+    m = tbl.manifest()
+    kept = _stats_keep(m, m.files, {"ts_us": (lo, hi)})
+    assert len(kept) < len(m.files), "range scan skipped no files"
+    return tbl.read(stats_filter={"ts_us": (lo, hi)})
+
+
 def q_cdc_apply_truncate(spark, sf_dir):
     """B4: truncate_insert — old rows gone, new present, one snapshot."""
     t_half, s_half = _halves(spark, sf_dir)
@@ -1218,6 +1241,7 @@ SPARK_QUERIES = {
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
+    "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
@@ -1287,6 +1311,14 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_apply_insert": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
+        "cdc_stats_skipping": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events, b
+            WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) * 3 // 8
+                                   AND b.mn + (b.mx - b.mn) * 5 // 8
+        """,
         "cdc_apply_truncate": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props "
             "FROM events WHERE event_id % 2 = 1"

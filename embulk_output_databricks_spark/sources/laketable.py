@@ -135,6 +135,81 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+_STATS_MAX_STR = 64  # longer string bounds are dropped, not truncated
+
+
+def _footer_stats(md, wanted: set[str]) -> dict:
+    """Per-column [min, max] from a parquet footer (pyarrow FileMetaData),
+    aggregated across row groups. Only top-level columns in `wanted`; a
+    column with any row group missing min/max (or with non-JSON-able or
+    oversized bounds) is dropped — absence means "cannot skip", never
+    "skip" (Iceberg data-file column bounds analog, collected for free
+    from the footer we already open to count rows)."""
+    agg: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in wanted or agg.get(name, ()) is None:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                agg[name] = None
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    agg[name] = None
+                    continue
+            if isinstance(mn, str) and (len(mn) > _STATS_MAX_STR or len(mx) > _STATS_MAX_STR):
+                agg[name] = None
+                continue
+            if not isinstance(mn, (int, float, str)):
+                agg[name] = None
+                continue
+            prev = agg.get(name)
+            agg[name] = [mn, mx] if prev is None or name not in agg else \
+                [min(prev[0], mn), max(prev[1], mx)]
+    return {k: v for k, v in agg.items() if v is not None}
+
+
+def _stats_keep(m: "Manifest", files: list[dict], stats_filter: dict) -> list[dict]:
+    """File-skipping by column bounds: drop files whose recorded [min,max]
+    provably misses every bound in `stats_filter` ({current_col_name:
+    (lo, hi)}, either bound None). Bounds are resolved to each file's
+    PHYSICAL column name by field id, so skipping survives renames. A file
+    with no recorded bounds for a column is kept (conservative); a file
+    written before the column existed is skipped (all-null misses any
+    range predicate, which is null-excluding by SQL semantics)."""
+    cur_by_name = {c["name"]: c for c in m.schema_version.fields}
+    svs = {s.sv: s for s in m.schema_versions}
+    out = []
+    for f in files:
+        keep = True
+        phys_by_id = svs[f["sv"]].by_id()
+        for col, (lo, hi) in stats_filter.items():
+            cf = cur_by_name.get(col)
+            if cf is None:
+                raise ValueError(f"stats_filter on unknown column {col!r}")
+            pf = phys_by_id.get(cf["id"])
+            if pf is None:  # column added after this file: all rows null
+                keep = False
+                break
+            s = f.get("stats", {}).get(pf["name"])
+            if s is None:
+                continue
+            mn, mx = s
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
 def _file_nb(m: "Manifest", f: dict) -> int:
     """Bucket-spec (n_buckets) a file was written under. Files carry "nb"
     only once the table has been rebucketed; absent means the manifest's
@@ -256,7 +331,8 @@ class LakeTable:
 
     # ---------- read path ----------
 
-    def read(self, version: int | None = None, buckets: set[int] | None = None) -> DataFrame:
+    def read(self, version: int | None = None, buckets: set[int] | None = None,
+             stats_filter: dict | None = None) -> DataFrame:
         """Current-schema DataFrame over the snapshot, projecting old-schema
         files by field id (rename/widen/add are resolved here, zero rewrite).
         `buckets` prunes the file list before any IO — the merge fast path.
@@ -270,12 +346,36 @@ class LakeTable:
         {n_buckets: set} map when the table holds files from multiple bucket
         specs after a rebucket(); files of a spec absent from the map are
         always read (see _split_files).
+
+        `stats_filter` ({col: (lo, hi)}, either bound None) both SKIPS files
+        whose recorded min/max provably miss the range (manifest-level
+        pruning, before any IO — the Iceberg file-skipping analog) and
+        APPLIES the range predicate to the returned rows, so results are
+        exact whether or not a file carries bounds. Range predicates are
+        null-excluding (SQL BETWEEN semantics). Under merge-on-read only
+        provably delta-free files are skipped and the predicate is applied
+        after winner resolution — a delta row outside the range must still
+        beat (and thus hide) its in-range base row.
         """
         m = self.manifest(version)
         files, _ = _split_files(m, m.files, buckets)
+
+        def _apply(df: DataFrame) -> DataFrame:
+            if not stats_filter:
+                return df
+            cond = F.lit(True)
+            for c, (lo, hi) in stats_filter.items():
+                if lo is not None:
+                    cond = cond & (F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(c) <= F.lit(hi))
+            return df.filter(cond)
+
         deltas = [f for f in files if f.get("kind") == "delta"]
         if not deltas:
-            return self._df_for_files(m, files)
+            if stats_filter:
+                files = _stats_keep(m, files, stats_filter)
+            return _apply(self._df_for_files(m, files))
         from ..operators.lww import lww_dedup  # lazy: avoids module cycle
 
         keys = [k for k in (m.properties.get("merge_keys") or "").split(",") if k]
@@ -291,6 +391,8 @@ class LakeTable:
         # the same key hashes to different ids, so cross-spec base files are
         # conservatively dirty until compaction migrates them.
         clean, dirty_base = self._mor_split(m, files, deltas)
+        if stats_filter:
+            clean = _stats_keep(m, clean, stats_filter)
         base = (
             self._df_for_files(m, dirty_base)
             .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
@@ -302,8 +404,8 @@ class LakeTable:
         )
         resolved = winners.filter(F.col(_DOP_COL) != "D").drop(_DSEQ_COL, _DOP_COL)
         if not clean:
-            return resolved
-        return self._df_for_files(m, clean).unionByName(resolved)
+            return _apply(resolved)
+        return _apply(self._df_for_files(m, clean).unionByName(resolved))
 
     @staticmethod
     def _mor_split(m: Manifest, files: list[dict],
@@ -400,6 +502,12 @@ class LakeTable:
         cur = m.schema()
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
         cols += [F.col(n).cast(t).alias(n) for n, t in extra_fields or []]
+        stats_cols = {
+            f.name for f in cur.fields
+            if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType,
+                                       T.LongType, T.FloatType, T.DoubleType,
+                                       T.StringType))
+        }
         df = df.select(*cols)
         tmp = os.path.join(self.root, f"data/.tmp-{uuid.uuid4().hex}")
         if m.bucket_key:
@@ -419,12 +527,17 @@ class LakeTable:
                 bucket = None
                 if f"{_BUCKET_COL}=" in dirpath:
                     bucket = int(dirpath.split(f"{_BUCKET_COL}=")[-1].split(os.sep)[0])
-                rows = pq.ParquetFile(src).metadata.num_rows
+                md = pq.ParquetFile(src).metadata
+                rows = md.num_rows
                 if rows == 0:
                     continue
                 rel = f"data/{uuid.uuid4().hex}.parquet"
                 os.replace(src, os.path.join(self.root, rel))
-                entries.append({"path": rel, "bucket": bucket, "rows": rows, "sv": m.current_sv})
+                entry = {"path": rel, "bucket": bucket, "rows": rows, "sv": m.current_sv}
+                stats = _footer_stats(md, stats_cols)
+                if stats:
+                    entry["stats"] = stats
+                entries.append(entry)
         shutil.rmtree(tmp, ignore_errors=True)
         return entries
 
