@@ -80,6 +80,13 @@ class JobConfig:
                                   # scanned, never shuffled); larger batches
                                   # fall back to the full-outer shuffle join.
                                   # 0 forces the shuffle plan.
+    target_rows_per_bucket: int = 0
+                                  # auto bucket-spec evolution: after a batch
+                                  # commits, if rows > target * n_buckets the
+                                  # driver rebucket()s (metadata-only) to the
+                                  # next 4x count that satisfies the target —
+                                  # the layout grows WITH the table instead of
+                                  # freezing at creation-time scale. 0 = off.
     persist_source: bool = False  # cache batch events across lineage+dedup
                                   # passes (worth it only when the source is
                                   # expensive to rescan; a seeded synth or a
@@ -130,6 +137,8 @@ class JobConfig:
                               "retry_wait_s <= max_retry_wait_s (both > 0)")
         if self.n_buckets < 1 or self.dedup_salt < 1:
             raise ConfigError("n_buckets and dedup_salt must be >= 1")
+        if self.target_rows_per_bucket < 0:
+            raise ConfigError("target_rows_per_bucket must be >= 0")
 
     def render_timestamp(self, col):
         """Render a (UTC-stored) timestamp Column as text under this

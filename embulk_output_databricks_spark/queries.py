@@ -474,8 +474,9 @@ _EVO_SCHEMA = T.StructType(
 
 def q_cdc_schema_evolution(spark, sf_dir):
     """Mid-replay schema evolution: rename value->val, widen vk int->bigint,
-    add src — old snapshots project by field id, the stream may keep using
-    the old column name (SURVEY §7.4 rename mapping)."""
+    add src, drop event_type — old snapshots project by field id, the
+    stream may keep using the old column name (SURVEY §7.4 rename
+    mapping); the drop is metadata-only and cannot resurrect."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     binlog = ev.select(
         F.unix_micros(F.col("ts").cast("timestamp")).alias("seq_lsn"),
@@ -495,6 +496,7 @@ def q_cdc_schema_evolution(spark, sf_dir):
             EvolutionOp("rename", old="value", new="val"),
             EvolutionOp("widen", name="vk", type="bigint"),
             EvolutionOp("add", name="src", type="string"),
+            EvolutionOp("drop", name="event_type"),
         ]
     }
     driver.replay(binlog, batch_ids=[0, 1], evolution_plan=evolution)
@@ -502,7 +504,7 @@ def q_cdc_schema_evolution(spark, sf_dir):
 
 
 _SQL_EVOLUTION = """
-SELECT user_id, seq_lsn, event_type, value AS val, vk,
+SELECT user_id, seq_lsn, value AS val, vk,
        CASE WHEN b = 1 THEN 'b1' END AS src
 FROM (
   SELECT user_id, epoch_us(ts) AS seq_lsn, event_type, value,

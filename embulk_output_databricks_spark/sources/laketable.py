@@ -755,6 +755,26 @@ class LakeTable:
         ]
         return self._evolved(base, fields, 1, properties)
 
+    def drop_column(self, name: str, properties: dict | None = None) -> Manifest:
+        """Metadata-only column drop. Data files keep the physical column;
+        reads simply stop projecting it (field-id projection). Re-adding a
+        column with the same name later allocates a FRESH field id, so old
+        values never resurrect — the classic spec-evolution trap Iceberg's
+        id-based mapping exists to avoid. The bucket key and merge keys are
+        structural and cannot be dropped."""
+        base = self.manifest()
+        cur = base.schema_version
+        if not any(f["name"] == name for f in cur.fields):
+            raise SchemaEvolutionError(f"no such column {name!r}")
+        if base.bucket_key == name:
+            raise SchemaEvolutionError(f"cannot drop bucket key {name!r}")
+        if name in (base.properties.get("merge_keys") or "").split(","):
+            raise SchemaEvolutionError(f"cannot drop merge key {name!r}")
+        if len(cur.fields) == 1:
+            raise SchemaEvolutionError("cannot drop the last column")
+        fields = [dict(f) for f in cur.fields if f["name"] != name]
+        return self._evolved(base, fields, 0, properties)
+
     def rename_column(self, old: str, new: str, properties: dict | None = None) -> Manifest:
         base = self.manifest()
         cur = base.schema_version

@@ -42,7 +42,7 @@ class EvolutionOp:
     batch's data events — the column_options-DDL leg, SURVEY.md M2)."""
 
     def __init__(self, kind: str, **kw):
-        assert kind in ("add", "rename", "widen")
+        assert kind in ("add", "rename", "widen", "drop")
         self.kind = kind
         self.kw = kw
 
@@ -51,6 +51,8 @@ class EvolutionOp:
             table.add_column(self.kw["name"], self.kw["type"])
         elif self.kind == "rename":
             table.rename_column(self.kw["old"], self.kw["new"])
+        elif self.kind == "drop":
+            table.drop_column(self.kw["name"])
         else:
             table.widen_column(self.kw["name"], self.kw["type"])
 
@@ -244,6 +246,23 @@ class ReplayDriver:
                     broadcast_threshold_rows=self.cfg.broadcast_merge_threshold)
                 metrics["compact_s"] = round(_time.monotonic() - t_c, 6)
                 self._applied_since_compact = 0
+        # auto bucket-spec evolution: grow the layout (metadata-only) once
+        # rows outgrow target_rows_per_bucket * n_buckets, so a table created
+        # small never freezes its creation-time parallelism; compaction
+        # migrates old-spec files lazily. Crash-safe before the checkpoint
+        # for the same reason as compaction: snapshot properties are
+        # inherited, so reconciliation still sees this batch_id.
+        trb = self.cfg.target_rows_per_bucket
+        if trb > 0:
+            mfst = self.table.manifest()
+            if mfst.bucket_key:
+                rows = self.table.row_count()
+                n_new = mfst.n_buckets
+                while rows > trb * n_new:
+                    n_new *= 4
+                if n_new != mfst.n_buckets:
+                    self.table.rebucket(n_new)
+                    metrics["rebucketed_to"] = n_new
         if fenced:
             return self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage,
                                     metrics=metrics)

@@ -43,6 +43,36 @@ def test_overwrite_and_replace_atomic(spark, warehouse):
     assert t.row_count(version=v1) == 5
 
 
+def test_drop_column_metadata_only_no_resurrection(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("s", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    t.append(seq_rows(spark, range(5)))
+    files = {f["path"] for f in t.manifest().files}
+    t.drop_column("source")
+    assert {f["path"] for f in t.manifest().files} == files  # metadata-only
+    assert "source" not in t.read().columns
+    # re-adding the same name allocates a FRESH field id: the old values
+    # must NOT resurrect out of the existing data files
+    t.add_column("source", "string")
+    assert {r["source"] for r in t.read().collect()} == {None}
+    with pytest.raises(SchemaEvolutionError, match="bucket key"):
+        t.drop_column("doc_id")
+    with pytest.raises(SchemaEvolutionError, match="no such column"):
+        t.drop_column("nope")
+
+
+def test_drop_merge_key_rejected_on_merge_managed_table(spark, warehouse):
+    from embulk_output_databricks_spark.plans.merge import merge_apply_mor
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("s", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    t.append(seq_rows(spark, range(5)))
+    merge_apply_mor(t, seq_rows(spark, range(2), src="u"),
+                    keys=["doc_id", "source"])
+    with pytest.raises(SchemaEvolutionError, match="merge key"):
+        t.drop_column("source")
+
+
 def test_bucket_pruning_reads_only_touched_buckets(spark, warehouse):
     cat = LakeCatalog(spark, warehouse)
     t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=8, bucket_key="doc_id")

@@ -115,6 +115,22 @@ def test_compact_migrates_old_spec_files(spark, warehouse):
     assert t.compact(min_files_per_bucket=999) is None
 
 
+def test_auto_rebucket_grows_layout_during_replay(spark, warehouse):
+    # target_rows_per_bucket: the driver grows the layout (metadata-only)
+    # once the table outgrows it — creation-time n_buckets never freezes
+    # the merge parallelism of a growing table
+    drv = ReplayDriver(
+        LakeCatalog(spark, f"{warehouse}/ar"),
+        JobConfig(mode="merge", n_buckets=2, target_rows_per_bucket=50))
+    binlog = synth_binlog(spark, 900, 300, 300, delete_frac=0.05).cache()
+    recs = drv.replay(binlog)
+    assert drv.table.manifest().n_buckets == 8  # 2 -> 8 (next 4x fit)
+    assert any("rebucketed_to" in (r.get("metrics") or {}) for r in recs)
+    assert table_state(drv.table) == python_oracle(
+        [r.asDict() for r in binlog.collect()])
+    binlog.unpersist()
+
+
 def test_replay_rebucket_mid_stream_matches_oracle(spark, warehouse):
     binlog = synth_binlog(spark, 1200, 80, 400, delete_frac=0.1).cache()
     drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/rb"),
