@@ -143,6 +143,53 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_stats_skip(spark, n_rows: int = 4_000_000, slices: int = 16,
+                     n_buckets: int = 8) -> dict:
+    """Manifest-level file skipping payoff: a time-sliced append-only table
+    (slices x n_buckets files with tight per-file seq_lsn bounds) probed
+    with a one-slice range count, with and without stats_filter. The
+    skipped variant opens 1/slices of the files — at 100 TB that is the
+    difference between a metadata lookup and a full scan."""
+    from pyspark.sql import functions as F
+
+    from embulk_output_databricks_spark.sources.laketable import _stats_keep
+
+    work = tempfile.mkdtemp(prefix="bench_stats_")
+    try:
+        cat = LakeCatalog(spark, work)
+        step = n_rows // slices
+        t = None
+        for i in range(slices):
+            sl = synth_binlog(spark, step, n_rows // 4, n_rows,
+                              start=i * step, delete_frac=0.0, partitions=16) \
+                .select("seq_lsn", "doc_id", "n_tok", "source")
+            if t is None:
+                t = cat.create_table("ts", sl.schema, n_buckets=n_buckets,
+                                     bucket_key="doc_id")
+            t.append(sl)
+        lo, hi = 7 * step, 8 * step - 1  # exactly one slice
+        m = t.manifest()
+        flt = {"seq_lsn": (lo, hi)}
+        rng = (F.col("seq_lsn") >= lo) & (F.col("seq_lsn") <= hi)
+        for _ in range(2):  # warm then timed
+            t0 = time.perf_counter()
+            n_full = t.read().filter(rng).count()
+            full_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_skip = t.read(stats_filter=flt).count()
+            skip_s = time.perf_counter() - t0
+        assert n_full == n_skip == step
+        return {
+            "files_total": len(m.files),
+            "files_read": len(_stats_keep(m, m.files, flt)),
+            "full_scan_s": round(full_s, 3),
+            "skipped_scan_s": round(skip_s, 3),
+            "speedup": round(full_s / skip_s, 2) if skip_s else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from __spark_entry__ import queries
 
@@ -195,6 +242,7 @@ def main() -> None:
             "final_rows": mor["final_rows"],
         }
         steady = bench_steady_state(spark)
+        stats_skip = bench_stats_skip(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -207,6 +255,7 @@ def main() -> None:
             "skew_stress": skew_stress,
             "mor": mor_probe,
             "steady_state": steady,
+            "stats_skip": stats_skip,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))
