@@ -10,7 +10,11 @@ lakehouse layer with the same guarantees, built from public designs
 
   <root>/<table>/
     data/<uuid>.parquet            immutable data files
-    meta/v{N:012d}.json            snapshot manifest N (full file listing)
+    meta/v{N:012d}.json            snapshot manifest N: schema/properties +
+                                   names of file-list SEGMENTS + tombstones
+                                   (two-tier, commit IO = O(files changed))
+    meta/seg-<uuid>.json           immutable file-list segments (the entries
+                                   one commit added); folded periodically
     meta/CURRENT                   text file holding N; os.replace = atomic commit
 
 Guarantees:
@@ -119,13 +123,15 @@ class Manifest:
         return self.schema_version.struct()
 
     def to_json(self) -> str:
-        d = dict(self.__dict__)
+        d = {k: v for k, v in self.__dict__.items() if not k.startswith("_")}
         d["schema_versions"] = [sv.__dict__ for sv in self.schema_versions]
         return json.dumps(d, indent=1, sort_keys=True)
 
     @staticmethod
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
+        d.pop("segments", None)
+        d.pop("removed", None)
         d["schema_versions"] = [SchemaVersion(**sv) for sv in d["schema_versions"]]
         return Manifest(**d)
 
@@ -302,6 +308,7 @@ class LakeTable:
         self.root = root
         self.name = name
         self.last_commit_s = 0.0  # snapshot-publish latency of the last _commit
+        self._seg_cache: dict[str, list[dict]] = {}  # immutable segment files
 
     # ---------- snapshot resolution ----------
 
@@ -312,18 +319,79 @@ class LakeTable:
         with open(self._meta("CURRENT")) as f:
             return int(f.read().strip())
 
+    # Two-tier metadata (Iceberg manifest-list / manifest-file analog): a
+    # snapshot JSON names immutable file-list SEGMENTS plus a removed-path
+    # set instead of inlining the full listing, so commit IO is O(files
+    # changed), not O(files in table) — at 10^10 scale the full listing per
+    # commit is itself the bottleneck (10^5 entries x 10^4 commits). When
+    # the segment chain or the tombstone set grows past _FOLD_* the commit
+    # folds everything into one fresh segment (rewrite_manifests analog,
+    # amortized O(1) per commit).
+    _FOLD_SEGMENTS = 32
+    _FOLD_REMOVED_MIN = 64
+
+    def _read_segment(self, name: str) -> list[dict]:
+        if name not in self._seg_cache:
+            with open(self._meta(name)) as f:
+                self._seg_cache[name] = json.load(f)
+        return self._seg_cache[name]
+
+    def _new_segment(self, entries: list[dict]) -> str:
+        name = f"seg-{uuid.uuid4().hex}.json"
+        with open(self._meta(name), "w") as f:
+            json.dump(entries, f)
+        self._seg_cache[name] = list(entries)
+        return name
+
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
         with open(self._meta(f"v{v:012d}.json")) as f:
-            return Manifest.from_json(f.read())
+            d = json.load(f)
+        segments = d.pop("segments", None)
+        removed = d.pop("removed", [])
+        d["schema_versions"] = [SchemaVersion(**sv) for sv in d["schema_versions"]]
+        if d.get("files") is None and segments is not None:
+            by_path: dict[str, dict] = {}
+            for seg in segments:
+                for e in self._read_segment(seg):
+                    by_path[e["path"]] = e  # later segment wins (entry updates)
+            gone = set(removed)
+            d["files"] = [e for p, e in by_path.items() if p not in gone]
+        m = Manifest(**d)
+        m._segments = segments  # type: ignore[attr-defined]  # None = legacy inline
+        m._removed = list(removed)  # type: ignore[attr-defined]
+        return m
 
-    def _write_manifest(self, m: Manifest) -> None:
+    def _write_manifest(self, m: Manifest, parent: Manifest | None = None) -> None:
+        d = {k: v for k, v in m.__dict__.items() if not k.startswith("_")}
+        d["schema_versions"] = [sv.__dict__ for sv in m.schema_versions]
+        p_segs = getattr(parent, "_segments", None) if parent is not None else []
+        if parent is not None and p_segs is None:
+            # legacy inline parent: fold into segment form
+            segments, removed = [self._new_segment(m.files)], []
+        else:
+            pby = {f["path"]: f for f in (parent.files if parent else [])}
+            mby = {f["path"]: f for f in m.files}
+            adds = [f for f in m.files if pby.get(f["path"]) != f]
+            removes = [p for p in pby if p not in mby]
+            segments = list(p_segs or [])
+            removed = list(getattr(parent, "_removed", []) or []) + removes \
+                if parent is not None else list(removes)
+            if adds:
+                segments.append(self._new_segment(adds))
+            if (len(segments) > self._FOLD_SEGMENTS
+                    or len(removed) > max(self._FOLD_REMOVED_MIN, len(m.files) // 2)):
+                segments, removed = [self._new_segment(m.files)], []
+        d["files"] = None
+        d["segments"], d["removed"] = segments, sorted(removed)
         path = self._meta(f"v{m.version:012d}.json")
         try:
             with open(path, "x") as f:  # O_EXCL: concurrent commit -> conflict
-                f.write(m.to_json())
+                json.dump(d, f, indent=1, sort_keys=True)
         except FileExistsError as e:
             raise CommitConflict(f"{self.name}: version {m.version} already committed") from e
+        m._segments = segments  # type: ignore[attr-defined]
+        m._removed = d["removed"]  # type: ignore[attr-defined]
         tmp = self._meta(f".CURRENT.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(m.version))
@@ -563,7 +631,7 @@ class LakeTable:
             next_field_id=base.next_field_id if next_field_id is None else next_field_id,
         )
         t0 = time.monotonic()
-        self._write_manifest(m)
+        self._write_manifest(m, parent=base)
         # snapshot-publish latency (metadata swap only, excludes data write);
         # surfaced in checkpoint metrics so per-batch lineage shows how much
         # of the apply was commit overhead vs. data-plane work.
@@ -599,9 +667,10 @@ class LakeTable:
                 for i, f in enumerate(schema.fields)
             ]
             sv = SchemaVersion(base.current_sv + 1, fields)
-            staged = Manifest(**{**base.__dict__,
-                                 "schema_versions": base.schema_versions + [sv],
-                                 "current_sv": sv.sv})
+            staged = Manifest(**{
+                **{k: v for k, v in base.__dict__.items() if not k.startswith("_")},
+                "schema_versions": base.schema_versions + [sv],
+                "current_sv": sv.sv})
             new = self._write_data_files(df, staged)
             return self._commit(base, new, properties,
                                 schema_versions=staged.schema_versions,
@@ -882,11 +951,16 @@ class LakeTable:
         current snapshot's files are always retained. Returns removed
         relative paths."""
         referenced: set[str] = set()
+        live_segs: set[str] = set()
         for fn in os.listdir(self._meta()):
             if fn.startswith("v") and fn.endswith(".json"):
-                with open(self._meta(fn)) as f:
-                    m = Manifest.from_json(f.read())
+                m = self.manifest(int(fn[1:-5]))
+                # reachability = the VISIBLE file set of each live snapshot;
+                # paths a live segment only names as tombstoned/shadowed are
+                # garbage data (the segment itself stays until no snapshot
+                # lists it)
                 referenced.update(e["path"] for e in m.files)
+                live_segs.update(getattr(m, "_segments", None) or [])
         removed = []
         data_dir = os.path.join(self.root, "data")
         for fn in os.listdir(data_dir):
@@ -894,6 +968,12 @@ class LakeTable:
             if fn.endswith(".parquet") and rel not in referenced:
                 os.unlink(os.path.join(data_dir, fn))
                 removed.append(rel)
+        # segment GC (not reported in the data-file return): a segment named
+        # by no remaining snapshot is unreachable after expire_snapshots
+        for fn in os.listdir(self._meta()):
+            if fn.startswith("seg-") and fn.endswith(".json") and fn not in live_segs:
+                os.unlink(self._meta(fn))
+                self._seg_cache.pop(fn, None)
         return removed
 
     def widen_column(self, name: str, new_type: str, properties: dict | None = None) -> Manifest:
