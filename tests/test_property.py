@@ -82,6 +82,78 @@ def test_lww_strategies_match_python_argmax(spark, evs):
         assert got == expect, strategy
 
 
+_batches = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=7),
+    values=st.tuples(st.integers(min_value=-50, max_value=50), st.booleans()),
+    min_size=1, max_size=5,
+)
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("cow"), _batches),
+        st.tuples(st.just("mor"), _batches),
+        st.tuples(st.just("compact_deltas"), st.none()),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("rebucket"), st.sampled_from([2, 4, 8, 16])),
+        st.tuples(st.just("expire"), st.none()),
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_ops)
+def test_table_op_sequences_match_model(spark, tmp_path_factory, ops):
+    """Model-based stateful property: an arbitrary interleaving of COW
+    merges, MOR merges (with deletes), delta compaction, bin-pack
+    compaction, bucket-spec rebucket, and snapshot expiry leaves the table
+    exactly equal to a pure-Python dict replaying the same upserts/deletes.
+    This is the adversarial net over the cross-feature interactions
+    (deltas across a rebucket, compaction folding mixed specs, expiry
+    under any of it) that example-based tests pin only pointwise."""
+    from embulk_output_databricks_spark.plans.merge import (merge_apply,
+                                                           merge_apply_mor)
+    from embulk_output_databricks_spark.sources import LakeCatalog
+    from pyspark.sql import types as T
+
+    wh = str(tmp_path_factory.mktemp("prop"))
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    t = LakeCatalog(spark, wh).create_table(
+        "t", schema, n_buckets=2, bucket_key="k")
+    model: dict[str, int] = {}
+
+    def staged(batch):
+        rows = [(f"k{k}", v, "D" if d else "U") for k, (v, d) in batch.items()]
+        return spark.createDataFrame(rows, "k string, v long, op string")
+
+    for kind, arg in ops:
+        if kind in ("cow", "mor"):
+            (merge_apply if kind == "cow" else merge_apply_mor)(
+                t, staged(arg), keys=["k"])
+            for k, (v, d) in arg.items():
+                if d:
+                    model.pop(f"k{k}", None)
+                else:
+                    model[f"k{k}"] = v
+        elif kind == "compact_deltas":
+            t.compact_deltas()
+        elif kind == "compact":
+            t.compact(min_files_per_bucket=2)
+        elif kind == "rebucket":
+            t.rebucket(arg)
+        else:
+            t.expire_snapshots(keep_last=1)
+            t.remove_orphan_files()
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == model, f"after {kind}"
+    # bounds-based file skipping agrees with a model filter at the end
+    got = {r["k"]: r["v"]
+           for r in t.read(stats_filter={"v": (0, None)}).collect()}
+    assert got == {k: v for k, v in model.items() if v >= 0}
+
+
 texts = st.lists(
     st.text(alphabet=st.characters(codec="utf-8",
                                    blacklist_categories=("Cs",)),
