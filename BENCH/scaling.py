@@ -212,6 +212,14 @@ one row per input partition before the single shuffle and throughput holds
 without salting would instead serialize 3x10^9 events through one task at
 the 10^10 target.
 
+**File-skipping probe.** Every `bench.py` run appends a `stats_skip`
+record: a time-sliced append-only table (16 slices x 8 buckets = 128 files
+with tight per-file seq_lsn bounds harvested free from parquet footers)
+probed with a one-slice range count. Measured 8/128 files read and ~3x
+over the full scan WITH the same pushed-down filter — the skipped files
+are proven irrelevant from manifest bounds without any IO. At 100 TB the
+full scan touches every file; the skipped scan touches O(range/slice).
+
 **Merge-on-read probe.** `bench.py` also reports a `mor` record: the same
 replay with `merge_strategy='mor'` (delta appends + read-side resolution
 instead of copy-on-write bucket rewrites) — measured ~1.5-1.9x COW write

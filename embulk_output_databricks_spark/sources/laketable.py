@@ -645,14 +645,18 @@ class LakeTable:
         DatabricksOutputConnection.java:234-248)."""
         base = self.manifest()
         new = self._write_data_files(df, base)
-        return self._commit(base, base.files + new, properties)
+        props = dict(properties or {})
+        props.setdefault("operation", "append")
+        return self._commit(base, base.files + new, props)
 
     def overwrite(self, df: DataFrame, properties: dict | None = None) -> Manifest:
         """truncate_insert: old rows gone, new rows present, one atomic
         snapshot (ref B4, README.md:58-61)."""
         base = self.manifest()
         new = self._write_data_files(df, base)
-        return self._commit(base, new, properties)
+        props = dict(properties or {})
+        props.setdefault("operation", "overwrite")
+        return self._commit(base, new, props)
 
     def replace(self, df: DataFrame, schema: T.StructType | None = None,
                 properties: dict | None = None) -> Manifest:
@@ -672,12 +676,16 @@ class LakeTable:
                 "schema_versions": base.schema_versions + [sv],
                 "current_sv": sv.sv})
             new = self._write_data_files(df, staged)
-            return self._commit(base, new, properties,
+            props = dict(properties or {})
+            props.setdefault("operation", "replace")
+            return self._commit(base, new, props,
                                 schema_versions=staged.schema_versions,
                                 current_sv=sv.sv,
                                 next_field_id=base.next_field_id + len(fields))
         new = self._write_data_files(df, base)
-        return self._commit(base, new, properties)
+        props = dict(properties or {})
+        props.setdefault("operation", "replace")
+        return self._commit(base, new, props)
 
     def append_delta(self, df: DataFrame, merge_keys: list[str],
                      properties: dict | None = None) -> Manifest:
@@ -719,6 +727,7 @@ class LakeTable:
         for e in new:
             e["kind"] = "delta"
         props = {"merge_keys": ",".join(merge_keys), **(properties or {})}
+        props.setdefault("operation", "append-delta")
         return self._commit(base, base.files + new, props)
 
     def compact_deltas(self, properties: dict | None = None,
@@ -773,6 +782,41 @@ class LakeTable:
         props.setdefault("operation", "compact_deltas")
         return self._commit(base, keep + new, props)
 
+    # ---------- metadata tables (Iceberg tbl.snapshots / tbl.files analog,
+    # SURVEY B10: lineage/metadata probes as queryable DataFrames) ----------
+
+    def snapshots(self) -> DataFrame:
+        """One row per RETAINED snapshot (expire_snapshots bounds this):
+        version, parent, operation, batch fence id, file/row counts, bucket
+        spec — composable with Spark SQL for lineage/audit queries."""
+        rows = []
+        for fn in sorted(os.listdir(self._meta())):
+            if fn.startswith("v") and fn.endswith(".json"):
+                m = self.manifest(int(fn[1:-5]))
+                p = m.properties
+                rows.append((m.version, m.parent, p.get("operation"),
+                             p.get("batch_id"),
+                             json.dumps(p, sort_keys=True, default=str),
+                             len(m.files), sum(f["rows"] for f in m.files),
+                             m.n_buckets, m.current_sv))
+        schema = ("version long, parent long, operation string, "
+                  "batch_id long, properties string, n_files long, "
+                  "n_rows long, n_buckets int, schema_version int")
+        return self.spark.createDataFrame(rows, schema)
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """One row per data file of a snapshot: path, bucket + the spec it
+        was written under, rows, schema version, base/delta kind, recorded
+        column bounds (JSON) — the scan-planning facts, queryable."""
+        m = self.manifest(version)
+        rows = [(f["path"], f["bucket"], _file_nb(m, f), f["rows"], f["sv"],
+                 f.get("kind", "base"),
+                 json.dumps(f["stats"], sort_keys=True) if f.get("stats") else None)
+                for f in m.files]
+        schema = ("path string, bucket int, n_buckets int, rows long, "
+                  "schema_version int, kind string, stats string")
+        return self.spark.createDataFrame(rows, schema)
+
     def delta_file_count(self) -> int:
         return sum(1 for f in self.manifest().files if f.get("kind") == "delta")
 
@@ -807,8 +851,10 @@ class LakeTable:
     def _evolved(self, base: Manifest, fields: list[dict], bump_ids: int,
                  properties: dict | None) -> Manifest:
         sv = SchemaVersion(base.current_sv + 1, fields)
+        props = dict(properties or {})
+        props.setdefault("operation", "evolve-schema")
         return self._commit(
-            base, base.files, properties,
+            base, base.files, props,
             schema_versions=base.schema_versions + [sv],
             current_sv=sv.sv, next_field_id=base.next_field_id + bump_ids,
         )

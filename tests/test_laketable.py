@@ -214,6 +214,38 @@ def test_compact_bin_packs_small_files(spark, warehouse):
     assert len(t.remove_orphan_files()) == 4
 
 
+def test_metadata_tables_snapshots_and_files(spark, warehouse):
+    """Iceberg tbl.snapshots / tbl.files analog (SURVEY B10): lineage and
+    scan-planning facts as queryable DataFrames, each commit stamped with
+    its own operation."""
+    import json as _json
+
+    from embulk_output_databricks_spark.plans.merge import (merge_apply,
+                                                            merge_apply_mor)
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("md", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    t.append(seq_rows(spark, range(10)))
+    merge_apply(t, seq_rows(spark, range(3), src="u").withColumn("op", F.lit("U")),
+                keys=["doc_id"])
+    t.rebucket(8)
+    snaps = {r["version"]: r for r in t.snapshots().collect()}
+    assert [snaps[v]["operation"] for v in (1, 2, 3)] == \
+        ["append", "merge", "rebucket"]
+    assert snaps[2]["parent"] == 1
+    assert (snaps[2]["n_buckets"], snaps[3]["n_buckets"]) == (2, 8)
+    fr = t.files().collect()
+    assert all(r["kind"] == "base" and r["n_buckets"] == 2 for r in fr)
+    assert sum(r["rows"] for r in fr) == 10
+    st = _json.loads(next(r["stats"] for r in fr if r["stats"]))
+    assert "n_tok" in st  # recorded bounds are queryable
+    merge_apply_mor(t, seq_rows(spark, range(2), src="m"), keys=["doc_id"])
+    assert {r["kind"] for r in t.files().collect()} == {"base", "delta"}
+    assert {r["version"]: r["operation"] for r in t.snapshots().collect()}[4] \
+        == "merge-mor"
+
+
 def test_concurrent_commit_conflict(spark, warehouse):
     """Single-writer protection: two writers racing to the same version —
     the loser gets CommitConflict, state stays consistent (SURVEY §1:
