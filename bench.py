@@ -55,8 +55,14 @@ HEADLINE_QUERIES = [
 
 def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None,
                  warmup_batches: int = 1, hot_frac: float = 0.05,
-                 merge_strategy: str = "cow", mor_compact_every: int = 0) -> dict:
-    """North metric: events/sec of checkpointed MERGE replay, steady state."""
+                 merge_strategy: str = "cow", mor_compact_every: int = 0,
+                 metrics: bool | str = "light") -> dict:
+    """North metric: events/sec of checkpointed MERGE replay, steady state.
+
+    metrics: 'light' (default) rides count/lsn-range on the apply job via
+    the Observation API — zero extra passes, the production posture and the
+    BENCH/BASELINE.md protocol; True runs the dedicated per-partition
+    lineage pass (needed when the caller wants partition_skew)."""
     n_docs = n_docs or max(1000, n_events // 20)
     events_per_batch = n_events // n_batches
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -75,7 +81,7 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
                 start=b * events_per_batch,
             )
             t0 = time.perf_counter()
-            rec = driver.run_batch(events, b, collect_metrics=True)
+            rec = driver.run_batch(events, b, collect_metrics=metrics)
             per_batch.append(time.perf_counter() - t0)
             if rec and rec["lineage"]:
                 counts = [p["events_in"] for p in rec["lineage"]]
@@ -223,7 +229,7 @@ def main() -> None:
         # throughput should stay near the uniform-ish baseline (ratio ~1).
         skew_events = max(replay["events_per_batch"], 1) * 2
         stress = bench_replay(spark, skew_events, 2, n_docs=replay["n_docs"],
-                              warmup_batches=1, hot_frac=0.3)
+                              warmup_batches=1, hot_frac=0.3, metrics=True)
         skew_stress = {
             "hot_frac": 0.3,
             "events_per_sec": stress["events_per_sec"],

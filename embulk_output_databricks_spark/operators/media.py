@@ -111,6 +111,72 @@ def decode_media_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     raise NotImplementedError("wire Image.open over payload bytes here")
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("out_w", T.IntegerType()),
+    T.StructField("out_h", T.IntegerType()),
+    T.StructField("resized_md5", T.StringType()),
+])
+
+
+def _resize_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Fit-within-box resize in pure integer arithmetic (portable: the
+    DuckDB oracle recomputes the identical dims with // division).
+    Aspect ratio is preserved up to integer floor; never upscales."""
+    mx = max(w, h)
+    if mx <= max_dim:
+        return w, h
+    return max(1, (w * max_dim) // mx), max(1, (h * max_dim) // mx)
+
+
+def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Image-resize kernel: decode props + resample in ONE Arrow-batched
+    mapInPandas pass over image rows (fusing decode and resize avoids a
+    second binary-payload scan — at 100 TB the payload bytes dominate IO,
+    so every kernel that re-reads them is a full-table cost).
+
+    The resample itself is STUBBED deterministically (like `_fake_props`):
+    the "resized payload" is md5(payload + b":{out_w}x{out_h}"), reported
+    as `resized_md5` so the DuckDB oracle can recompute it. A real codec
+    drops into the same loop (PIL `Image.resize` over `payload`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, kinds, ws, hs, ows, ohs, digests = [], [], [], [], [], [], []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if p is None:
+                    continue  # decode failure: no resized output row
+                payload = bytes(p)
+                w, h, _ = _fake_props(payload)
+                ow, oh = _resize_dims(w, h, max_dim)
+                mids.append(mid)
+                kinds.append(kind)
+                ws.append(w)
+                hs.append(h)
+                ows.append(ow)
+                ohs.append(oh)
+                digests.append(
+                    hashlib.md5(payload + f":{ow}x{oh}".encode()).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pd.array(mids, dtype="Int64"),
+                "kind": pd.array(kinds, dtype="object"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "out_w": pd.array(ows, dtype="Int32"),
+                "out_h": pd.array(ohs, dtype="Int32"),
+                "resized_md5": pd.array(digests, dtype="object"),
+            })
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "kind", "payload")
+        .mapInPandas(gen, RESIZED_SCHEMA)
+    )
+
+
 def frame_sample(decoded: DataFrame, every: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled frame
     index — pure JVM explode over the frame range (the decode of each frame

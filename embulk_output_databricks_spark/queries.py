@@ -983,6 +983,46 @@ def _sql_tok_chunks() -> str:
     """
 
 
+MEDIA_MAX_DIM = 256
+
+
+def q_media_resize(spark, sf_dir):
+    """image payloads -> fused decode+resize Arrow kernel (one payload scan)
+    -> integer fit-within-box dims + deterministic resample digest."""
+    from .operators.media import media_from_docs, resize_media
+
+    return resize_media(media_from_docs(_docs(spark, sf_dir)),
+                        max_dim=MEDIA_MAX_DIM)
+
+
+def _sql_media_resize() -> str:
+    d = MEDIA_MAX_DIM
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+             text,
+             CAST(16 + {_sql_hexint('text', 1, 4)} % 2032 AS INTEGER) AS width,
+             CAST(16 + {_sql_hexint('text', 5, 4)} % 2032 AS INTEGER) AS height
+      FROM documents
+    ), r AS (
+      SELECT *, greatest(width, height) AS mx FROM m WHERE kind = 'image'
+    ), z AS (
+      SELECT media_id, kind, text, width, height,
+             CASE WHEN mx <= {d} THEN width
+                  ELSE greatest(1, (width * {d}) // mx) END AS out_w,
+             CASE WHEN mx <= {d} THEN height
+                  ELSE greatest(1, (height * {d}) // mx) END AS out_h
+      FROM r
+    )
+    SELECT media_id, kind, width, height,
+           CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+           md5(text || ':' || CAST(out_w AS VARCHAR) || 'x'
+                    || CAST(out_h AS VARCHAR)) AS resized_md5
+    FROM z
+    """
+
+
 def _sql_media_decode() -> str:
     return f"""
     SELECT doc_id AS media_id,
@@ -1271,6 +1311,7 @@ SPARK_QUERIES = {
     "tok_chunks_arrow": q_tok_chunks_arrow,
     "tok_pack": q_tok_pack,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1402,6 +1443,7 @@ def _oracle_sql() -> dict[str, str]:
         "tok_pack": _sql_tok_pack(),
         # tok_pack: stateful greedy packing (applyInPandas) — rows-only check
         "media_decode": _sql_media_decode(),
+        "media_resize": _sql_media_resize(),
         "ann_cosine_topk": _sql_ann(),
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),

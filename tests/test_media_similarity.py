@@ -10,6 +10,7 @@ from embulk_output_databricks_spark.operators.media import (
     decode_media_real,
     frame_sample,
     media_from_docs,
+    resize_media,
 )
 from embulk_output_databricks_spark.operators.similarity import (
     cosine_topk,
@@ -62,6 +63,33 @@ class TestMedia:
         assert joined.filter(F.col("kind") != "video").count() == 0
         assert joined.filter(F.col("frame_idx") >= F.col("n_frames")).count() == 0
         assert joined.filter(F.col("frame_idx") % 10 != 0).count() == 0
+
+    def test_resize_dims_and_digest(self, docs):
+        m = media_from_docs(docs)
+        out = resize_media(m, max_dim=64).collect()
+        assert out, "sf0.001 must contain image rows"
+        decoded = {r["media_id"]: r for r in decode_media(m).collect()}
+        payloads = {r["doc_id"]: r["text"].encode("utf-8") for r in docs.collect()}
+        for r in out:
+            assert r["kind"] == "image"
+            d = decoded[r["media_id"]]
+            assert (r["width"], r["height"]) == (d["width"], d["height"])
+            assert 1 <= r["out_w"] <= 64 and 1 <= r["out_h"] <= 64
+            if max(r["width"], r["height"]) <= 64:  # never upscales
+                assert (r["out_w"], r["out_h"]) == (r["width"], r["height"])
+            else:  # integer fit-within-box, long edge pinned to max_dim
+                assert max(r["out_w"], r["out_h"]) == 64
+            want = hashlib.md5(
+                payloads[r["media_id"]] + f":{r['out_w']}x{r['out_h']}".encode()
+            ).hexdigest()
+            assert r["resized_md5"] == want
+
+    def test_resize_skips_null_payload_and_non_images(self, spark):
+        m = spark.createDataFrame(
+            [(1, "image", None, None), (2, "audio", b"zz", None)],
+            "media_id long, kind string, payload binary, meta map<string,string>",
+        )
+        assert resize_media(m).count() == 0
 
     def test_real_decode_is_gated(self, docs):
         with pytest.raises(NotImplementedError):
