@@ -145,3 +145,70 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id,
+    cluster_id) where cluster_id is the min doc_id of the component.
+    Singletons (vertices with no pair) are their own cluster.
+
+    pairs: (doc_a, doc_b) rows, doc_a < doc_b. vertices: one `doc_id` col.
+
+    Algorithm: distributed min-label propagation with pointer jumping.
+    Each round does (1) neighbor-min — every vertex adopts the smallest
+    label among itself and its neighbors (one shuffle on vertex id), and
+    (2) pointer jump — label := label(label), which doubles the hop
+    distance covered per round, so chains of length L converge in
+    O(log L) rounds rather than O(L) (the hash-to-min bound; the
+    large-star/small-star refinement tightens constants but has the same
+    plan shape). Lineage is cut with localCheckpoint per round to keep
+    the plan O(1) deep no matter how many rounds run.
+
+    The reference has no graph story at all; this is the keeper-selection
+    step a dedup pipeline needs once near-dup PAIRS exist (pairs alone
+    don't tell you which rows to drop when A~B and B~C but A!~C).
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    lab = vertices.select(
+        F.col("doc_id").cast("bigint").alias("v"),
+        F.col("doc_id").cast("bigint").alias("comp"),
+    ).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(lab, sym["src"] == lab["v"])
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        stepped = (
+            lab.join(nbr, lab["v"] == nbr["v2"], "left")
+            .select("v", F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"))
+        )
+        # pointer jump: comp := comp(comp)
+        parent = stepped.select(
+            F.col("v").alias("pv"), F.col("comp").alias("pcomp"))
+        jumped = (
+            stepped.join(parent, stepped["comp"] == parent["pv"], "left")
+            .select("v", F.least("comp", F.coalesce("pcomp", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(lab.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_rounds} rounds")
+    return lab.select(F.col("v").alias("doc_id"), F.col("comp").alias("cluster_id"))

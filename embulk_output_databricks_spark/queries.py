@@ -800,6 +800,20 @@ def _sql_minhash_pairs() -> str:
     """
 
 
+def _sql_ngram_pairs() -> str:
+    """Confirmed near-dup pairs (LSH candidates + exact shingle-Jaccard
+    >= 0.5) — shared by the ngram_jaccard / clusters / pipeline oracles."""
+    return f"""
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT p.doc_a, p.doc_b,
+             {P.sql_jaccard_shingles('a.text', 'b.text', SHINGLE_N)} AS jaccard
+      FROM ({_sql_minhash_pairs()}) p
+      JOIN documents a ON a.doc_id = p.doc_a
+      JOIN documents b ON b.doc_id = p.doc_b
+    ) WHERE jaccard >= 0.5
+    """
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup confirmation: exact shingle-Jaccard >= 0.5 on LSH candidates."""
     from .operators.dedupe import ngram_jaccard_pairs
@@ -1269,6 +1283,251 @@ FROM g GROUP BY user_id
 """
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (SURVEY §2.C): each purchase attaches the most recent
+    strictly-prior click/view of the same user — union-tag + one window,
+    a single shuffle on user_id, no range explosion (operators/joins.py)."""
+    from .operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id")
+    # unique (user, ts) on the right so the carried payload is deterministic
+    right = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(left, right, key="user_id", ts="ts_us",
+                    right_payload=["event_id", "ts_us"], strict=True)
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        "prior_event_id",
+        (F.col("ts_us") - F.col("prior_ts_us")).alias("gap_us"),
+    )
+
+
+_SQL_ASOF = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS event_id
+           FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+     u AS (
+       SELECT user_id, ts_us, 0 AS tag, event_id AS l_id,
+              NULL::BIGINT AS r_id, NULL::BIGINT AS r_ts FROM l
+       UNION ALL
+       SELECT user_id, ts_us, 1 AS tag, NULL, event_id, ts_us FROM r
+     ),
+     c AS (
+       SELECT *,
+              last_value(r_id IGNORE NULLS) OVER w AS prior_event_id,
+              last_value(r_ts IGNORE NULLS) OVER w AS prior_ts
+       FROM u
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag
+                    ROWS UNBOUNDED PRECEDING)
+     )
+SELECT l_id AS event_id, user_id, ts_us, prior_event_id,
+       ts_us - prior_ts AS gap_us
+FROM c WHERE tag = 0
+"""
+
+
+RANGE_WINDOW_US = 600_000_000  # 10 min
+
+
+def q_events_range_join(spark, sf_dir):
+    """Banded interval join (SURVEY §2.C): events inside a 10-minute window
+    after each error of the same user, joined via (user, time-band)
+    equi-join + residual filter instead of a per-user cross product."""
+    from .operators.joins import range_join_banded
+
+    ev = _events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts_us").alias("lo"),
+        (F.col("ts_us") + RANGE_WINDOW_US).alias("hi"),
+    )
+    points = ev.select("user_id", "ts_us", "event_id", "value")
+    j = range_join_banded(points, intervals, key="user_id", point_ts="ts_us",
+                          lo="lo", hi="hi", band_width=RANGE_WINDOW_US)
+    return (
+        j.filter(F.col("event_id") != F.col("error_id"))
+        .groupBy("error_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.sum(_CENTS_S(F.col("value"))).alias("value_cents"),
+        )
+    )
+
+
+_SQL_RANGE_JOIN = f"""
+WITH err AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS lo,
+                    epoch_us(ts) + {RANGE_WINDOW_US} AS hi
+             FROM events WHERE event_type = 'error'),
+     p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+SELECT e.error_id, e.user_id, count(*) AS n_in_window,
+       CAST(sum({_cents_sql("p.value")}) AS BIGINT) AS value_cents
+FROM err e JOIN p ON p.user_id = e.user_id
+                 AND p.ts_us >= e.lo AND p.ts_us < e.hi
+                 AND p.event_id <> e.error_id
+GROUP BY 1, 2
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP aggregation (SURVEY §2.C grouping sets): per (event_type, day)
+    with per-type and grand-total subtotal rows, disambiguated by
+    grouping_id — one pass, Catalyst expands to a single Expand+HashAgg."""
+    ev = _events(spark, sf_dir)
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint")
+    return (
+        ev.withColumn("day", day)
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_CENTS_S(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit(-1)).alias("day"),
+            "gid", "n", "value_cents",
+        )
+    )
+
+
+_SQL_ROLLUP = f"""
+WITH e AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day, value FROM events)
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(day, -1) AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INTEGER) AS gid,
+       count(*) AS n,
+       CAST(sum({_cents_sql("value")}) AS BIGINT) AS value_cents
+FROM e GROUP BY ROLLUP(event_type, day)
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (min-label propagation +
+    pointer jumping, operators/dedupe.py) over the confirmed ngram-Jaccard
+    pair graph — turns pairwise near-dups into keep/drop decisions even
+    when similarity is not transitive (A~B, B~C, A!~C)."""
+    from .operators.dedupe import neardup_components, ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, k=MINHASH_K, n=SHINGLE_N,
+                                bands=LSH_BANDS)
+    return neardup_components(pairs.select("doc_a", "doc_b"),
+                              d.select("doc_id"))
+
+
+def _sql_clusters() -> str:
+    # transitive closure by recursive CTE (UNION dedups -> terminates);
+    # component id = min reachable doc_id. Small-graph oracle for the
+    # distributed label-propagation result.
+    return f"""
+    WITH RECURSIVE
+      pairs AS MATERIALIZED ({_sql_ngram_pairs()}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach(v, w) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.w
+      )
+    SELECT v AS doc_id, min(w) AS cluster_id FROM reach GROUP BY v
+    """
+
+
+QUALITY_MIN = 0.5
+
+
+def q_text_pipeline(spark, sf_dir):
+    """End-to-end training-data filter pipeline: quality gate -> exact-dedup
+    keepers -> drop near-dup losers (larger doc_id of any confirmed pair).
+    The composition a 100 TB corpus clean actually runs, as one plan."""
+    from .operators.dedupe import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    q = d.withColumn("quality", P.f_quality(F.col("text"))).filter(
+        F.col("quality") >= QUALITY_MIN)
+    keepers = q.groupBy(F.md5(F.col("text")).alias("md5")).agg(
+        F.min("doc_id").alias("doc_id"))
+    exact = q.join(keepers, "doc_id").select(
+        "doc_id", "text", "quality")
+    losers = ngram_jaccard_pairs(d, threshold=0.5, k=MINHASH_K, n=SHINGLE_N,
+                                 bands=LSH_BANDS).select(
+        F.col("doc_b").alias("doc_id")).distinct()
+    out = exact.join(losers, "doc_id", "left_anti")
+    return out.select(
+        "doc_id",
+        P.f_token_count(F.col("text")).alias("n_tok"),
+        "quality",
+        P.f_langid(F.col("text")).alias("lang_guess"),
+    )
+
+
+def _sql_text_pipeline() -> str:
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT doc_id, text, quality FROM (
+        SELECT doc_id, text, {P.sql_quality('text')} AS quality FROM documents
+      ) WHERE quality >= {QUALITY_MIN}
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    exact AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+    pairs AS ({_sql_ngram_pairs()}),
+    losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT doc_id, {P.sql_token_count('text')} AS n_tok, quality,
+           {P.sql_langid('text')} AS lang_guess
+    FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """Strategy-agnostic snapshot diff (CDC *out*): resolved state at v1 vs
+    v2 full-outer-joined on the merge key, classified I/U/D — works across
+    any mix of COW merges, overwrites, and compactions in the interval
+    (unlike the physical changelog, which needs MOR delta files)."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "snapshot_diff")
+    tbl.append(_lww(t_half))
+    v1 = tbl.current_version()
+    s_half = s_half.withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    merge_apply(tbl, _lww(s_half, extra=["op"]), keys=["user_id"],
+                support_deletes=True)
+    return tbl.diff(from_version=v1, keys=["user_id"])
+
+
+_SQL_SNAPSHOT_DIFF = f"""
+WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
+     s AS (SELECT * FROM {_sql_lww("event_id % 2 = 1", ", event_type = 'error' AS del")})
+SELECT CASE WHEN s.del THEN 'D'
+            WHEN t.user_id IS NULL THEN 'I'
+            ELSE 'U' END AS __op,
+       coalesce(s.user_id, t.user_id) AS user_id,
+       CASE WHEN s.del THEN t.ts_us ELSE s.ts_us END AS ts_us,
+       CASE WHEN s.del THEN t.event_type ELSE s.event_type END AS event_type,
+       CASE WHEN s.del THEN t.value ELSE s.value END AS value,
+       CASE WHEN s.del THEN t.props ELSE s.props END AS props
+FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+WHERE s.user_id IS NOT NULL
+  AND NOT (s.del AND t.user_id IS NULL)
+  AND (s.del OR t.user_id IS NULL
+       OR t.ts_us IS DISTINCT FROM s.ts_us
+       OR t.event_type IS DISTINCT FROM s.event_type
+       OR t.value IS DISTINCT FROM s.value
+       OR t.props IS DISTINCT FROM s.props)
+"""
+
+
 # ================================================================ registry
 
 SPARK_QUERIES = {
@@ -1321,6 +1580,12 @@ SPARK_QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_tumbling_stream": q_events_tumbling_stream,
     "events_sessionize": q_events_sessionize,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
+    "events_rollup": q_events_rollup,
+    "dedup_clusters": q_dedup_clusters,
+    "text_pipeline": q_text_pipeline,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
 }
 
 
@@ -1413,16 +1678,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_lsh": _sql_minhash_pairs(),
-        "dedup_ngram_jaccard": f"""
-            WITH pairs AS ({_sql_minhash_pairs()})
-            SELECT doc_a, doc_b, jaccard FROM (
-              SELECT p.doc_a, p.doc_b,
-                     {P.sql_jaccard_shingles('a.text', 'b.text', SHINGLE_N)} AS jaccard
-              FROM pairs p
-              JOIN documents a ON a.doc_id = p.doc_a
-              JOIN documents b ON b.doc_id = p.doc_b
-            ) WHERE jaccard >= 0.5
-        """,
+        "dedup_ngram_jaccard": _sql_ngram_pairs(),
         "dedup_simhash": f"""
             SELECT doc_id, {P.sql_simhash32('text')} AS simhash FROM documents
         """,
@@ -1489,6 +1745,12 @@ def _oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": _SQL_SESSIONIZE,
+        "events_asof": _SQL_ASOF,
+        "events_range_join": _SQL_RANGE_JOIN,
+        "events_rollup": _SQL_ROLLUP,
+        "dedup_clusters": _sql_clusters(),
+        "text_pipeline": _sql_text_pipeline(),
+        "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
     }
 
 

@@ -833,6 +833,62 @@ class LakeTable:
                       if f.get("kind") == "delta" and f["path"] not in old]
         return self._df_for_files(m, new_deltas, extra_fields=_DELTA_FIELDS)
 
+    def diff(self, from_version: int, keys: list[str],
+             to_version: int | None = None) -> DataFrame:
+        """State diff between two snapshots as a changelog: one row per key
+        whose resolved state changed, with `__op` in {'I','U','D'}. 'I'/'U'
+        rows carry the new values, 'D' rows the last-seen old values.
+
+        Unlike changelog() (which replays physical delta files and so only
+        works for MOR intervals), diff() compares RESOLVED states via
+        read(version=...), so it is strategy-agnostic — any mix of COW
+        merges, overwrites, compactions, and evolution commits in the
+        interval yields the same logical answer. Cost is a full-outer join
+        of the two snapshots co-partitioned on the merge keys — at scale
+        both sides share the table's bucket layout, so the join shuffles
+        nothing that isn't already bucket-local, and buckets whose files
+        are byte-identical between the snapshots could be pruned entirely
+        (future work; file paths are content-addressed per commit).
+        """
+        from pyspark.sql import functions as F
+
+        old_m = self.manifest(from_version)
+        new_m = self.manifest(to_version)
+        # compare over the NEW schema: evolution renames/widens resolve
+        # old rows forward by field id exactly as read() does
+        val_cols = [f["name"] for f in new_m.schema_version.fields
+                    if f["name"] not in keys]
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        # field-id evolution: columns added after from_version read as NULL
+        for c in val_cols:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        o = old.select(*keys, *val_cols).alias("o")
+        n = new.select(*keys, *val_cols).alias("n")
+        cond = [o[k].eqNullSafe(n[k]) for k in keys]
+        j = o.join(n, cond, "full_outer")
+        # merge keys are never NULL in committed rows, so first-key presence
+        # identifies which side(s) of the full-outer join matched
+        in_old = o[keys[0]].isNotNull()
+        in_new = n[keys[0]].isNotNull()
+        same = None
+        for c in val_cols:
+            eq = o[c].eqNullSafe(n[c])
+            same = eq if same is None else (same & eq)
+        op = (
+            F.when(in_old & ~in_new, F.lit("D"))
+            .when(~in_old & in_new, F.lit("I"))
+            .when(~(same if same is not None else F.lit(True)), F.lit("U"))
+        )
+        side = F.when(op == "D", F.lit("o")).otherwise(F.lit("n"))
+        out = j.select(
+            op.alias("__op"),
+            *[F.when(side == "o", o[k]).otherwise(n[k]).alias(k) for k in keys],
+            *[F.when(side == "o", o[c]).otherwise(n[c]).alias(c) for c in val_cols],
+        )
+        return out.filter(F.col("__op").isNotNull())
+
     def replace_files(self, remove_buckets, add_df: DataFrame,
                       properties: dict | None = None) -> Manifest:
         """Copy-on-write primitive used by MERGE (plans/merge.py): swap out
