@@ -1528,6 +1528,146 @@ WHERE s.user_id IS NOT NULL
 """
 
 
+SLIDE_US, WINDOW_US = 1_800_000_000, 3_600_000_000  # 30 min slide, 1 h window
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window aggregate (1h window / 30min slide): each event lands
+    in window_us/slide_us = 2 overlapping windows — Spark's window()
+    generator expands rows before one hash aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_CENTS_S(F.col("value"))).alias("value_cents"))
+        .select(F.unix_micros(F.col("w.start")).alias("start_us"),
+                "event_type", "n", "value_cents")
+    )
+
+
+_SQL_SLIDING = f"""
+WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+     x AS (
+       SELECT (t // {SLIDE_US} - k) * {SLIDE_US} AS start_us, event_type, value
+       FROM e, range(0, {WINDOW_US // SLIDE_US}) r(k)
+       WHERE t < (t // {SLIDE_US} - k) * {SLIDE_US} + {WINDOW_US}
+     )
+SELECT start_us, event_type, count(*) AS n,
+       CAST(sum({_cents_sql("value")}) AS BIGINT) AS value_cents
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group over integerized cents —
+    Spark percentile() and DuckDB quantile_cont share the
+    lower + (upper-lower)*frac formula, so doubles match bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = _CENTS_S(F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.percentile(c, 0.25).alias("p25"),
+        F.percentile(c, 0.5).alias("p50"),
+        F.percentile(c, 0.75).alias("p75"),
+        F.percentile(c, 0.95).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_QUANTILES = f"""
+WITH e AS (SELECT event_type, {_cents_sql("value")} AS c FROM events)
+SELECT event_type,
+       quantile_cont(c, 0.25) AS p25, quantile_cont(c, 0.5) AS p50,
+       quantile_cont(c, 0.75) AS p75, quantile_cont(c, 0.95) AS p95,
+       count(*) AS n
+FROM e GROUP BY 1
+"""
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join where customer and supplier must share a
+    nation — dims broadcast down the chain, one shuffle for the final agg."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.sum(rev).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_REGIONAL = f"""
+SELECT r_name, n_name,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         AS revenue_c,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_top_supplier_per_nation(spark, sf_dir):
+    """Per-group top-1 (argmax) via max_by over a pre-aggregate: revenue per
+    supplier first (cheap partial agg), then one row per nation — no window
+    over the fact table, so no giant sort at scale."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = l.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_c"))
+    j = per_supp.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    # deterministic argmax: order by (rev, suppkey) as a packed struct
+    return j.groupBy("n_name").agg(
+        F.max_by(
+            F.struct(F.col("s_suppkey").alias("top_suppkey"),
+                     F.col("s_name").alias("top_supplier"),
+                     F.col("rev_c").alias("top_revenue_c")),
+            F.struct(F.col("rev_c"), F.col("s_suppkey")),
+        ).alias("t"),
+    ).select("n_name", "t.top_suppkey", "t.top_supplier", "t.top_revenue_c")
+
+
+_SQL_TOP_SUPPLIER = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+           AS rev_c
+  FROM lineitem GROUP BY 1
+)
+SELECT n_name, s_suppkey AS top_suppkey, s_name AS top_supplier,
+       rev_c AS top_revenue_c
+FROM (
+  SELECT n_name, s_suppkey, s_name, rev_c,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY rev_c DESC, s_suppkey DESC) AS rn
+  FROM per_supp
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+) WHERE rn = 1
+"""
+
+
 # ================================================================ registry
 
 SPARK_QUERIES = {
@@ -1586,6 +1726,10 @@ SPARK_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "text_pipeline": q_text_pipeline,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "events_sliding": q_events_sliding,
+    "events_quantiles": q_events_quantiles,
+    "regional_revenue": q_regional_revenue,
+    "top_supplier_per_nation": q_top_supplier_per_nation,
 }
 
 
@@ -1751,6 +1895,10 @@ def _oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "events_sliding": _SQL_SLIDING,
+        "events_quantiles": _SQL_QUANTILES,
+        "regional_revenue": _SQL_REGIONAL,
+        "top_supplier_per_nation": _SQL_TOP_SUPPLIER,
     }
 
 
