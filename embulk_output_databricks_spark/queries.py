@@ -1528,6 +1528,33 @@ WHERE s.user_id IS NOT NULL
 """
 
 
+FRAME_EVERY = 10
+
+
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling: decode kernel -> JVM explode over every-Nth
+    frame index (each sampled frame would feed a downstream decode kernel;
+    the explode is the partition-preserving fan-out that matters at scale)."""
+    from .operators.media import decode_media, frame_sample, media_from_docs
+
+    decoded = decode_media(media_from_docs(_docs(spark, sf_dir)))
+    return frame_sample(decoded, every=FRAME_EVERY)
+
+
+def _sql_media_frames() -> str:
+    # n_frames = 1 + int(md5[8:10], 16) % 64, video kind = doc_id % 3 == 2
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(1 + {_sql_hexint('text', 9, 2)} % 64 AS INTEGER) AS n_frames
+      FROM documents WHERE (['image', 'audio', 'video'])[(doc_id % 3) + 1] = 'video'
+    )
+    SELECT media_id,
+           CAST(unnest(range(0, n_frames, {FRAME_EVERY})) AS INTEGER) AS frame_idx
+    FROM m
+    """
+
+
 SLIDE_US, WINDOW_US = 1_800_000_000, 3_600_000_000  # 30 min slide, 1 h window
 
 
@@ -1730,6 +1757,7 @@ SPARK_QUERIES = {
     "events_quantiles": q_events_quantiles,
     "regional_revenue": q_regional_revenue,
     "top_supplier_per_nation": q_top_supplier_per_nation,
+    "media_frames": q_media_frames,
 }
 
 
@@ -1899,6 +1927,7 @@ def _oracle_sql() -> dict[str, str]:
         "events_quantiles": _SQL_QUANTILES,
         "regional_revenue": _SQL_REGIONAL,
         "top_supplier_per_nation": _SQL_TOP_SUPPLIER,
+        "media_frames": _sql_media_frames(),
     }
 
 
