@@ -50,6 +50,9 @@ HEADLINE_QUERIES = [
     "pricing_summary",
     "top_revenue_orders",
     "events_sessionize",
+    "events_asof",
+    "events_rollup",
+    "regional_revenue",
 ]
 
 

@@ -89,32 +89,68 @@ def sql_shingles(e: str, n: int = 3) -> str:
 
 # ---------- minhash ----------
 
-def f_minhash(c: Column, k: int = 16, n: int = 3) -> Column:
-    """k-permutation MinHash signature over n-word shingles.
+# Universal-hash MinHash family: ONE md5 per shingle (base hash h =
+# first-15-hex-digits mod P), then permutation i is the integer map
+# (A[i]*h + B[i]) mod P. 16x fewer digests than hashing per (perm,
+# shingle) — the md5 is the dominant cost at corpus scale — and exactly
+# portable: Spark conv(substr(md5,1,15),16,10) == DuckDB
+# ('0x'||substr(md5,1,15))::BIGINT, and the rest is int64 arithmetic
+# (products < 2^62, no overflow). Empty docs get sentinel P (> any value).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+import random as _random  # noqa: E402
 
-    Permutation i orders shingles by md5(i || ':' || shingle); the signature
-    element is the lexicographic minimum of those hex digests — a valid
-    MinHash family (any consistent total order per permutation works), and
-    exactly portable because md5 and string min agree across engines.
-    Empty docs get 'Z'-sentinel elements.
+_rng = _random.Random(0x5EED)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(64)]
+del _rng
+
+
+def f_shingle_hash(s: Column) -> Column:
+    """Base int64 hash of one shingle (mod P)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % MINHASH_P
+
+
+def sql_shingle_hash(e: str) -> str:
+    return f"(('0x' || substr(md5({e}), 1, 15))::BIGINT % {MINHASH_P})"
+
+
+def f_perm_hash(h: Column, i: int) -> Column:
+    """Permutation i of a base hash (int64 arithmetic, no digest)."""
+    return (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+
+
+def sql_perm_hash(h: str, i: int) -> str:
+    return f"(({h}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}"
+
+
+def f_minhash(c: Column, k: int = 16, n: int = 3) -> Column:
+    """k-permutation MinHash signature (array<bigint>) over n-word
+    shingles; see the family note above. Expression form — the row-exploded
+    scale path lives in operators/dedupe.py and computes identical values.
     """
-    sh = f_shingles(c, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.coalesce(
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))),
-            F.lit("Z"),
-        ),
-    )
+    assert k <= len(MINHASH_A)
+    hs = F.transform(f_shingles(c, n), f_shingle_hash)
+
+    def perm(i):
+        # closure factory: a 2-arg lambda would make transform() pass the
+        # array INDEX as the second argument
+        return lambda h: f_perm_hash(h, i)
+
+    return F.array(*[
+        F.coalesce(F.array_min(F.transform(hs, perm(i))), F.lit(MINHASH_P))
+        for i in range(k)
+    ])
 
 
 def sql_minhash(e: str, k: int = 16, n: int = 3) -> str:
-    sh = sql_shingles(e, n)
-    return (
-        f"list_transform(range(0, {k}), "
-        f"i -> coalesce(list_aggregate(list_transform({sh}, "
-        f"s -> md5(i::VARCHAR || ':' || s)), 'min'), 'Z'))"
+    assert k <= len(MINHASH_A)
+    hs = f"list_transform({sql_shingles(e, n)}, s -> {sql_shingle_hash('s')})"
+    elems = ", ".join(
+        f"coalesce(list_aggregate(list_transform(hs, h -> {sql_perm_hash('h', i)}),"
+        f" 'min'), {MINHASH_P})"
+        for i in range(k)
     )
+    return f"(SELECT [{elems}] FROM (SELECT {hs} AS hs))"
 
 
 def f_lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -124,16 +160,21 @@ def f_lsh_bands(sig: Column, bands: int, rows: int) -> Column:
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(
             F.concat(b.cast("string"), F.lit("#"),
-                     F.concat_ws("|", F.slice(sig, b * rows + 1, rows)))
+                     F.concat_ws("|", F.transform(
+                         F.slice(sig, b * rows + 1, rows),
+                         lambda x: x.cast("string"))))
         ),
     )
 
 
 def sql_lsh_bands(sig: str, bands: int, rows: int) -> str:
+    # hoisted through a scalar subquery: sig may itself be a subquery
+    # (sql_minhash), which DuckDB cannot evaluate inside a lambda
     return (
-        f"list_transform(range(0, {bands}), "
+        f"(SELECT list_transform(range(0, {bands}), "
         f"b -> md5(b::VARCHAR || '#' || "
-        f"array_to_string(list_slice({sig}, b*{rows} + 1, b*{rows} + {rows}), '|')))"
+        f"array_to_string(list_slice(sig_, b*{rows} + 1, b*{rows} + {rows}), '|')))"
+        f" FROM (SELECT {sig} AS sig_))"
     )
 
 

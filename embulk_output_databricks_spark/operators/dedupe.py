@@ -40,28 +40,34 @@ def minhash_band_digests(
 ) -> DataFrame:
     """(id, band, digest) rows of a k-permutation MinHash/LSH signature.
 
-    Row-exploded plan: one row per (doc, shingle, permutation), min-reduced
-    per (doc, permutation) with map-side partial aggregation, then band
-    digests assembled per (doc, band). Value-identical to the expression
-    form P.f_minhash/P.f_lsh_bands (same md5-ordering MinHash family,
-    'Z' sentinel for empty docs) — pinned by tests against the DuckDB twin.
+    Row-exploded plan: ONE md5 per (doc, shingle) row (the universal-hash
+    family of functions/portable.py — permutations are int64 maps, not
+    digests), k permuted rows per base hash, min-reduced per
+    (doc, permutation) with map-side partial aggregation, then band digests
+    assembled per (doc, band). Value-identical to the expression form
+    P.f_minhash/P.f_lsh_bands (sentinel MINHASH_P for empty docs) — pinned
+    by tests against the DuckDB twin.
     """
     rows = k // bands
+    a_arr = F.array(*[F.lit(a) for a in P.MINHASH_A[:k]])
+    b_arr = F.array(*[F.lit(b) for b in P.MINHASH_B[:k]])
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(P.f_shingles(F.col(text_col), n)).alias("sh"),
     )
-    per = sh.select(
+    # null shingle (empty doc) -> null base hash -> null perm -> sentinel
+    base = sh.select("doc_id", P.f_shingle_hash(F.col("sh")).alias("h"))
+    per = base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        "sh",
+        "h",
     ).select(
         "doc_id",
         "i",
-        # null shingle (empty doc) -> null hash -> 'Z' sentinel at assembly
-        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+        ((F.element_at(a_arr, F.col("i") + 1) * F.col("h")
+          + F.element_at(b_arr, F.col("i") + 1)) % P.MINHASH_P).alias("hp"),
     )
-    sig = per.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    sig = per.groupBy("doc_id", "i").agg(F.min("hp").alias("mh"))
     by_band = sig.withColumn("b", (F.col("i") / rows).cast("int"))
     assembled = by_band.groupBy("doc_id", "b").agg(
         F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("xs")
@@ -73,7 +79,9 @@ def minhash_band_digests(
             F.concat(
                 F.col("b").cast("string"),
                 F.lit("#"),
-                F.concat_ws("|", F.transform(F.col("xs"), lambda x: F.coalesce(x["mh"], F.lit("Z")))),
+                F.concat_ws("|", F.transform(
+                    F.col("xs"),
+                    lambda x: F.coalesce(x["mh"], F.lit(P.MINHASH_P)).cast("string"))),
             )
         ).alias("digest"),
     )
