@@ -1528,6 +1528,84 @@ WHERE s.user_id IS NOT NULL
 """
 
 
+def q_cdc_changelog(spark, sf_dir):
+    """Row-level change feed of a merge-on-read interval: the delta rows a
+    downstream consumer replays as an upsert/delete stream — O(interval)
+    IO, no table rescan (LakeTable.changelog; the physical counterpart of
+    cdc_snapshot_diff's resolved-state diff)."""
+    from .plans.merge import merge_apply_mor
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "changelog")
+    tbl.append(_lww(t_half))
+    v1 = tbl.current_version()
+    s_half = s_half.withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    merge_apply_mor(tbl, _lww(s_half, extra=["op"]), keys=["user_id"],
+                    support_deletes=True)
+    return tbl.changelog(since_version=v1).select(
+        "user_id", "ts_us", "event_type", "value", "props", "__op")
+
+
+_SQL_CHANGELOG = f"""
+SELECT user_id, ts_us, event_type, value, props,
+       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS __op
+FROM {_sql_lww("event_id % 2 = 1")}
+"""
+
+
+def q_cdc_stream_tail(spark, sf_dir):
+    """End-to-end Structured Streaming CDC: the events table rendered as a
+    binlog directory, tailed with readStream -> every micro-batch through
+    the SAME fenced LWW+MERGE path (streaming/tail.py foreachBatch), final
+    table read back. Exactly-once comes from the engine's fence, not
+    Spark's WAL; the oracle is the global LWW state with delete semantics."""
+    from .schema import BINLOG_SCHEMA
+    from .streaming.tail import tail_binlog_dir
+
+    base = f"{WORK_ROOT}/stream_tail/{uuid.uuid4().hex}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    binlog = ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("seq_lsn"),
+        F.lit(0).cast("long").alias("batch_id"),  # stream assigns epoch ids
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.array(_CENTS_S(F.col("value")).cast("int")).alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.col("event_id").cast("string").alias("event_id"),
+    )
+    # two lsn-ordered slices -> two fenced epochs applied in order
+    for part, cond in (("part0", F.dayofmonth("ts") <= 15),
+                       ("part1", F.dayofmonth("ts") > 15)):
+        binlog.filter(cond).select(*[f.name for f in BINLOG_SCHEMA.fields]) \
+            .coalesce(1).write.parquet(f"{base}/binlog/{part}")
+    cat = _fresh_catalog(spark, "stream_tail")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["doc_id"], n_buckets=8)
+    driver = ReplayDriver(cat, cfg)
+    q = tail_binlog_dir(spark, f"{base}/binlog/part*", driver,
+                        f"{base}/ckpt", max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return driver.table.read().select("doc_id", "tokens", "n_tok", "source")
+
+
+_SQL_STREAM_TAIL = """
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       [CAST(round(value * 100) AS INTEGER)] AS tokens,
+       1 AS n_tok,
+       event_type AS source
+FROM (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC,
+                                     CAST(event_id AS VARCHAR) DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 FRAME_EVERY = 10
 
 
@@ -1758,6 +1836,8 @@ SPARK_QUERIES = {
     "regional_revenue": q_regional_revenue,
     "top_supplier_per_nation": q_top_supplier_per_nation,
     "media_frames": q_media_frames,
+    "cdc_changelog": q_cdc_changelog,
+    "cdc_stream_tail": q_cdc_stream_tail,
 }
 
 
@@ -1928,6 +2008,8 @@ def _oracle_sql() -> dict[str, str]:
         "regional_revenue": _SQL_REGIONAL,
         "top_supplier_per_nation": _SQL_TOP_SUPPLIER,
         "media_frames": _sql_media_frames(),
+        "cdc_changelog": _SQL_CHANGELOG,
+        "cdc_stream_tail": _SQL_STREAM_TAIL,
     }
 
 
