@@ -117,3 +117,91 @@ def range_join_banded(
         (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi))
     )
     return joined.drop("_band")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_payload: Sequence[str],
+    bucket_width: int,
+    strict: bool = True,
+    prefix: str = "prior_",
+) -> DataFrame:
+    """Skew-robust two-phase as-of join, value-identical to asof_join.
+
+    asof_join's window is sequential per key: a hot key (30% of a 10^10-row
+    stream on one id) serializes through one task. Here the timeline is cut
+    into `bucket_width` buckets and the work splits into:
+
+      1. per-(key, bucket) summary: the LAST right payload in each bucket —
+         an associative max_by aggregate (map-side combine, skew-immune);
+      2. carry-in: per key, a window over the per-bucket summaries ordered
+         by bucket — sequential, but over #buckets rows per key, not
+         #events (a 10^9-event hot key with daily buckets is ~365 rows);
+      3. intra-bucket union-tag window partitioned by (key, bucket) — a hot
+         key's events now spread across as many tasks as it has buckets —
+         seeded with the carry-in where the bucket has no earlier right row.
+
+    Exactness: the most recent right row before a left row is either in the
+    same bucket (phase 3 window) or the latest row of some earlier bucket
+    (phase 2 carry), never anything else.
+    """
+    lcols = left.columns
+    pay_t = right.select(
+        F.struct(*[F.col(c) for c in right_payload]).alias("p")
+    ).schema["p"].dataType
+    bkt = lambda c: (F.col(c) / bucket_width).cast("bigint")  # noqa: E731
+
+    # phase 1+2: carry-in per (key, bucket) from strictly-earlier buckets.
+    # The carry must cover every bucket the LEFT side touches too: a left
+    # row in a bucket with no right rows at all still needs the latest
+    # payload of an earlier bucket.
+    rb = right.select(
+        F.col(key), F.col(ts), bkt(ts).alias("_b"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_pay"),
+    )
+    bucket_last = rb.groupBy(key, "_b").agg(
+        F.max_by("_pay", F.col(ts)).alias("_last_in_bucket"))
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+    lt = (
+        left.withColumn("_b", bkt(ts))
+        .withColumn("_tag", F.lit(left_tag))
+        .withColumn("_pay", F.lit(None).cast(pay_t))
+    )
+    all_buckets = (
+        lt.select(key, "_b").unionByName(rb.select(key, "_b")).distinct()
+    )
+    summaries = all_buckets.join(bucket_last, [key, "_b"], "left")
+    wprev = (
+        Window.partitionBy(key).orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.select(
+        key, "_b",
+        F.last("_last_in_bucket", ignorenulls=True).over(wprev).alias("_carry"),
+    )
+
+    # phase 3: union-tag window inside each (key, bucket)
+    rt = rb.select(F.col(key), F.col(ts), "_b",
+                   F.lit(right_tag).alias("_tag"), "_pay")
+    for c in lcols:
+        if c not in (key, ts):
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.unionByName(rt.select(*lcols, "_b", "_tag", "_pay"))
+    w = (
+        Window.partitionBy(key, "_b")
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = u.withColumn("_local", F.last("_pay", ignorenulls=True).over(w))
+    out = (
+        in_bucket.filter(F.col("_tag") == left_tag)
+        .join(carry, [key, "_b"], "left")
+        .withColumn("_last", F.coalesce("_local", "_carry"))
+    )
+    return out.select(
+        *lcols,
+        *[F.col("_last")[c].alias(f"{prefix}{c}") for c in right_payload],
+    )

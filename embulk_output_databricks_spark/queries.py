@@ -1332,6 +1332,32 @@ FROM c WHERE tag = 0
 """
 
 
+def q_events_asof_bucketed(spark, sf_dir):
+    """Skew-robust two-phase as-of (operators/joins.py asof_join_bucketed):
+    per-(key, day-bucket) last-payload summaries + carry-in window over
+    buckets + intra-bucket union-tag pass — a hot key's events spread over
+    as many tasks as it has buckets. Same answer, same oracle as
+    events_asof."""
+    from .operators.joins import asof_join_bucketed
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id")
+    right = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join_bucketed(left, right, key="user_id", ts="ts_us",
+                             right_payload=["event_id", "ts_us"],
+                             bucket_width=86_400_000_000, strict=True)
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        "prior_event_id",
+        (F.col("ts_us") - F.col("prior_ts_us")).alias("gap_us"),
+    )
+
+
 RANGE_WINDOW_US = 600_000_000  # 10 min
 
 
@@ -1826,6 +1852,7 @@ SPARK_QUERIES = {
     "events_tumbling_stream": q_events_tumbling_stream,
     "events_sessionize": q_events_sessionize,
     "events_asof": q_events_asof,
+    "events_asof_bucketed": q_events_asof_bucketed,
     "events_range_join": q_events_range_join,
     "events_rollup": q_events_rollup,
     "dedup_clusters": q_dedup_clusters,
@@ -1998,6 +2025,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_asof": _SQL_ASOF,
+        "events_asof_bucketed": _SQL_ASOF,
         "events_range_join": _SQL_RANGE_JOIN,
         "events_rollup": _SQL_ROLLUP,
         "dedup_clusters": _sql_clusters(),

@@ -152,3 +152,40 @@ def test_laketable_diff_across_schema_evolution(spark, warehouse):
     got = {r["k"]: (r["__op"], r["extra"]) for r in tbl.diff(v1, keys=["k"]).collect()}
     # old row reads NULL for the added col on BOTH sides -> no spurious 'U'
     assert got == {2: ("I", 7)}
+
+
+def test_asof_bucketed_matches_plain_asof(spark):
+    import random
+
+    from embulk_output_databricks_spark.operators.joins import (
+        asof_join_bucketed,
+    )
+
+    rng = random.Random(11)
+    # unique (k, t) on the right for determinism; left-only buckets and a
+    # hot key (k=0 gets 10x the rows) both exercised
+    right_rows = {(rng.randrange(4), rng.randrange(5000)) for _ in range(300)}
+    left_rows = [(0 if i % 2 == 0 else rng.randrange(4),
+                  rng.randrange(5000), i) for i in range(400)]
+    r = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in right_rows], "k bigint, t bigint, v double")
+    l = spark.createDataFrame(left_rows, "k bigint, t bigint, pid bigint")
+    for strict in (True, False):
+        a = asof_join(l, r, "k", "t", ["t", "v"], strict=strict)
+        b = asof_join_bucketed(l, r, "k", "t", ["t", "v"], bucket_width=100,
+                               strict=strict)
+        ra = {r_["pid"]: (r_["prior_t"], r_["prior_v"]) for r_ in a.collect()}
+        rb = {r_["pid"]: (r_["prior_t"], r_["prior_v"]) for r_ in b.collect()}
+        assert ra == rb
+
+
+def test_asof_bucketed_left_only_bucket_sees_carry(spark):
+    from embulk_output_databricks_spark.operators.joins import (
+        asof_join_bucketed,
+    )
+
+    # right only in bucket 0, left in bucket 2 (no right rows there)
+    l = spark.createDataFrame([(1, 250, 1)], "k bigint, t bigint, pid bigint")
+    r = spark.createDataFrame([(1, 10, 1.0)], "k bigint, t bigint, v double")
+    out = asof_join_bucketed(l, r, "k", "t", ["v"], bucket_width=100)
+    assert out.collect()[0]["prior_v"] == 1.0
