@@ -1435,6 +1435,60 @@ FROM e GROUP BY ROLLUP(event_type, day)
 """
 
 
+def q_events_setops(spark, sf_dir):
+    """Set operations (SURVEY §2.C): INTERSECT and EXCEPT (distinct) over
+    user sets — Catalyst plans both as aggregates + left-semi/anti joins."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purchasers.intersect(errored).withColumn("tag", F.lit("both"))
+    clean = purchasers.subtract(errored).withColumn("tag", F.lit("only_purchase"))
+    return both.unionByName(clean)
+
+
+_SQL_SETOPS = """
+WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'both' AS tag FROM (SELECT * FROM p INTERSECT SELECT * FROM e)
+UNION ALL
+SELECT user_id, 'only_purchase' AS tag
+FROM (SELECT * FROM p EXCEPT SELECT * FROM e)
+"""
+
+
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregation: all 4 grouping sets of (event_type, day) in one
+    Expand+HashAgg pass, grouping_id-disambiguated."""
+    ev = _events(spark, sf_dir)
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint")
+    return (
+        ev.withColumn("day", day)
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_CENTS_S(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit(-1)).alias("day"),
+            "gid", "n", "value_cents",
+        )
+    )
+
+
+_SQL_CUBE = f"""
+WITH e AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day, value FROM events)
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(day, -1) AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INTEGER) AS gid,
+       count(*) AS n,
+       CAST(sum({_cents_sql("value")}) AS BIGINT) AS value_cents
+FROM e GROUP BY CUBE(event_type, day)
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (min-label propagation +
     pointer jumping, operators/dedupe.py) over the confirmed ngram-Jaccard
@@ -1855,6 +1909,8 @@ SPARK_QUERIES = {
     "events_asof_bucketed": q_events_asof_bucketed,
     "events_range_join": q_events_range_join,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "events_setops": q_events_setops,
     "dedup_clusters": q_dedup_clusters,
     "text_pipeline": q_text_pipeline,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2028,6 +2084,8 @@ def _oracle_sql() -> dict[str, str]:
         "events_asof_bucketed": _SQL_ASOF,
         "events_range_join": _SQL_RANGE_JOIN,
         "events_rollup": _SQL_ROLLUP,
+        "events_cube": _SQL_CUBE,
+        "events_setops": _SQL_SETOPS,
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
