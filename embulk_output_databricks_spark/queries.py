@@ -1489,6 +1489,29 @@ FROM e GROUP BY CUBE(event_type, day)
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot event_type into per-type count columns (explicit value list, so
+    no extra distinct-values pass; one hash aggregate)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_SQL_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}"
+                  for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (min-label propagation +
     pointer jumping, operators/dedupe.py) over the confirmed ngram-Jaccard
@@ -1911,6 +1934,7 @@ SPARK_QUERIES = {
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_setops": q_events_setops,
+    "events_pivot": q_events_pivot,
     "dedup_clusters": q_dedup_clusters,
     "text_pipeline": q_text_pipeline,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2086,6 +2110,7 @@ def _oracle_sql() -> dict[str, str]:
         "events_rollup": _SQL_ROLLUP,
         "events_cube": _SQL_CUBE,
         "events_setops": _SQL_SETOPS,
+        "events_pivot": _SQL_PIVOT,
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,

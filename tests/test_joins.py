@@ -189,3 +189,25 @@ def test_asof_bucketed_left_only_bucket_sees_carry(spark):
     r = spark.createDataFrame([(1, 10, 1.0)], "k bigint, t bigint, v double")
     out = asof_join_bucketed(l, r, "k", "t", ["v"], bucket_width=100)
     assert out.collect()[0]["prior_v"] == 1.0
+
+
+def test_laketable_diff_over_mor_interval(spark, warehouse):
+    """diff() must be strategy-agnostic: a merge-on-read interval (delta
+    files, no bucket rewrite) yields the same I/U/D answer as COW."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply_mor
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    cat = LakeCatalog(spark, warehouse)
+    tbl = cat.create_table("t", schema, n_buckets=4, bucket_key="k")
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema))
+    v1 = tbl.current_version()
+    staged = spark.createDataFrame(
+        [(2, "B", "U"), (3, "c", "D"), (4, "d", "U")], "k bigint, v string, op string")
+    merge_apply_mor(tbl, staged, keys=["k"], support_deletes=True)
+    assert tbl.delta_file_count() > 0  # really took the MOR path
+    got = {r["k"]: (r["__op"], r["v"]) for r in tbl.diff(v1, keys=["k"]).collect()}
+    assert got == {2: ("U", "B"), 3: ("D", "c"), 4: ("I", "d")}
