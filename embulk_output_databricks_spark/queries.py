@@ -1489,6 +1489,65 @@ FROM e GROUP BY CUBE(event_type, day)
 """
 
 
+def q_events_running(spark, sf_dir):
+    """Running-frame window: cumulative event count and cents per user in
+    time order (ROWS UNBOUNDED PRECEDING), plus the previous event's type
+    (lag) — the frame/offset window surface in one query."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id", "ts_us", "event_id",
+        F.count(F.lit(1)).over(run).alias("n_so_far"),
+        F.sum(_CENTS_S(F.col("value"))).over(run).alias("cents_so_far"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+_SQL_RUNNING = f"""
+SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       count(*) OVER w AS n_so_far,
+       CAST(sum({_cents_sql("value")}) OVER w AS BIGINT) AS cents_so_far,
+       lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+LATE_DAYS = 60
+
+
+def q_orders_late_exists(spark, sf_dir):
+    """TPC-H Q4 shape: orders having at least one lineitem shipped more than
+    LATE_DAYS after the order date — a left-semi join (EXISTS), then a
+    one-column aggregate."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), LATE_DAYS)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late"))
+
+
+_SQL_LATE_EXISTS = f"""
+SELECT o_orderpriority, count(*) AS n_late
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+)
+GROUP BY 1
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1935,6 +1994,8 @@ SPARK_QUERIES = {
     "events_cube": q_events_cube,
     "events_setops": q_events_setops,
     "events_pivot": q_events_pivot,
+    "events_running": q_events_running,
+    "orders_late_exists": q_orders_late_exists,
     "dedup_clusters": q_dedup_clusters,
     "text_pipeline": q_text_pipeline,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2111,6 +2172,8 @@ def _oracle_sql() -> dict[str, str]:
         "events_cube": _SQL_CUBE,
         "events_setops": _SQL_SETOPS,
         "events_pivot": _SQL_PIVOT,
+        "events_running": _SQL_RUNNING,
+        "orders_late_exists": _SQL_LATE_EXISTS,
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
