@@ -53,6 +53,8 @@ HEADLINE_QUERIES = [
     "events_asof",
     "events_rollup",
     "regional_revenue",
+    "text_pipeline",
+    "dedup_clusters",
 ]
 
 
