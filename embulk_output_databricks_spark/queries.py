@@ -1518,6 +1518,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Sequential event-pattern (funnel): earliest signup -> first click
+    after it -> first purchase after that, per user. Each stage is a tiny
+    keyed aggregate joined forward — no per-user sort of the full stream."""
+    ev = _events(spark, sf_dir)
+
+    def stage(etype, prev, prev_col):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts_us").alias(prev_col))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts_us") > F.col(prev.columns[-1]))
+            .groupBy("user_id", *prev.columns[1:])
+            .agg(F.min("ts_us").alias(prev_col))
+        )
+
+    sg = stage("signup", None, "signup_us")
+    ck = stage("click", sg, "click_us")
+    pr = stage("purchase", ck, "purchase_us")
+    return pr.select(
+        "user_id", "signup_us", "click_us", "purchase_us",
+        (F.col("purchase_us") - F.col("signup_us")).alias("funnel_us"),
+    )
+
+
+_SQL_FUNNEL = """
+WITH sg AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+            FROM events WHERE event_type = 'signup' GROUP BY 1),
+     ck AS (SELECT e.user_id, sg.signup_us, min(epoch_us(e.ts)) AS click_us
+            FROM events e JOIN sg ON e.user_id = sg.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > sg.signup_us
+            GROUP BY 1, 2),
+     pr AS (SELECT e.user_id, ck.signup_us, ck.click_us,
+                   min(epoch_us(e.ts)) AS purchase_us
+            FROM events e JOIN ck ON e.user_id = ck.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > ck.click_us
+            GROUP BY 1, 2, 3)
+SELECT user_id, signup_us, click_us, purchase_us,
+       purchase_us - signup_us AS funnel_us
+FROM pr
+"""
+
+
 LATE_DAYS = 60
 
 
@@ -1996,6 +2040,7 @@ SPARK_QUERIES = {
     "events_pivot": q_events_pivot,
     "events_running": q_events_running,
     "orders_late_exists": q_orders_late_exists,
+    "events_funnel": q_events_funnel,
     "dedup_clusters": q_dedup_clusters,
     "text_pipeline": q_text_pipeline,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2174,6 +2219,7 @@ def _oracle_sql() -> dict[str, str]:
         "events_pivot": _SQL_PIVOT,
         "events_running": _SQL_RUNNING,
         "orders_late_exists": _SQL_LATE_EXISTS,
+        "events_funnel": _SQL_FUNNEL,
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
