@@ -1592,6 +1592,42 @@ GROUP BY 1
 """
 
 
+SAMPLE_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 50}  # percent
+
+
+def q_docs_sample(spark, sf_dir):
+    """Deterministic stratified sampling for corpus balancing: keep-or-drop
+    is a pure function of the doc id (md5-derived percent bucket), so the
+    sample is reproducible across runs/engines and needs no global state —
+    the property a 100 TB downsampling job needs (any worker decides any
+    row independently; re-runs pick identical rows). Per-language rates
+    downweight the dominant language."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) \
+         .cast("bigint") % 100
+    rate = F.element_at(
+        F.create_map(*[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]),
+        F.col("lang"),
+    )
+    return (
+        d.withColumn("bucket", h)
+        .filter(F.col("bucket") < F.coalesce(rate, F.lit(0)))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def _sql_docs_sample() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    return f"""
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    ) WHERE bucket < CASE lang {whens} ELSE 0 END
+    """
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2041,6 +2077,7 @@ SPARK_QUERIES = {
     "events_running": q_events_running,
     "orders_late_exists": q_orders_late_exists,
     "events_funnel": q_events_funnel,
+    "docs_sample": q_docs_sample,
     "dedup_clusters": q_dedup_clusters,
     "text_pipeline": q_text_pipeline,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2220,6 +2257,7 @@ def _oracle_sql() -> dict[str, str]:
         "events_running": _SQL_RUNNING,
         "orders_late_exists": _SQL_LATE_EXISTS,
         "events_funnel": _SQL_FUNNEL,
+        "docs_sample": _sql_docs_sample(),
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
