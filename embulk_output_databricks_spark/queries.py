@@ -339,6 +339,31 @@ def q_cdc_stats_skipping(spark, sf_dir):
     return tbl.read(stats_filter={"ts_us": (lo, hi)})
 
 
+def q_cdc_cluster_compact(spark, sf_dir):
+    """Clustered compaction (OPTIMIZE ... sort analog): unsorted appends
+    leave every file spanning the full ts_us range; compact(cluster_by)
+    sorts each bucket and splits it into consecutive files, so the same
+    range scan now skips files WITHIN the bucket — the per-file bounds
+    become a range index. Result identical to the full-scan filter."""
+    from embulk_output_databricks_spark.sources.laketable import _stats_keep
+
+    ev = _events(spark, sf_dir)
+    tbl = _new_table(spark, "cluster_compact", n_buckets=2)
+    # parity split: both appends span the WHOLE time range -> no skipping
+    tbl.append(ev.filter(ev.event_id % 2 == 0).select(*_STATE_COLS))
+    tbl.append(ev.filter(ev.event_id % 2 == 1).select(*_STATE_COLS))
+    mn, mx = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    lo = mn + (mx - mn) * 3 // 8
+    hi = mn + (mx - mn) * 5 // 8
+    m0 = tbl.manifest()
+    assert len(_stats_keep(m0, m0.files, {"ts_us": (lo, hi)})) == len(m0.files)
+    tbl.compact(cluster_by=["ts_us"], rows_per_file=1500)
+    m1 = tbl.manifest()
+    kept = _stats_keep(m1, m1.files, {"ts_us": (lo, hi)})
+    assert len(kept) < len(m1.files), "clustering enabled no skipping"
+    return tbl.read(stats_filter={"ts_us": (lo, hi)})
+
+
 def q_cdc_apply_truncate(spark, sf_dir):
     """B4: truncate_insert — old rows gone, new present, one snapshot."""
     t_half, s_half = _halves(spark, sf_dir)
@@ -2030,6 +2055,7 @@ SPARK_QUERIES = {
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_stats_skipping": q_cdc_stats_skipping,
+    "cdc_cluster_compact": q_cdc_cluster_compact,
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
@@ -2121,6 +2147,14 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_apply_insert": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
+        "cdc_cluster_compact": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events, b
+            WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) * 3 // 8
+                                   AND b.mn + (b.mx - b.mn) * 5 // 8
+        """,
         "cdc_stats_skipping": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
                        FROM events)

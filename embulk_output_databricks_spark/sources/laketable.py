@@ -559,11 +559,19 @@ class LakeTable:
     # ---------- write primitives ----------
 
     def _write_data_files(self, df: DataFrame, m: Manifest,
-                          extra_fields: list[tuple[str, str]] | None = None) -> list[dict]:
+                          extra_fields: list[tuple[str, str]] | None = None,
+                          sort_by: list[str] | None = None,
+                          rows_per_file: int | None = None) -> list[dict]:
         """Write df (current schema) as new immutable data files; returns file
         entries. If the table is bucketed, rows are routed to one file set per
         bucket via partitionBy so bucket pruning stays exact. `extra_fields`
         are physical columns written beyond the schema (MOR delta envelope).
+
+        `sort_by` + `rows_per_file` cluster each bucket: rows are sorted
+        within the bucket and split into consecutive files, so every file
+        covers a narrow `sort_by` range and the footer-harvested min/max
+        bounds become selective — stats_filter then prunes WITHIN a bucket,
+        not just across buckets (the OPTIMIZE ... ZORDER/sort analog).
         """
         import pyarrow.parquet as pq
 
@@ -583,9 +591,19 @@ class LakeTable:
             # one shuffle keyed by bucket: co-locates each bucket's rows so the
             # write emits few files per bucket instead of n_partitions each.
             df = df.repartition(_BUCKET_COL)
-            df.write.partitionBy(_BUCKET_COL).parquet(tmp, mode="overwrite")
+            if sort_by:
+                df = df.sortWithinPartitions(_BUCKET_COL, *sort_by)
+            w = df.write
+            if rows_per_file:
+                w = w.option("maxRecordsPerFile", rows_per_file)
+            w.partitionBy(_BUCKET_COL).parquet(tmp, mode="overwrite")
         else:
-            df.write.parquet(tmp, mode="overwrite")
+            if sort_by:
+                df = df.sortWithinPartitions(*sort_by)
+            w = df.write
+            if rows_per_file:
+                w = w.option("maxRecordsPerFile", rows_per_file)
+            w.parquet(tmp, mode="overwrite")
         entries: list[dict] = []
         for dirpath, _dirs, fnames in os.walk(tmp):
             for fn in fnames:
@@ -1003,14 +1021,22 @@ class LakeTable:
         return expired
 
     def compact(self, min_files_per_bucket: int = 2,
-                properties: dict | None = None) -> Manifest | None:
+                properties: dict | None = None,
+                cluster_by: list[str] | None = None,
+                rows_per_file: int | None = None) -> Manifest | None:
         """Bin-pack small files: rewrite every bucket holding >=
         min_files_per_bucket files into a single file set (Iceberg
         rewrite_data_files analog). The small-file problem is the classic
         failure mode of per-batch appends at 10^10 scale — reads degrade
         linearly with file count. One atomic snapshot; returns None if no
         bucket qualifies. Files from old schema versions are rewritten to
-        the current schema (read() projects by field id)."""
+        the current schema (read() projects by field id).
+
+        `cluster_by` (+ optional `rows_per_file`) additionally sorts each
+        rewritten bucket by the given columns and splits it into
+        consecutive files, turning the per-file min/max bounds into a
+        range index WITHIN the bucket (OPTIMIZE ... sort/ZORDER analog) —
+        every bucket with data is rewritten in that mode."""
         base = self.manifest()
         counts: dict = {}
         for f in base.files:
@@ -1022,6 +1048,8 @@ class LakeTable:
         # table converges back to a single spec and full pruning/MOR fast
         # paths — lazy migration, never a stop-the-world table rewrite
         victims |= {p for p in counts if p[0] != base.n_buckets}
+        if cluster_by:
+            victims = set(counts)  # clustering rewrites every populated bucket
         if not victims:
             return None
         vmap: dict[int, set] = {_file_nb(base, f): set() for f in base.files}
@@ -1031,7 +1059,8 @@ class LakeTable:
         props = dict(properties or {})
         props.setdefault("operation", "compact")
         _sel, keep = _split_files(base, base.files, vmap)
-        new = self._write_data_files(df, base)
+        new = self._write_data_files(df, base, sort_by=cluster_by,
+                                     rows_per_file=rows_per_file)
         return self._commit(base, keep + new, props)
 
     def clean_staging(self) -> list[str]:

@@ -92,3 +92,32 @@ def test_mor_delta_outside_range_hides_inrange_base_row(spark, warehouse):
     # and the out-of-range probe finds exactly the updated keys
     got99 = {r["doc_id"] for r in t.read(stats_filter={"n_tok": (99, 99)}).collect()}
     assert got99 == {f"doc{i:08d}" for i in range(5)}
+
+
+def test_cluster_compaction_builds_range_index_within_bucket(spark, warehouse):
+    """compact(cluster_by=...) sorts each bucket and splits it into
+    consecutive files, so stats_filter prunes WITHIN the bucket."""
+    import random
+
+    from pyspark.sql import types as T
+
+    t = _mk(spark, warehouse, n_buckets=1, bucket_key="doc_id")
+    rows = [(f"doc{i:05d}", [i], n, "s")
+            for i, n in enumerate(random.Random(3).sample(range(300), 300))]
+    df = spark.createDataFrame(rows, T.StructType(SEQUENCES_SCHEMA.fields))
+    t.append(df.limit(150))
+    t.append(df.subtract(df.limit(150)))
+    m0 = t.manifest()
+    # unsorted appends: every file spans ~the full n_tok range -> no skipping
+    assert len(_stats_keep(m0, m0.files, {"n_tok": (0, 49)})) == len(m0.files)
+
+    assert t.compact(cluster_by=["n_tok"], rows_per_file=100) is not None
+    m1 = t.manifest()
+    data_files = [f for f in m1.files if f.get("kind") != "delta"]
+    assert len(data_files) >= 3  # split by rows_per_file
+    kept = _stats_keep(m1, data_files, {"n_tok": (0, 49)})
+    assert len(kept) == 1  # the range index: one 100-row file covers 0..99
+    # exactness unchanged
+    got = {r["n_tok"] for r in t.read(stats_filter={"n_tok": (0, 49)}).collect()}
+    assert got == set(range(50))
+    assert t.row_count() == 300
