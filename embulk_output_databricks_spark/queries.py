@@ -1617,6 +1617,85 @@ GROUP BY 1
 """
 
 
+VOCAB_TOP = 50
+
+
+def q_tok_histogram(spark, sf_dir):
+    """Vocabulary statistics: token-frequency histogram over the derived
+    token ids, top-N by count — explode + hash aggregate, the map-side-
+    combinable shape (the full-vocab pass a tokenizer audit runs)."""
+    t = _doc_tokens(spark, sf_dir)
+    return (
+        t.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(VOCAB_TOP)
+    )
+
+
+def _sql_tok_histogram() -> str:
+    return f"""
+    SELECT token, count(*) AS freq FROM (
+      SELECT unnest({P.sql_word_ids('text')}) AS token FROM documents
+    ) GROUP BY token ORDER BY freq DESC, token LIMIT {VOCAB_TOP}
+    """
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    """Per-label embedding norm range — vector stats via the portable
+    fold-based dot/norm builders (order-fixed folds, so the doubles are
+    bit-identical across engines; only order-independent aggregates)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = P.f_norm(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.min(n).alias("min_norm"),
+        F.max(n).alias("max_norm"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def _sql_emb_norm_stats() -> str:
+    n = P.sql_norm("embedding")
+    return f"""
+    SELECT label, min({n}) AS min_norm, max({n}) AS max_norm,
+           count(*) AS n_vecs
+    FROM embeddings GROUP BY label
+    """
+
+
+def q_events_ranks(spark, sf_dir):
+    """Rank-function family in one pass: row_number, rank, dense_rank and
+    ntile over per-user spend (total order fixed by (cents desc, user_id)
+    so every rank is deterministic)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spend = ev.groupBy("user_id").agg(
+        F.sum(_CENTS_S(F.col("value"))).alias("cents"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
+    return spend.select(
+        "user_id", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_SQL_RANKS = f"""
+WITH s AS (SELECT user_id,
+                  CAST(sum({_cents_sql("value")}) AS BIGINT) AS cents
+           FROM events GROUP BY 1)
+SELECT user_id, cents,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile
+FROM s WINDOW w AS (ORDER BY cents DESC, user_id)
+"""
+
+
 SAMPLE_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 50}  # percent
 
 
@@ -2104,6 +2183,9 @@ SPARK_QUERIES = {
     "orders_late_exists": q_orders_late_exists,
     "events_funnel": q_events_funnel,
     "docs_sample": q_docs_sample,
+    "tok_histogram": q_tok_histogram,
+    "emb_norm_stats": q_emb_norm_stats,
+    "events_ranks": q_events_ranks,
     "dedup_clusters": q_dedup_clusters,
     "text_pipeline": q_text_pipeline,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2292,6 +2374,9 @@ def _oracle_sql() -> dict[str, str]:
         "orders_late_exists": _SQL_LATE_EXISTS,
         "events_funnel": _SQL_FUNNEL,
         "docs_sample": _sql_docs_sample(),
+        "tok_histogram": _sql_tok_histogram(),
+        "emb_norm_stats": _sql_emb_norm_stats(),
+        "events_ranks": _SQL_RANKS,
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
