@@ -234,6 +234,29 @@ _RULES_COLS = """
 """
 
 
+def q_cdc_merge_partial(spark, sf_dir):
+    """Partial-column update: merge_rule `T.col` pins a column to the
+    target's value on match, so the staged row updates everything EXCEPT
+    that column — the reference expresses exactly this with its
+    passthrough-rule strings (DatabricksOutputConnection.java:207-213)."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "merge_partial")
+    tbl.append(_lww(t_half))
+    merge_apply(tbl, _lww(s_half), keys=["user_id"],
+                merge_rules={"props": "T.props"})
+    return tbl.read()
+
+
+_PARTIAL_COLS = """
+  coalesce(s.user_id, t.user_id) AS user_id,
+  CASE WHEN s.user_id IS NOT NULL THEN s.ts_us ELSE t.ts_us END AS ts_us,
+  CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+  CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+  CASE WHEN s.user_id IS NOT NULL AND t.user_id IS NOT NULL THEN t.props
+       WHEN s.user_id IS NOT NULL THEN s.props ELSE t.props END AS props
+"""
+
+
 def q_cdc_merge_delete(spark, sf_dir):
     """Delete extension: op='D' drops the key (FIXTURES.md S12)."""
     t_half, s_half = _halves(spark, sf_dir)
@@ -2129,6 +2152,7 @@ SPARK_QUERIES = {
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "cdc_merge_composite": q_cdc_merge_composite,
     "cdc_merge_rules": q_cdc_merge_rules,
+    "cdc_merge_partial": q_cdc_merge_partial,
     "cdc_merge_delete": q_cdc_merge_delete,
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
@@ -2217,6 +2241,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_merge_upsert": _sql_merge(_UPSERT_COLS),
         "cdc_merge_composite": _SQL_MERGE_COMPOSITE,
         "cdc_merge_rules": _sql_merge(_RULES_COLS),
+        "cdc_merge_partial": _sql_merge(_PARTIAL_COLS),
         "cdc_merge_delete": _sql_merge(
             _UPSERT_COLS,
             where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",
