@@ -1610,6 +1610,39 @@ FROM pr
 """
 
 
+def q_orders_above_avg(spark, sf_dir):
+    """Correlated-aggregate pattern (decorrelated by hand the way Catalyst
+    would): each order compared to its own customer's average order value —
+    one keyed pre-aggregate joined back, no per-order subquery execution.
+    The avg is a single division of identical bigint operands on both
+    engines, so the doubles compare identically."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = _CENTS_S(F.col("o_totalprice"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).alias("sum_c"), F.count(F.lit(1)).alias("n_orders"))
+    avg = (F.col("sum_c") / F.col("n_orders"))
+    j = o.select("o_custkey", cents.alias("c")).join(
+        F.broadcast(per_cust), "o_custkey")
+    return j.groupBy("o_custkey", "n_orders").agg(
+        F.sum(F.when(F.col("c") > avg, 1).otherwise(0)).alias("n_above"))
+
+
+_SQL_ABOVE_AVG = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum({_cents_sql("o_totalprice")}) AS BIGINT) AS sum_c,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT o.o_custkey, per.n_orders,
+       CAST(sum(CASE WHEN {_cents_sql("o.o_totalprice")}
+                          > per.sum_c / per.n_orders
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM orders o JOIN per ON o.o_custkey = per.o_custkey
+GROUP BY 1, 2
+"""
+
+
 LATE_DAYS = 60
 
 
@@ -2205,6 +2238,7 @@ SPARK_QUERIES = {
     "events_pivot": q_events_pivot,
     "events_running": q_events_running,
     "orders_late_exists": q_orders_late_exists,
+    "orders_above_avg": q_orders_above_avg,
     "events_funnel": q_events_funnel,
     "docs_sample": q_docs_sample,
     "tok_histogram": q_tok_histogram,
@@ -2397,6 +2431,7 @@ def _oracle_sql() -> dict[str, str]:
         "events_pivot": _SQL_PIVOT,
         "events_running": _SQL_RUNNING,
         "orders_late_exists": _SQL_LATE_EXISTS,
+        "orders_above_avg": _SQL_ABOVE_AVG,
         "events_funnel": _SQL_FUNNEL,
         "docs_sample": _sql_docs_sample(),
         "tok_histogram": _sql_tok_histogram(),
