@@ -1723,7 +1723,10 @@ def _sql_emb_norm_stats() -> str:
 def q_events_ranks(spark, sf_dir):
     """Rank-function family in one pass: row_number, rank, dense_rank and
     ntile over per-user spend (total order fixed by (cents desc, user_id)
-    so every rank is deterministic)."""
+    so every rank is deterministic). The global window runs over the
+    PRE-AGGREGATED per-user rows, never the fact table; at 10^9 users the
+    scale path is rangepartitioning + per-partition rank with offset
+    correction (what Spark's global sort already does for the sort step)."""
     from pyspark.sql import Window
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
