@@ -375,8 +375,12 @@ class LakeTable:
             adds = [f for f in m.files if pby.get(f["path"]) != f]
             removes = [p for p in pby if p not in mby]
             segments = list(p_segs or [])
-            removed = list(getattr(parent, "_removed", []) or []) + removes \
-                if parent is not None else list(removes)
+            inherited = list(getattr(parent, "_removed", []) or []) \
+                if parent is not None else []
+            # a tombstone must die when its path is re-added (rollback
+            # re-points at files a later commit had replaced): `removed`
+            # is exactly "paths live in some segment but not in m.files"
+            removed = [p for p in inherited + removes if p not in mby]
             if adds:
                 segments.append(self._new_segment(adds))
             if (len(segments) > self._FOLD_SEGMENTS
@@ -998,6 +1002,37 @@ class LakeTable:
         return self._commit(base, files, props, n_buckets=n_buckets)
 
     # ---------- maintenance (SURVEY B12: cleanup DDL / expire snapshots) ----------
+
+    def rollback(self, version: int, properties: dict | None = None) -> Manifest:
+        """Roll the table back to an earlier snapshot — as a NEW commit that
+        re-points at that snapshot's file list, schema state, and bucket
+        spec (Iceberg rollback_to_snapshot analog). Metadata-only and
+        history-preserving: the bad interval stays inspectable via time
+        travel until expire_snapshots reclaims it, and the operation is
+        itself undoable (rollback of a rollback). The CDC story: a bad
+        batch landed -> rollback -> clear its fence entry -> re-tail from
+        the previous checkpoint; data files are never touched.
+        """
+        base = self.manifest()
+        target = self.manifest(version)
+        props = dict(properties or {})
+        props.setdefault("operation", "rollback")
+        props.setdefault("rollback_of", str(base.version))
+        props.setdefault("rollback_to", str(version))
+        # re-point the checkpoint-recovery view at the target snapshot:
+        # without this, crash reconciliation would read the BAD batch's
+        # fence stamp out of the inherited properties and re-fence it
+        for k in ("batch_id", "lsn_from", "lsn_to", "lineage", "committed_at"):
+            props[k] = target.properties.get(k)
+        return self._commit(
+            base,
+            list(target.files),
+            props,
+            schema_versions=target.schema_versions,
+            current_sv=target.current_sv,
+            next_field_id=base.next_field_id,  # never reuse field ids
+            n_buckets=target.n_buckets,
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop manifests older than the newest `keep_last` snapshots (the

@@ -85,6 +85,18 @@ class CheckpointStore:
         ids = self.committed_batch_ids()
         return ids[-1] if ids else None
 
+    def retract(self, batch_id: int) -> bool:
+        """Remove a batch's fence entry — the pairing step of
+        LakeTable.rollback(): after rolling the table back past a bad
+        batch, retracting its fence lets the replay loop re-apply the
+        corrected batch under the same batch_id. Returns whether an entry
+        existed."""
+        p = self._path(batch_id)
+        if os.path.exists(p):
+            os.unlink(p)
+            return True
+        return False
+
     # ---- commit ----
 
     def commit(self, batch_id: int, lsn_from: int, lsn_to: int,

@@ -148,3 +148,44 @@ def test_light_lineage_observation_mode(spark, cat):
     drv2.replay(binlog, batch_ids=[0, 1])
     assert table_state(drv.table) == table_state(drv2.table)
     binlog.unpersist()
+
+
+def test_rollback_bad_batch_then_reapply(spark, cat):
+    """Operational rollback story: bad batch lands -> rollback (metadata
+    only, history preserved) -> retract its fence -> corrected batch
+    re-applies under the same batch_id; final state == clean replay."""
+    binlog = synth_binlog(spark, 2000, 100, 1000, delete_frac=0.1).cache()
+    b0 = binlog.filter(binlog.batch_id == 0)
+    b1 = binlog.filter(binlog.batch_id == 1)
+
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    drv.run_batch(b0, 0)
+    v_good = drv.table.current_version()
+    good_state = table_state(drv.table)
+
+    # "bad" batch 1: same ids, corrupted payload
+    from pyspark.sql import functions as F
+    bad = b1.withColumn("tokens", F.array(F.lit(-1)))
+    drv.run_batch(bad, 1)
+    bad_version = drv.table.current_version()
+    assert table_state(drv.table) != good_state
+
+    m = drv.table.rollback(v_good)
+    assert m.properties["operation"] == "rollback"
+    assert table_state(drv.table) == good_state
+    # history preserved: the bad snapshot is still time-travelable
+    assert drv.table.read(version=bad_version).count() > 0
+    # fence must be cleared or the corrected batch is a no-op
+    assert drv.ckpt.retract(1) is True
+    assert drv.run_batch(b1, 1) is not None
+    # crash reconciliation after rollback must NOT resurrect the bad fence
+    from embulk_output_databricks_spark.streaming.checkpoint import (
+        CheckpointStore,
+    )
+    CheckpointStore(drv.table)  # fresh recovery pass
+
+    clean = ReplayDriver(LakeCatalog(spark, drv.table.root + "_clean"),
+                         JobConfig(mode="merge", n_buckets=4))
+    clean.run_batch(b0, 0)
+    clean.run_batch(b1, 1)
+    assert table_state(drv.table) == table_state(clean.table)
