@@ -456,6 +456,27 @@ def q_cdc_fence_idempotent(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_rollback(spark, sf_dir):
+    """Operational rollback: batch 2 lands corrupted -> rollback to the
+    pre-batch snapshot (metadata-only, history-preserving) -> retract its
+    fence -> corrected batch 2 and batch 3 apply; final state equals the
+    clean exactly-once replay. The undo story the reference's
+    fire-and-forget runs cannot express."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "rollback")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    driver.replay(binlog, batch_ids=[0, 1])
+    v_good = driver.table.current_version()
+    bad = binlog.filter(F.col("batch_id") == 2).withColumn(
+        "props", F.lit("CORRUPT"))
+    driver.run_batch(bad, 2)
+    driver.table.rollback(v_good)
+    assert driver.ckpt.retract(2), "bad batch left no fence to retract"
+    driver.replay(binlog, batch_ids=[2, 3])
+    return driver.table.read()
+
+
 def q_cdc_chunked_batch(spark, sf_dir):
     """A6 batch chunking (ref batch_size, DatabricksCopyBatchInsert.java:
     78-100): a batch above max_events_per_batch splits into ordered
@@ -2198,6 +2219,7 @@ SPARK_QUERIES = {
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
+    "cdc_rollback": q_cdc_rollback,
     "cdc_chunked_batch": q_cdc_chunked_batch,
     "cdc_rebucket": q_cdc_rebucket,
     "cdc_fence_antijoin": q_cdc_fence_antijoin,
@@ -2317,6 +2339,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 1 GROUP BY user_id
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
+        "cdc_rollback": _SQL_REPLAY_FINAL,
         "cdc_chunked_batch": _SQL_REPLAY_FINAL,
         "cdc_rebucket": _SQL_REPLAY_FINAL,
         "cdc_fence_antijoin": f"""
