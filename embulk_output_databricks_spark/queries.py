@@ -1776,6 +1776,23 @@ FROM s WINDOW w AS (ORDER BY cents DESC, user_id)
 """
 
 
+def q_events_ranks_scalable(spark, sf_dir):
+    """Same rank family as events_ranks, but through the distributed
+    global-rank operator (operators/ranks.py): range-partition on the sort
+    key -> per-partition ranks -> prefix-offset correction from a tiny
+    per-partition summary. No single-partition window ever touches the
+    data — the plan that survives 10^9 ranked rows (value-equal to the
+    plain-window plan by construction; same DuckDB oracle)."""
+    from .operators.ranks import global_ranks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spend = ev.groupBy("user_id").agg(
+        F.sum(_CENTS_S(F.col("value"))).alias("cents"))
+    return global_ranks(
+        spend, order=[("cents", "desc"), ("user_id", "asc")], ntile=4
+    ).select("user_id", "cents", "rn", "rnk", "drnk", "quartile")
+
+
 SAMPLE_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 50}  # percent
 
 
@@ -2269,6 +2286,7 @@ SPARK_QUERIES = {
     "tok_histogram": q_tok_histogram,
     "emb_norm_stats": q_emb_norm_stats,
     "events_ranks": q_events_ranks,
+    "events_ranks_scalable": q_events_ranks_scalable,
     "dedup_clusters": q_dedup_clusters,
     "text_pipeline": q_text_pipeline,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2463,6 +2481,7 @@ def _oracle_sql() -> dict[str, str]:
         "tok_histogram": _sql_tok_histogram(),
         "emb_norm_stats": _sql_emb_norm_stats(),
         "events_ranks": _SQL_RANKS,
+        "events_ranks_scalable": _SQL_RANKS,
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
