@@ -1998,6 +1998,57 @@ FROM {_sql_lww("event_id % 2 = 1")}
 """
 
 
+AGG_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def q_cdc_agg_maintenance(spark, sf_dir):
+    """Incremental aggregate maintenance: a per-event_type rollup
+    (n_rows, cents) is built ONCE from the initial table state, then kept
+    in sync with a delete-bearing MERGE purely from the snapshot diff
+    (streaming/aggmaint.py) — retract old / add new per changed key,
+    O(changed keys) instead of a full GROUP-BY rescan per batch. The
+    oracle recomputes the same rollup over the merged final state, so any
+    drift between the maintained and recomputed aggregate fails the gate.
+    Exercises group migration (a user's winning event_type changing moves
+    its contribution between groups) and deletes (count decrements)."""
+    from .streaming.aggmaint import maintain_agg
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "agg_maint_base")
+    tbl.append(_lww(t_half))
+    v1 = tbl.current_version()
+    agg_tbl = _new_table(spark, "agg_maint_rollup", schema=AGG_SCHEMA,
+                         n_buckets=4, bucket_key="event_type")
+    agg_tbl.append(
+        tbl.read().groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_CENTS_S(F.col("value"))).alias("cents")))
+    s_half = s_half.withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    merge_apply(tbl, _lww(s_half, extra=["op"]), keys=["user_id"],
+                support_deletes=True)
+    maintain_agg(tbl, agg_tbl, since_version=v1, keys=["user_id"],
+                 group_cols=["event_type"],
+                 measures={"cents": ("value", _CENTS_S)})
+    return agg_tbl.read().select("event_type", "n_rows", "cents")
+
+
+_SQL_AGG_MAINT = f"""
+WITH f AS ({_sql_merge(_UPSERT_COLS,
+                       where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')")})
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM({_cents_sql('value')}) AS BIGINT) AS cents
+FROM f GROUP BY 1
+"""
+
+
 def q_cdc_stream_tail(spark, sf_dir):
     """End-to-end Structured Streaming CDC: the events table rendered as a
     binlog directory, tailed with readStream -> every micro-batch through
@@ -2296,6 +2347,7 @@ SPARK_QUERIES = {
     "top_supplier_per_nation": q_top_supplier_per_nation,
     "media_frames": q_media_frames,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_agg_maintenance": q_cdc_agg_maintenance,
     "cdc_stream_tail": q_cdc_stream_tail,
 }
 
@@ -2491,6 +2543,7 @@ def _oracle_sql() -> dict[str, str]:
         "top_supplier_per_nation": _SQL_TOP_SUPPLIER,
         "media_frames": _sql_media_frames(),
         "cdc_changelog": _SQL_CHANGELOG,
+        "cdc_agg_maintenance": _SQL_AGG_MAINT,
         "cdc_stream_tail": _SQL_STREAM_TAIL,
     }
 

@@ -856,10 +856,17 @@ class LakeTable:
         return self._df_for_files(m, new_deltas, extra_fields=_DELTA_FIELDS)
 
     def diff(self, from_version: int, keys: list[str],
-             to_version: int | None = None) -> DataFrame:
+             to_version: int | None = None,
+             include_old: bool = False) -> DataFrame:
         """State diff between two snapshots as a changelog: one row per key
         whose resolved state changed, with `__op` in {'I','U','D'}. 'I'/'U'
         rows carry the new values, 'D' rows the last-seen old values.
+
+        With `include_old=True` every value column is additionally emitted
+        as `__old_<col>` holding the from_version state (NULL for 'I') —
+        the retract side a downstream incremental consumer (e.g.
+        streaming/aggmaint.py) needs to subtract a row's previous
+        contribution before adding its new one.
 
         Unlike changelog() (which replays physical delta files and so only
         works for MOR intervals), diff() compares RESOLVED states via
@@ -904,10 +911,14 @@ class LakeTable:
             .when(~(same if same is not None else F.lit(True)), F.lit("U"))
         )
         side = F.when(op == "D", F.lit("o")).otherwise(F.lit("n"))
+        old_cols = [] if not include_old else [
+            F.when(in_old, o[c]).alias(f"__old_{c}") for c in val_cols
+        ]
         out = j.select(
             op.alias("__op"),
             *[F.when(side == "o", o[k]).otherwise(n[k]).alias(k) for k in keys],
             *[F.when(side == "o", o[c]).otherwise(n[c]).alias(c) for c in val_cols],
+            *old_cols,
         )
         return out.filter(F.col("__op").isNotNull())
 
