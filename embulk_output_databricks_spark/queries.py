@@ -387,6 +387,42 @@ def q_cdc_cluster_compact(spark, sf_dir):
     return tbl.read(stats_filter={"ts_us": (lo, hi)})
 
 
+def q_cdc_zorder_compact(spark, sf_dir):
+    """Z-ordered compaction (OPTIMIZE ... ZORDER BY analog): clustering by
+    a Morton key over (ts_us, user_id) makes every rewritten file cover a
+    small hypercube of the value space, so per-file bounds prune on the
+    SECOND dimension too — exactly what lexicographic cluster_by cannot do
+    (its trailing columns span the full range in every file). The returned
+    scan filters on user_id alone, the dimension a plain sort would have
+    to full-scan."""
+    from embulk_output_databricks_spark.sources.laketable import _stats_keep
+
+    ev = _events(spark, sf_dir)
+    tbl = _new_table(spark, "zorder_compact", n_buckets=2)
+    tbl.append(ev.filter(ev.event_id % 2 == 0).select(*_STATE_COLS))
+    tbl.append(ev.filter(ev.event_id % 2 == 1).select(*_STATE_COLS))
+    umn, umx = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    ulo = umn + (umx - umn) * 3 // 8
+    uhi = umn + (umx - umn) * 5 // 8
+    m0 = tbl.manifest()
+    assert len(_stats_keep(m0, m0.files, {"user_id": (ulo, uhi)})) == len(m0.files)
+    tbl.compact(cluster_by=["ts_us", "user_id"], rows_per_file=400,
+                cluster_mode="zorder")
+    m1 = tbl.manifest()
+    kept = _stats_keep(m1, m1.files, {"user_id": (ulo, uhi)})
+    assert len(kept) < len(m1.files), "z-order enabled no second-dim skipping"
+    return tbl.read(stats_filter={"user_id": (ulo, uhi)})
+
+
+_SQL_ZORDER = """
+WITH b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM events)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+FROM events, b
+WHERE user_id BETWEEN b.mn + (b.mx - b.mn) * 3 // 8
+                  AND b.mn + (b.mx - b.mn) * 5 // 8
+"""
+
+
 def q_cdc_apply_truncate(spark, sf_dir):
     """B4: truncate_insert — old rows gone, new present, one snapshot."""
     t_half, s_half = _halves(spark, sf_dir)
@@ -2284,6 +2320,7 @@ SPARK_QUERIES = {
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_cluster_compact": q_cdc_cluster_compact,
+    "cdc_zorder_compact": q_cdc_zorder_compact,
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
@@ -2383,6 +2420,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_apply_insert": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
+        "cdc_zorder_compact": _SQL_ZORDER,
         "cdc_cluster_compact": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
                        FROM events)

@@ -564,7 +564,7 @@ class LakeTable:
 
     def _write_data_files(self, df: DataFrame, m: Manifest,
                           extra_fields: list[tuple[str, str]] | None = None,
-                          sort_by: list[str] | None = None,
+                          sort_by: list | None = None,
                           rows_per_file: int | None = None) -> list[dict]:
         """Write df (current schema) as new immutable data files; returns file
         entries. If the table is bucketed, rows are routed to one file set per
@@ -1069,7 +1069,8 @@ class LakeTable:
     def compact(self, min_files_per_bucket: int = 2,
                 properties: dict | None = None,
                 cluster_by: list[str] | None = None,
-                rows_per_file: int | None = None) -> Manifest | None:
+                rows_per_file: int | None = None,
+                cluster_mode: str = "sort") -> Manifest | None:
         """Bin-pack small files: rewrite every bucket holding >=
         min_files_per_bucket files into a single file set (Iceberg
         rewrite_data_files analog). The small-file problem is the classic
@@ -1081,8 +1082,16 @@ class LakeTable:
         `cluster_by` (+ optional `rows_per_file`) additionally sorts each
         rewritten bucket by the given columns and splits it into
         consecutive files, turning the per-file min/max bounds into a
-        range index WITHIN the bucket (OPTIMIZE ... sort/ZORDER analog) —
-        every bucket with data is rewritten in that mode."""
+        range index WITHIN the bucket (OPTIMIZE ... sort analog) — every
+        bucket with data is rewritten in that mode.
+
+        `cluster_mode="zorder"` sorts by a Morton key over the (numeric)
+        cluster columns instead of lexicographically: every file then
+        covers a small hypercube of the value space and stats_filter
+        prunes on EVERY clustered dimension, not just the leading one
+        (OPTIMIZE ... ZORDER BY analog; functions/zorder.py). Column
+        bounds for quantization come from one cheap agg over the rows
+        being rewritten."""
         base = self.manifest()
         counts: dict = {}
         for f in base.files:
@@ -1104,8 +1113,18 @@ class LakeTable:
         df = self.read(buckets=vmap)
         props = dict(properties or {})
         props.setdefault("operation", "compact")
+        sort_by: list | None = cluster_by
+        if cluster_by and cluster_mode == "zorder":
+            from ..functions.zorder import zorder_key
+
+            row = df.agg(*[f(c).alias(f"{p}_{c}") for c in cluster_by
+                           for p, f in (("mn", F.min), ("mx", F.max))]).first()
+            sort_by = [zorder_key(
+                {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cluster_by})]
+        elif cluster_mode != "sort":
+            raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
         _sel, keep = _split_files(base, base.files, vmap)
-        new = self._write_data_files(df, base, sort_by=cluster_by,
+        new = self._write_data_files(df, base, sort_by=sort_by,
                                      rows_per_file=rows_per_file)
         return self._commit(base, keep + new, props)
 
