@@ -78,9 +78,11 @@ def _fresh_catalog(spark: SparkSession, name: str) -> LakeCatalog:
     return LakeCatalog(spark, f"{WORK_ROOT}/{name}/{uuid.uuid4().hex}")
 
 
-def _new_table(spark, name, schema=STATE_SCHEMA, n_buckets=8, bucket_key="user_id"):
+def _new_table(spark, name, schema=STATE_SCHEMA, n_buckets=8, bucket_key="user_id",
+               properties=None):
     cat = _fresh_catalog(spark, name)
-    return cat.create_table("t", schema, n_buckets=n_buckets, bucket_key=bucket_key)
+    return cat.create_table("t", schema, n_buckets=n_buckets,
+                            bucket_key=bucket_key, properties=properties)
 
 
 # oracle fragment: LWW state per user over a filtered slice of `events`
@@ -420,6 +422,45 @@ SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
 FROM events, b
 WHERE user_id BETWEEN b.mn + (b.mx - b.mn) * 3 // 8
                   AND b.mn + (b.mx - b.mn) * 5 // 8
+"""
+
+
+def q_cdc_bloom_lookup(spark, sf_dir):
+    """Per-file bloom-filter point lookup: equality on a high-cardinality
+    UNCLUSTERED column (md5 of user_id) where every file's [min,max]
+    bounds span the whole hex space and prune nothing — the gap Parquet
+    blooms / Iceberg puffin exist for. Appends sliced by user slot give
+    each file a small tag subset; read(eq_filter=...) skips the provably
+    tag-free files pre-IO and post-filters exactly."""
+    from embulk_output_databricks_spark.sources.laketable import _bloom_keep
+
+    ev = _events(spark, sf_dir)
+    tagged = ev.select(
+        *_STATE_COLS,
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("utag"),
+    )
+    schema = T.StructType(
+        STATE_SCHEMA.fields + [T.StructField("utag", T.StringType())])
+    tbl = _new_table(spark, "bloom_lookup", schema=schema, n_buckets=2,
+                     properties={"bloom_columns": "utag"})
+    for j in range(4):
+        tbl.append(tagged.filter(F.col("user_id") % 4 == j))
+    target_user = ev.agg(F.min("user_id")).first()[0]
+    import hashlib
+
+    target = hashlib.md5(str(target_user).encode()).hexdigest()
+    m = tbl.manifest()
+    kept = _bloom_keep(m, m.files, {"utag": target})
+    assert len(kept) < len(m.files), "bloom enabled no skipping"
+    return tbl.read(eq_filter={"utag": target})
+
+
+_SQL_BLOOM = """
+WITH t AS (SELECT md5(CAST(min(user_id) AS VARCHAR)) AS tag FROM events)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props,
+       md5(CAST(user_id AS VARCHAR)) AS utag
+FROM events, t
+WHERE md5(CAST(user_id AS VARCHAR)) = t.tag
 """
 
 
@@ -2321,6 +2362,7 @@ SPARK_QUERIES = {
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_cluster_compact": q_cdc_cluster_compact,
     "cdc_zorder_compact": q_cdc_zorder_compact,
+    "cdc_bloom_lookup": q_cdc_bloom_lookup,
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
@@ -2421,6 +2463,7 @@ def _oracle_sql() -> dict[str, str]:
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
         "cdc_zorder_compact": _SQL_ZORDER,
+        "cdc_bloom_lookup": _SQL_BLOOM,
         "cdc_cluster_compact": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
                        FROM events)

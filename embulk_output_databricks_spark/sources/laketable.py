@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import bloom
+
 _BUCKET_COL = "__bucket"
 
 # MOR delta-file envelope: commit sequence (the snapshot version that added
@@ -209,6 +211,39 @@ def _stats_keep(m: "Manifest", files: list[dict], stats_filter: dict) -> list[di
                 continue
             mn, mx = s
             if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
+def _bloom_keep(m: "Manifest", files: list[dict], eq_filter: dict) -> list[dict]:
+    """File-skipping by per-file bloom filters: drop files whose bloom
+    PROVES the lookup value absent ({current_col_name: value}). Mirrors
+    _stats_keep's contracts: blooms are stored under the file's PHYSICAL
+    column name and resolved by field id (skipping survives renames); a
+    file without a bloom for the column is kept; a file predating the
+    column is skipped (all-null never equals a value). Bloom false
+    positives only KEEP files — never wrong results, just extra IO."""
+    cur_by_name = {c["name"]: c for c in m.schema_version.fields}
+    svs = {s.sv: s for s in m.schema_versions}
+    out = []
+    for f in files:
+        keep = True
+        phys_by_id = svs[f["sv"]].by_id()
+        for col, val in eq_filter.items():
+            cf = cur_by_name.get(col)
+            if cf is None:
+                raise ValueError(f"eq_filter on unknown column {col!r}")
+            pf = phys_by_id.get(cf["id"])
+            if pf is None:  # column added after this file: all rows null
+                keep = False
+                break
+            blob = f.get("bloom", {}).get(pf["name"])
+            if blob is None:
+                continue
+            if not bloom.might_contain(blob, val):
                 keep = False
                 break
         if keep:
@@ -404,7 +439,8 @@ class LakeTable:
     # ---------- read path ----------
 
     def read(self, version: int | None = None, buckets: set[int] | None = None,
-             stats_filter: dict | None = None) -> DataFrame:
+             stats_filter: dict | None = None,
+             eq_filter: dict | None = None) -> DataFrame:
         """Current-schema DataFrame over the snapshot, projecting old-schema
         files by field id (rename/widen/add are resolved here, zero rewrite).
         `buckets` prunes the file list before any IO — the merge fast path.
@@ -428,26 +464,41 @@ class LakeTable:
         provably delta-free files are skipped and the predicate is applied
         after winner resolution — a delta row outside the range must still
         beat (and thus hide) its in-range base row.
+
+        `eq_filter` ({col: value}) is the equality twin backed by per-file
+        BLOOM filters (sources/bloom.py; table property `bloom_columns`):
+        files whose bloom proves the value absent are skipped pre-IO, the
+        exact `col = value` predicate is applied to the returned rows, and
+        the same MOR conservatism applies. This is the point-lookup path
+        bounds cannot serve — on a high-cardinality unclustered column
+        every file's [min,max] spans the whole space and prunes nothing.
         """
         m = self.manifest(version)
         files, _ = _split_files(m, m.files, buckets)
 
         def _apply(df: DataFrame) -> DataFrame:
-            if not stats_filter:
+            if not stats_filter and not eq_filter:
                 return df
             cond = F.lit(True)
-            for c, (lo, hi) in stats_filter.items():
+            for c, (lo, hi) in (stats_filter or {}).items():
                 if lo is not None:
                     cond = cond & (F.col(c) >= F.lit(lo))
                 if hi is not None:
                     cond = cond & (F.col(c) <= F.lit(hi))
+            for c, v in (eq_filter or {}).items():
+                cond = cond & (F.col(c) == F.lit(v))
             return df.filter(cond)
+
+        def _skip(fs: list[dict]) -> list[dict]:
+            if stats_filter:
+                fs = _stats_keep(m, fs, stats_filter)
+            if eq_filter:
+                fs = _bloom_keep(m, fs, eq_filter)
+            return fs
 
         deltas = [f for f in files if f.get("kind") == "delta"]
         if not deltas:
-            if stats_filter:
-                files = _stats_keep(m, files, stats_filter)
-            return _apply(self._df_for_files(m, files))
+            return _apply(self._df_for_files(m, _skip(files)))
         from ..operators.lww import lww_dedup  # lazy: avoids module cycle
 
         keys = [k for k in (m.properties.get("merge_keys") or "").split(",") if k]
@@ -463,8 +514,7 @@ class LakeTable:
         # the same key hashes to different ids, so cross-spec base files are
         # conservatively dirty until compaction migrates them.
         clean, dirty_base = self._mor_split(m, files, deltas)
-        if stats_filter:
-            clean = _stats_keep(m, clean, stats_filter)
+        clean = _skip(clean)
         base = (
             self._df_for_files(m, dirty_base)
             .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
@@ -608,6 +658,9 @@ class LakeTable:
             if rows_per_file:
                 w = w.option("maxRecordsPerFile", rows_per_file)
             w.parquet(tmp, mode="overwrite")
+        bloom_cols = {
+            c for c in (m.properties.get("bloom_columns") or "").split(",") if c
+        } & {f.name for f in cur.fields}
         entries: list[dict] = []
         for dirpath, _dirs, fnames in os.walk(tmp):
             for fn in fnames:
@@ -617,16 +670,31 @@ class LakeTable:
                 bucket = None
                 if f"{_BUCKET_COL}=" in dirpath:
                     bucket = int(dirpath.split(f"{_BUCKET_COL}=")[-1].split(os.sep)[0])
-                md = pq.ParquetFile(src).metadata
+                pf = pq.ParquetFile(src)
+                md = pf.metadata
                 rows = md.num_rows
                 if rows == 0:
                     continue
-                rel = f"data/{uuid.uuid4().hex}.parquet"
-                os.replace(src, os.path.join(self.root, rel))
-                entry = {"path": rel, "bucket": bucket, "rows": rows, "sv": m.current_sv}
+                entry = {"path": None, "bucket": bucket, "rows": rows, "sv": m.current_sv}
                 stats = _footer_stats(md, stats_cols)
                 if stats:
                     entry["stats"] = stats
+                if bloom_cols:
+                    # equality-skip index: one small bloom per column over
+                    # the file's DISTINCT values (read back from the file
+                    # just written — local column IO, rows ~ rows_per_file)
+                    blooms = {}
+                    for c in bloom_cols:
+                        try:
+                            blooms[c] = bloom.build(
+                                bloom.distinct_column_values(pf, c))
+                        except TypeError:
+                            pass  # unsupported type: no bloom = no skipping
+                    if blooms:
+                        entry["bloom"] = blooms
+                rel = f"data/{uuid.uuid4().hex}.parquet"
+                os.replace(src, os.path.join(self.root, rel))
+                entry["path"] = rel
                 entries.append(entry)
         shutil.rmtree(tmp, ignore_errors=True)
         return entries
@@ -1065,6 +1133,22 @@ class LakeTable:
                     os.unlink(self._meta(fn))
                     expired.append(v)
         return expired
+
+    def set_bloom_columns(self, cols: list[str],
+                          properties: dict | None = None) -> Manifest:
+        """Enable per-file bloom harvesting for `cols` on FUTURE writes
+        (metadata-only commit). Existing files keep no bloom (= never
+        skipped, always correct); compact() rewrites them and picks the
+        index up lazily — the same migration pattern as rebucket()."""
+        base = self.manifest()
+        names = {f["name"] for f in base.schema_version.fields}
+        unknown = set(cols) - names
+        if unknown:
+            raise ValueError(f"bloom_columns not in schema: {sorted(unknown)}")
+        props = dict(properties or {})
+        props["bloom_columns"] = ",".join(cols)
+        props.setdefault("operation", "set-bloom-columns")
+        return self._commit(base, base.files, props)
 
     def compact(self, min_files_per_bucket: int = 2,
                 properties: dict | None = None,

@@ -1,0 +1,128 @@
+"""Per-file bloom filters for equality skipping (sources/bloom.py,
+read(eq_filter=...)). Contract mirrors bounds skipping: false positives
+only cost IO, absence of a bloom means keep, field-id resolution survives
+renames, MOR stays conservative, results are always exact."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_databricks_spark.sources import bloom
+from embulk_output_databricks_spark.sources.laketable import (
+    LakeCatalog,
+    _bloom_keep,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("v", T.LongType()),
+])
+
+
+def _tag(i):
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+def _mk(spark, warehouse, props=None):
+    cat = LakeCatalog(spark, f"{warehouse}/bl")
+    return cat.create_table("t", SCHEMA, n_buckets=2, bucket_key="k",
+                            properties=props)
+
+
+def _fill(spark, t, n=200, slices=4):
+    rows = [(f"k{i}", _tag(i), i) for i in range(n)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    for j in range(slices):
+        t.append(df.filter(F.col("v") % slices == j))
+    return rows
+
+
+def test_bloom_never_false_negative():
+    vals = [_tag(i) for i in range(500)] + list(range(500)) + [1.5, "", "\N{SNOWMAN}"]
+    blob = bloom.build(vals)
+    assert all(bloom.might_contain(blob, v) for v in vals)
+
+
+def test_bloom_mostly_excludes_absent_values():
+    blob = bloom.build([_tag(i) for i in range(300)])
+    fp = sum(bloom.might_contain(blob, _tag(i)) for i in range(1000, 3000))
+    assert fp < 100  # ~1-2% false positives at this load
+
+
+def test_bloom_rejects_unsupported_types():
+    with pytest.raises(TypeError):
+        bloom.build([object()])
+
+
+def test_eq_filter_skips_and_stays_exact(spark, warehouse):
+    t = _mk(spark, warehouse, {"bloom_columns": "tag"})
+    rows = _fill(spark, t)
+    m = t.manifest()
+    assert len(m.files) >= 8
+    target = rows[7][1]
+    kept = _bloom_keep(m, m.files, {"tag": target})
+    assert 1 <= len(kept) < len(m.files)
+    got = t.read(eq_filter={"tag": target}).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("k7", 7)]
+    # absent value: zero rows even when a false positive keeps a file
+    assert t.read(eq_filter={"tag": _tag(10**9)}).count() == 0
+
+
+def test_files_without_bloom_are_kept(spark, warehouse):
+    t = _mk(spark, warehouse)  # no bloom configured yet
+    rows = _fill(spark, t, slices=2)
+    t.set_bloom_columns(["tag"])
+    _fill(spark, t, n=100, slices=2)  # new files carry blooms
+    m = t.manifest()
+    old = [f for f in m.files if "bloom" not in f]
+    assert old, "pre-property files must have no bloom"
+    kept = _bloom_keep(m, m.files, {"tag": rows[3][1]})
+    assert set(f["path"] for f in old) <= set(f["path"] for f in kept)
+    # compact() rewrites with blooms -> the index appears lazily
+    assert t.compact(min_files_per_bucket=1) is not None
+    m2 = t.manifest()
+    assert all("bloom" in f for f in m2.files)
+
+
+def test_eq_filter_survives_rename(spark, warehouse):
+    t = _mk(spark, warehouse, {"bloom_columns": "tag"})
+    rows = _fill(spark, t, slices=2)
+    t.rename_column("tag", "fingerprint")
+    m = t.manifest()
+    kept = _bloom_keep(m, m.files, {"fingerprint": rows[5][1]})
+    assert len(kept) < len(m.files)
+    got = t.read(eq_filter={"fingerprint": rows[5][1]}).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("k5", 5)]
+
+
+def test_eq_filter_on_unknown_column(spark, warehouse):
+    t = _mk(spark, warehouse, {"bloom_columns": "tag"})
+    _fill(spark, t, n=20, slices=1)
+    with pytest.raises(ValueError):
+        t.read(eq_filter={"nope": "x"}).collect()
+
+
+def test_set_bloom_columns_validates(spark, warehouse):
+    t = _mk(spark, warehouse)
+    with pytest.raises(ValueError):
+        t.set_bloom_columns(["missing"])
+
+
+def test_eq_filter_mor_conservative_and_exact(spark, warehouse):
+    from embulk_output_databricks_spark.plans.merge import merge_apply_mor
+
+    cat = LakeCatalog(spark, f"{warehouse}/mor")
+    t = cat.create_table("t", SCHEMA, n_buckets=2, bucket_key="k",
+                         properties={"bloom_columns": "tag",
+                                     "merge_keys": "k"})
+    rows = _fill(spark, t, n=60, slices=2)
+    # delta updates k5's tag: the OLD tag must no longer match
+    new_tag = _tag(999_999)
+    merge_apply_mor(t, spark.createDataFrame([("k5", new_tag, 5)], SCHEMA),
+                    keys=["k"])
+    assert t.read(eq_filter={"tag": rows[5][1]}).count() == 0
+    got = t.read(eq_filter={"tag": new_tag}).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("k5", 5)]
