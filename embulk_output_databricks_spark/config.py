@@ -93,6 +93,15 @@ class JobConfig:
                                   # pruned parquet slice is cheaper to recompute
                                   # than to cache — measured in BENCH)
     keep_staging_on_error: bool = False
+    rollups: list[dict] = field(default_factory=list)
+                                  # maintained downstream aggregates
+                                  # (streaming/aggmaint.py): each entry
+                                  # {"name": str, "group_by": [cols],
+                                  #  "sums": [cols]} keeps the rollup table
+                                  # <table>__<name> in sync after every
+                                  # batch — exactly-once via the rollup's
+                                  # own consumed-version watermark, so a
+                                  # crash between apply and sync self-heals
     support_deletes: bool = True  # op='D' extension (FIXTURES.md S12)
     # replay-level retry of a failed batch apply (ref retry_limit 12 /
     # retry_wait 1000ms doubling to max_retry_wait 30min, README.md:32-34;
@@ -139,6 +148,20 @@ class JobConfig:
             raise ConfigError("n_buckets and dedup_salt must be >= 1")
         if self.target_rows_per_bucket < 0:
             raise ConfigError("target_rows_per_bucket must be >= 0")
+        seen_rollups = set()
+        for r in self.rollups:
+            name, grp = r.get("name"), r.get("group_by")
+            if not name or not isinstance(grp, list) or not grp:
+                raise ConfigError(
+                    "each rollup needs a name and a non-empty group_by list")
+            if name in seen_rollups:
+                raise ConfigError(f"duplicate rollup name {name!r}")
+            seen_rollups.add(name)
+            if not isinstance(r.get("sums", []), list):
+                raise ConfigError(f"rollup {name!r}: sums must be a list")
+            if self.mode is not ApplyMode.MERGE:
+                raise ConfigError("rollups require mode='merge' "
+                                  "(maintenance consumes the keyed diff)")
 
     def render_timestamp(self, col):
         """Render a (UTC-stored) timestamp Column as text under this

@@ -1134,6 +1134,16 @@ class LakeTable:
                     expired.append(v)
         return expired
 
+    def update_properties(self, props: dict) -> Manifest:
+        """Metadata-only commit that merges `props` into the table
+        properties (snapshot properties are inherited, so this is the
+        watermark/flag-setting primitive — e.g. aggmaint's consumed-version
+        stamp when an interval carried no changes)."""
+        base = self.manifest()
+        p = dict(props)
+        p.setdefault("operation", "set-properties")
+        return self._commit(base, base.files, p)
+
     def set_bloom_columns(self, cols: list[str],
                           properties: dict | None = None) -> Manifest:
         """Enable per-file bloom harvesting for `cols` on FUTURE writes

@@ -115,6 +115,97 @@ def apply_agg_deltas(
                        support_deletes=True, properties=props)
 
 
+WATERMARK_PROP = "agg_upto_version"  # base version the rollup has consumed
+
+_SUM_TYPES = {
+    "smallint": "bigint", "int": "bigint", "integer": "bigint",
+    "bigint": "bigint", "float": "double", "double": "double",
+}
+
+
+def rollup_schema(base_schema, group_cols: list[str],
+                  sum_cols: list[str]):
+    """StructType of a maintained rollup: group columns typed as in the
+    base table, `n_rows` (bigint), and one `sum_<col>` per measure
+    (integrals widen to bigint, floats to double)."""
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in base_schema.fields}
+    fields = []
+    for g in group_cols:
+        if g not in by_name:
+            raise ValueError(f"rollup group column {g!r} not in base schema")
+        fields.append(T.StructField(g, by_name[g].dataType))
+    fields.append(T.StructField(N_COL, T.LongType()))
+    for c in sum_cols:
+        if c not in by_name:
+            raise ValueError(f"rollup sum column {c!r} not in base schema")
+        t = _SUM_TYPES.get(by_name[c].dataType.simpleString())
+        if t is None:
+            raise ValueError(f"rollup sum column {c!r} is not numeric")
+        fields.append(T.StructField(
+            f"sum_{c}",
+            T.LongType() if t == "bigint" else T.DoubleType()))
+    return T.StructType(fields)
+
+
+def _sum_measures(sum_cols: list[str]) -> dict[str, Measure]:
+    return {f"sum_{c}": (c, lambda col: col) for c in sum_cols}
+
+
+def _recompute(base: LakeTable, group_cols, sum_cols, version=None):
+    df = base.read(version=version)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(N_COL),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols])
+
+
+def ensure_rollup(catalog, base: LakeTable, name: str,
+                  group_cols: list[str], sum_cols: list[str]) -> LakeTable:
+    """Create (or load) the rollup table for `base`. A fresh rollup is
+    seeded by one recompute of the CURRENT base state — the only full pass
+    it will ever take — and stamped with the base version it represents;
+    every later step is incremental from that watermark."""
+    if catalog.table_exists(name):
+        return catalog.load(name)
+    schema = rollup_schema(base.manifest().schema(), group_cols, sum_cols)
+    t = catalog.create_table(name, schema, n_buckets=8,
+                             bucket_key=group_cols[0])
+    v = base.current_version()
+    t.append(_recompute(base, group_cols, sum_cols, version=v),
+             properties={WATERMARK_PROP: str(v),
+                         "operation": "rollup-seed"})
+    return t
+
+
+def sync_rollup(base: LakeTable, agg_tbl: LakeTable, keys: list[str],
+                group_cols: list[str], sum_cols: list[str]):
+    """Advance the rollup to the base table's current version — exactly
+    once, crash-safe: the consumed-version watermark rides the SAME commit
+    as the delta MERGE (snapshot properties are atomic with the snapshot),
+    so a crash anywhere leaves a watermark that makes the rerun re-derive
+    precisely the missed interval. Returns the new manifest or None if
+    already current."""
+    upto = agg_tbl.manifest().properties.get(WATERMARK_PROP)
+    if upto is None:
+        raise ValueError(f"{agg_tbl.name}: not a maintained rollup "
+                         f"(missing {WATERMARK_PROP})")
+    upto, cur = int(upto), base.current_version()
+    if cur <= upto:
+        return None
+    d = base.diff(upto, keys=keys, to_version=cur, include_old=True)
+    deltas = agg_deltas(d, group_cols, _sum_measures(sum_cols)).persist()
+    try:
+        props = {WATERMARK_PROP: str(cur)}
+        if deltas.count() == 0:
+            # nothing changed in the interval: advance the watermark only
+            return agg_tbl.update_properties(props)
+        return apply_agg_deltas(agg_tbl, deltas, group_cols,
+                                properties=props)
+    finally:
+        deltas.unpersist()
+
+
 def maintain_agg(
     base: LakeTable,
     agg_tbl: LakeTable,

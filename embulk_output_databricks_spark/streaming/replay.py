@@ -65,6 +65,17 @@ class ReplayDriver:
         self.table = ensure_table(catalog, cfg, target_schema)
         self.ckpt = CheckpointStore(self.table)
         self._applied_since_compact = 0  # mor auto-compact cadence counter
+        # maintained downstream rollups (cfg.rollups): created/seeded here,
+        # advanced after every batch by their own consumed-version watermark
+        self.rollups: list[tuple] = []
+        if cfg.rollups:
+            from .aggmaint import ensure_rollup
+
+            for r in cfg.rollups:
+                name = f"{cfg.table}__{r['name']}"  # per-target namespace
+                agg = ensure_rollup(catalog, self.table, name,
+                                    r["group_by"], r.get("sums", []))
+                self.rollups.append((agg, r["group_by"], r.get("sums", [])))
 
     def _payload_cols(self) -> list[str]:
         return [f["name"] for f in self.table.manifest().schema_version.fields]
@@ -125,7 +136,12 @@ class ReplayDriver:
         """
         fenced = self.cfg.mode is not ApplyMode.INSERT_DIRECT
         if fenced and self.ckpt.is_committed(batch_id):
-            return None  # fence hit: replayed batch is a no-op (S11)
+            # fence hit: replayed batch is a no-op (S11). Rollups still
+            # catch up — a crash after the apply but before the rollup sync
+            # lands here on rerun, and the watermark makes this a no-op
+            # whenever they are already current.
+            self.sync_rollups()
+            return None
 
         for op in evolution or []:
             op.apply(self.table)
@@ -263,11 +279,26 @@ class ReplayDriver:
                 if n_new != mfst.n_buckets:
                     self.table.rebucket(n_new)
                     metrics["rebucketed_to"] = n_new
+        if self.rollups:
+            t_r = _time.monotonic()
+            self.sync_rollups()
+            metrics["rollup_s"] = round(_time.monotonic() - t_r, 6)
         if fenced:
             return self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage,
                                     metrics=metrics)
         return {"batch_id": batch_id, "snapshot_version": m.version,
                 "lineage": lineage, "metrics": metrics}
+
+    def sync_rollups(self) -> None:
+        """Advance every maintained rollup to the base table's current
+        version (no-op when already current; exactly-once via each
+        rollup's own watermark, see streaming/aggmaint.py)."""
+        if not self.rollups:
+            return
+        from .aggmaint import sync_rollup
+
+        for agg, group_by, sums in self.rollups:
+            sync_rollup(self.table, agg, self.cfg.merge_keys, group_by, sums)
 
     def replay(self, binlog: DataFrame, batch_ids: list[int] | None = None,
                evolution_plan: dict[int, list[EvolutionOp]] | None = None,

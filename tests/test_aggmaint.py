@@ -109,3 +109,70 @@ def test_diff_include_old_columns(spark, warehouse):
     assert d[1]["__op"] == "U" and d[1]["v"] == 11 and d[1]["__old_v"] == 10
     assert d[2]["__op"] == "D" and d[2]["__old_v"] == 20
     assert d[3]["__op"] == "I" and d[3]["v"] == 30 and d[3]["__old_v"] is None
+
+
+# ---------------- driver integration (cfg.rollups) ----------------
+
+from embulk_output_databricks_spark.config import ConfigError, JobConfig  # noqa: E402
+from embulk_output_databricks_spark.streaming.aggmaint import (  # noqa: E402
+    WATERMARK_PROP,
+)
+from embulk_output_databricks_spark.streaming.replay import (  # noqa: E402
+    InjectedCrash,
+    ReplayDriver,
+)
+from embulk_output_databricks_spark.synth import synth_binlog  # noqa: E402
+
+ROLLUP_CFG = [{"name": "by_source", "group_by": ["source"], "sums": ["n_tok"]}]
+
+
+def _rollup_state(t):
+    return sorted(tuple(r) for r in t.read().collect())
+
+
+def _recompute_state(base):
+    return sorted(tuple(r) for r in base.read().groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").alias("sum_n_tok")).collect())
+
+
+def test_driver_maintained_rollup_tracks_replay(spark, warehouse):
+    import pytest as _pytest
+    binlog = synth_binlog(spark, 1200, 80, 400, delete_frac=0.1).cache()
+    cfg = JobConfig(mode="merge", n_buckets=4, rollups=ROLLUP_CFG)
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/ri"), cfg)
+    drv.replay(binlog)
+    agg, _, _ = drv.rollups[0]
+    assert agg.name == "sequences__by_source"
+    assert _rollup_state(agg) == _recompute_state(drv.table)
+    assert int(agg.manifest().properties[WATERMARK_PROP]) == \
+        drv.table.current_version()
+    binlog.unpersist()
+    # rollups demand the keyed diff -> merge mode only
+    with _pytest.raises(ConfigError):
+        JobConfig(mode="insert", rollups=ROLLUP_CFG)
+
+
+def test_rollup_self_heals_after_crash_and_fence_replay(spark, warehouse):
+    import pytest as _pytest
+    b1 = synth_binlog(spark, 400, 50, 400)
+    b2 = synth_binlog(spark, 400, 50, 400, start=400)
+    cfg = JobConfig(mode="merge", n_buckets=4, rollups=ROLLUP_CFG)
+    cat = LakeCatalog(spark, f"{warehouse}/rc")
+    drv = ReplayDriver(cat, cfg)
+    drv.run_batch(b1, 0)
+    assert _rollup_state(drv.rollups[0][0]) == _recompute_state(drv.table)
+    with _pytest.raises(InjectedCrash):
+        drv.run_batch(b2, 1, crash_before_checkpoint=True)
+    # crash landed between the apply commit and the rollup sync: stale
+    agg = drv.rollups[0][0]
+    assert int(agg.manifest().properties[WATERMARK_PROP]) < \
+        drv.table.current_version()
+    # restart: the fence reconciles batch 1 to committed (no re-apply) and
+    # the rollup catches up on the fence-hit path
+    drv2 = ReplayDriver(cat, cfg)
+    assert drv2.run_batch(b2, 1) is None
+    agg2 = drv2.rollups[0][0]
+    assert _rollup_state(agg2) == _recompute_state(drv2.table)
+    assert int(agg2.manifest().properties[WATERMARK_PROP]) == \
+        drv2.table.current_version()
