@@ -554,6 +554,36 @@ def q_cdc_rollback(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_wap_publish(spark, sf_dir):
+    """Write-audit-publish (Iceberg branch/WAP analog; the reference loads
+    straight into the target with no audit gate): suspect batches replay
+    into a BRANCH of the table, a validation query runs against the branch
+    snapshot, then publish fast-forwards main in one atomic pointer swap.
+    Main never exposes unvalidated rows; nothing is copied (branch commits
+    are metadata; data files are shared); publish is O(1) at any scale."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "wap")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    driver.replay(binlog, batch_ids=[0, 1])
+    main = driver.table
+    v_main = main.current_version()
+    audit = main.create_branch("audit")
+    branch_driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA,
+                                 table=audit)
+    branch_driver.replay(binlog, batch_ids=[2, 3])
+    # audit gate: main untouched while the branch carries the new batches
+    assert main.current_version() == v_main
+    assert audit.current_version() > v_main
+    bad = audit.read().filter(
+        F.col("user_id").isNull() | F.col("seq_lsn").isNull()).count()
+    assert bad == 0, "audit failed: null keys on the branch"
+    main.publish_branch("audit")  # atomic fast-forward
+    assert main.current_version() == audit.current_version()
+    main.drop_branch("audit")
+    return main.read()
+
+
 def q_cdc_chunked_batch(spark, sf_dir):
     """A6 batch chunking (ref batch_size, DatabricksCopyBatchInsert.java:
     78-100): a batch above max_events_per_batch splits into ordered
@@ -1771,6 +1801,154 @@ GROUP BY 1
 """
 
 
+def q_customers_no_orders(spark, sf_dir):
+    """TPC-H Q22 shape: customers with NO urgent orders — a left-ANTI join
+    (the same primitive the batch fence uses, SURVEY §2.C), then a
+    per-segment aggregate. The priority filter is pushed into the orders
+    scan before the anti join; both sides shuffle on the custkey only — at
+    100 TB the anti join is bucket-co-partitioned with the customer table."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
+    idle = c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_CENTS_S(F.col("c_acctbal"))).alias("acctbal_cents"),
+    )
+
+
+_SQL_NO_ORDERS = f"""
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum({_cents_sql("c_acctbal")}) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 undelivered-revenue orders for one market
+    segment. The segment filter prunes customer BEFORE the join (Catalyst
+    pushes it to the scan) and the pre-date orders slice joins lineitem on
+    the shuffle key; the final top-k is a TakeOrderedAndProject, never a
+    global sort."""
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .filter(F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")))
+    l = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")))
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            "o_orderpriority", "revenue_cents",
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+       o_orderpriority,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         AS revenue_cents
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '{Q3_DATE}' AND l_shipdate > DATE '{Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+Q18_MIN_QTY = 150
+
+
+def q_large_orders_having(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose TOTAL quantity exceeds a threshold
+    (GROUP BY + HAVING over the fact table), then enriched with customer
+    via join. The having-filtered key set is tiny, so Catalyst/AQE
+    broadcast it into orders/customer — the fact table is aggregated once
+    and never re-shuffled."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            _CENTS_S(F.col("o_totalprice")).alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_SQL_LARGE_ORDERS = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+       {_cents_sql("o_totalprice")} AS totalprice_cents, total_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > {Q18_MIN_QTY}
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind rollup/cube): the
+    exact set list ((event_type), (day), ()) — NOT a power set — in one
+    Expand+HashAgg pass via Spark SQL, grouping_id-disambiguated."""
+    ev = _events(spark, sf_dir)
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint")
+    ev.withColumn("day", day).createOrReplaceTempView("gs_events")
+    return spark.sql(f"""
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(day, -1) AS day,
+               CAST(grouping_id(event_type, day) AS INT) AS gid,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+    """)
+
+
+_SQL_GROUPING_SETS = f"""
+WITH e AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day, value FROM events)
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(day, -1) AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INTEGER) AS gid,
+       count(*) AS n,
+       CAST(sum({_cents_sql("value")}) AS BIGINT) AS value_cents
+FROM e GROUP BY GROUPING SETS ((event_type), (day), ())
+"""
+
+
 VOCAB_TOP = 50
 
 
@@ -2367,6 +2545,7 @@ SPARK_QUERIES = {
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
     "cdc_rollback": q_cdc_rollback,
+    "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_chunked_batch": q_cdc_chunked_batch,
     "cdc_rebucket": q_cdc_rebucket,
     "cdc_fence_antijoin": q_cdc_fence_antijoin,
@@ -2410,6 +2589,10 @@ SPARK_QUERIES = {
     "events_pivot": q_events_pivot,
     "events_running": q_events_running,
     "orders_late_exists": q_orders_late_exists,
+    "customers_no_orders": q_customers_no_orders,
+    "shipping_priority": q_shipping_priority,
+    "large_orders_having": q_large_orders_having,
+    "events_grouping_sets": q_events_grouping_sets,
     "orders_above_avg": q_orders_above_avg,
     "events_funnel": q_events_funnel,
     "docs_sample": q_docs_sample,
@@ -2491,6 +2674,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
         "cdc_rollback": _SQL_REPLAY_FINAL,
+        "cdc_wap_publish": _SQL_REPLAY_FINAL,
         "cdc_chunked_batch": _SQL_REPLAY_FINAL,
         "cdc_rebucket": _SQL_REPLAY_FINAL,
         "cdc_fence_antijoin": f"""
@@ -2608,6 +2792,10 @@ def _oracle_sql() -> dict[str, str]:
         "events_pivot": _SQL_PIVOT,
         "events_running": _SQL_RUNNING,
         "orders_late_exists": _SQL_LATE_EXISTS,
+        "customers_no_orders": _SQL_NO_ORDERS,
+        "shipping_priority": _SQL_SHIPPING_PRIORITY,
+        "large_orders_having": _SQL_LARGE_ORDERS,
+        "events_grouping_sets": _SQL_GROUPING_SETS,
         "orders_above_avg": _SQL_ABOVE_AVG,
         "events_funnel": _SQL_FUNNEL,
         "docs_sample": _sql_docs_sample(),

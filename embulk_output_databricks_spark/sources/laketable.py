@@ -338,10 +338,16 @@ class LakeCatalog:
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    def __init__(self, spark: SparkSession, root: str, name: str,
+                 ref: str = "CURRENT"):
         self.spark = spark
         self.root = root
         self.name = name
+        # which head pointer this handle reads and advances: "CURRENT" (main)
+        # or "BRANCH-<name>" (a named branch). All snapshots share one global
+        # version sequence (O_EXCL on vN.json), so branch commits can never
+        # collide with main commits — a branch is just another head file.
+        self.ref = ref
         self.last_commit_s = 0.0  # snapshot-publish latency of the last _commit
         self._seg_cache: dict[str, list[dict]] = {}  # immutable segment files
 
@@ -351,7 +357,7 @@ class LakeTable:
         return os.path.join(self.root, "meta", *p)
 
     def current_version(self) -> int:
-        with open(self._meta("CURRENT")) as f:
+        with open(self._meta(self.ref)) as f:
             return int(f.read().strip())
 
     # Two-tier metadata (Iceberg manifest-list / manifest-file analog): a
@@ -431,10 +437,7 @@ class LakeTable:
             raise CommitConflict(f"{self.name}: version {m.version} already committed") from e
         m._segments = segments  # type: ignore[attr-defined]
         m._removed = d["removed"]  # type: ignore[attr-defined]
-        tmp = self._meta(f".CURRENT.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(m.version))
-        os.replace(tmp, self._meta("CURRENT"))  # atomic publish
+        self._publish_ref(self.ref, m.version)
 
     # ---------- read path ----------
 
@@ -721,7 +724,19 @@ class LakeTable:
             next_field_id=base.next_field_id if next_field_id is None else next_field_id,
         )
         t0 = time.monotonic()
-        self._write_manifest(m, parent=base)
+        # all heads (CURRENT + branches) share one global version sequence;
+        # a vN.json collision therefore means either (a) another HEAD took
+        # the number — ours is untouched, so take the next free number (the
+        # parent pointer, not the number, records lineage) — or (b) a real
+        # same-head race, which must surface as CommitConflict.
+        while True:
+            try:
+                self._write_manifest(m, parent=base)
+                break
+            except CommitConflict:
+                if self.current_version() != base.version:
+                    raise
+                m.version += 1
         # snapshot-publish latency (metadata swap only, excludes data write);
         # surfaced in checkpoint metrics so per-batch lineage shows how much
         # of the apply was commit overhead vs. data-plane work.
@@ -1113,6 +1128,84 @@ class LakeTable:
             n_buckets=target.n_buckets,
         )
 
+    # ---------- branches / write-audit-publish (Iceberg branch refs +
+    # WAP analog; no reference counterpart — its loads land straight in the
+    # target with no audit gate) ----------
+
+    def _publish_ref(self, ref: str, version: int) -> None:
+        tmp = self._meta(f".{ref}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._meta(ref))  # atomic head swap
+
+    def create_branch(self, name: str, from_version: int | None = None) -> "LakeTable":
+        """Fork a named branch at `from_version` (default: this handle's
+        head) and return a handle whose commits advance ONLY the branch.
+        The write-audit-publish flow: replay suspect batches into the
+        branch, validate its snapshot, then publish_branch() to make main
+        adopt it atomically — or drop_branch() to discard. Main readers
+        never see unvalidated data; data files are shared (commits are
+        metadata; nothing is copied)."""
+        if not name or any(c in name for c in "/\\. "):
+            raise ValueError(f"bad branch name {name!r}")
+        ref = f"BRANCH-{name}"
+        v = self.current_version() if from_version is None else from_version
+        self.manifest(v)  # must exist
+        try:
+            with open(self._meta(ref), "x") as f:  # O_EXCL: no silent re-fork
+                f.write(str(v))
+        except FileExistsError as e:
+            raise ValueError(f"branch {name!r} already exists") from e
+        return LakeTable(self.spark, self.root, f"{self.name}@{name}", ref=ref)
+
+    def branch(self, name: str) -> "LakeTable":
+        ref = f"BRANCH-{name}"
+        if not os.path.exists(self._meta(ref)):
+            raise ValueError(f"no such branch {name!r}")
+        return LakeTable(self.spark, self.root, f"{self.name}@{name}", ref=ref)
+
+    def list_branches(self) -> list[str]:
+        return sorted(fn[len("BRANCH-"):] for fn in os.listdir(self._meta())
+                      if fn.startswith("BRANCH-"))
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch head. Its snapshots stay time-travelable until
+        expire_snapshots; its data files are reclaimed by
+        remove_orphan_files once no retained snapshot references them."""
+        ref = f"BRANCH-{name}"
+        if not os.path.exists(self._meta(ref)):
+            raise ValueError(f"no such branch {name!r}")
+        os.unlink(self._meta(ref))
+
+    def _is_ancestor(self, anc: int, desc: int) -> bool:
+        v: int | None = desc
+        while v is not None and v >= anc:
+            if v == anc:
+                return True
+            v = self.manifest(v).parent
+        return False
+
+    def publish_branch(self, name: str) -> Manifest:
+        """Fast-forward this handle's head to the branch head — the PUBLISH
+        step of write-audit-publish, a single atomic pointer swap (no data
+        or metadata rewrite; at 100 TB publish cost is O(1)). Requires the
+        current head to be an ancestor of the branch head: if main advanced
+        since the fork, fast-forward would silently drop those commits, so
+        the caller must re-fork and re-apply (raise CommitConflict)."""
+        ref = f"BRANCH-{name}"
+        with open(self._meta(ref)) as f:
+            head = int(f.read().strip())
+        cur = self.current_version()
+        if head == cur:
+            return self.manifest(cur)
+        if not self._is_ancestor(cur, head):
+            raise CommitConflict(
+                f"{self.name}: cannot fast-forward {self.ref}@v{cur} to "
+                f"branch {name!r}@v{head} — heads diverged; re-fork and re-apply"
+            )
+        self._publish_ref(self.ref, head)
+        return self.manifest(head)
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop manifests older than the newest `keep_last` snapshots (the
         analog of Iceberg's expire_snapshots procedure; the reference's
@@ -1125,6 +1218,12 @@ class LakeTable:
             raise ValueError("keep_last must be >= 1")
         current = self.current_version()
         cutoff = current - keep_last + 1
+        # never expire a snapshot some live ref still points at (or could
+        # fast-forward through): clamp to the oldest branch head
+        for fn in os.listdir(self._meta()):
+            if fn.startswith("BRANCH-"):
+                with open(self._meta(fn)) as f:
+                    cutoff = min(cutoff, int(f.read().strip()))
         expired = []
         for fn in sorted(os.listdir(self._meta())):
             if fn.startswith("v") and fn.endswith(".json"):

@@ -59,10 +59,16 @@ class EvolutionOp:
 
 class ReplayDriver:
     def __init__(self, catalog: LakeCatalog, cfg: JobConfig,
-                 target_schema=SEQUENCES_SCHEMA):
+                 target_schema=SEQUENCES_SCHEMA, table: LakeTable | None = None):
         self.catalog = catalog
         self.cfg = cfg
-        self.table = ensure_table(catalog, cfg, target_schema)
+        # `table` injects an existing handle — e.g. a BRANCH handle for the
+        # write-audit-publish flow (LakeTable.create_branch); default is the
+        # catalog-managed main table. The fence store lives under the shared
+        # table root either way, so batches audited on a branch stay fenced
+        # after publish.
+        self.table = table if table is not None else ensure_table(
+            catalog, cfg, target_schema)
         self.ckpt = CheckpointStore(self.table)
         self._applied_since_compact = 0  # mor auto-compact cadence counter
         # maintained downstream rollups (cfg.rollups): created/seeded here,
