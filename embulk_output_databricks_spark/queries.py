@@ -1949,6 +1949,168 @@ FROM e GROUP BY GROUPING SETS ((event_type), (day), ())
 """
 
 
+EXCLUDED_SUPPLIER_PCT = 10  # s_suppkey % 10 == 0 suppliers are "complaints"
+
+
+def q_parts_distinct_suppliers(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per part group, excluding a
+    supplier blacklist via NOT IN — written in SQL so Spark plans the
+    null-aware anti join (a distinct physical operator from plain
+    LeftAnti: it must track whether the subquery produced NULLs). The
+    distinct-count is the Expand-based partial-distinct aggregate; the
+    blacklist is broadcast (tiny). lineitem stands in for partsupp as the
+    part<->supplier bridge (the driver corpus has no partsupp table)."""
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("q16_part")
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView("q16_supplier")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("q16_lineitem")
+    return spark.sql(f"""
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+        WHERE p_size <= 25
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+                                WHERE s_suppkey % {EXCLUDED_SUPPLIER_PCT} = 0)
+        GROUP BY p_brand, p_type
+    """)
+
+
+_SQL_DISTINCT_SUPPLIERS = f"""
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_suppkey % {EXCLUDED_SUPPLIER_PCT} = 0)
+GROUP BY p_brand, p_type
+"""
+
+
+PROMO_FROM = "1995-09-01"
+PROMO_TO = "1995-10-01"
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation — promo revenue share of
+    one month. One scan of the lineitem slice, part broadcast in, CASE
+    folded into the same hash aggregate (no second pass). Ratio is the one
+    final division of identical bigint operands, bit-equal on both
+    engines."""
+    l = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .filter((F.col("l_shipdate") >= F.lit(PROMO_FROM).cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit(PROMO_TO).cast("timestamp"))))
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                  .otherwise(F.lit(0))).alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents", "total_cents",
+        (F.col("promo_cents") / F.col("total_cents")).alias("promo_share"),
+    )
+
+
+_SQL_PROMO = f"""
+WITH a AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+             THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
+             ELSE 0 END) AS BIGINT) AS promo_cents,
+    CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+      AS total_cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= DATE '{PROMO_FROM}' AND l_shipdate < DATE '{PROMO_TO}'
+)
+SELECT promo_cents, total_cents,
+       promo_cents / total_cents AS promo_share FROM a
+"""
+
+
+Q11_REGION = 0
+Q11_FRACTION = "0.0004"
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a scalar subquery of the global
+    total. The global total is a one-row aggregate broadcast-cross-joined
+    back into the per-part aggregate — the distributed form of a scalar
+    subquery (never a driver collect; the fact table is scanned once and
+    the per-part aggregate reused for both sides at 100 TB)."""
+    n = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+         .filter(F.col("n_regionkey") == Q11_REGION).select("n_nationkey"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = (
+        l.join(F.broadcast(s.join(F.broadcast(n),
+                                  F.col("n_nationkey") == F.col("s_nationkey"))),
+               F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("value_cents"))
+        # both the scalar total and the output read this aggregate; without
+        # a persist the 100 TB fact scan underneath runs TWICE
+        .persist()
+    )
+    total = per_part.agg(F.sum("value_cents").alias("grand_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("grand_cents") * F.lit(Q11_FRACTION).cast("double"))
+        .select(F.col("l_partkey").alias("partkey"), "value_cents")
+    )
+
+
+_SQL_IMPORTANT_PARTS = f"""
+WITH pp AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey = {Q11_REGION}
+  GROUP BY 1
+)
+SELECT partkey, value_cents FROM pp
+WHERE value_cents > (SELECT CAST(sum(value_cents) AS BIGINT) FROM pp)
+                    * CAST({Q11_FRACTION} AS DOUBLE)
+"""
+
+
+def q_nation_multi_distinct(spark, sf_dir):
+    """Multiple DISTINCT aggregates in one GROUP BY (count(DISTINCT supp),
+    count(DISTINCT part), plus a plain sum) — the Expand-based
+    multi-distinct plan: one scan fans each row into one replica per
+    distinct set, a single shuffle keyed (nation, gid), no N-pass rescan
+    of the fact table."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    return (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(_CENTS_S(F.col("l_extendedprice"))).alias("gross_cents"),
+        )
+    )
+
+
+_SQL_MULTI_DISTINCT = f"""
+SELECT n_name,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       CAST(sum({_cents_sql("l_extendedprice")}) AS BIGINT) AS gross_cents
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1
+"""
+
+
 VOCAB_TOP = 50
 
 
@@ -2593,6 +2755,10 @@ SPARK_QUERIES = {
     "shipping_priority": q_shipping_priority,
     "large_orders_having": q_large_orders_having,
     "events_grouping_sets": q_events_grouping_sets,
+    "parts_distinct_suppliers": q_parts_distinct_suppliers,
+    "promo_revenue": q_promo_revenue,
+    "important_parts": q_important_parts,
+    "nation_multi_distinct": q_nation_multi_distinct,
     "orders_above_avg": q_orders_above_avg,
     "events_funnel": q_events_funnel,
     "docs_sample": q_docs_sample,
@@ -2796,6 +2962,10 @@ def _oracle_sql() -> dict[str, str]:
         "shipping_priority": _SQL_SHIPPING_PRIORITY,
         "large_orders_having": _SQL_LARGE_ORDERS,
         "events_grouping_sets": _SQL_GROUPING_SETS,
+        "parts_distinct_suppliers": _SQL_DISTINCT_SUPPLIERS,
+        "promo_revenue": _SQL_PROMO,
+        "important_parts": _SQL_IMPORTANT_PARTS,
+        "nation_multi_distinct": _SQL_MULTI_DISTINCT,
         "orders_above_avg": _SQL_ABOVE_AVG,
         "events_funnel": _SQL_FUNNEL,
         "docs_sample": _sql_docs_sample(),
