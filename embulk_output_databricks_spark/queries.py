@@ -364,6 +364,60 @@ def q_cdc_stats_skipping(spark, sf_dir):
     return tbl.read(stats_filter={"ts_us": (lo, hi)})
 
 
+def q_cdc_retention_delete(spark, sf_dir):
+    """Predicate DELETE planned from manifest bounds (Iceberg
+    metadata-delete analog; the reference's only delete is truncate-
+    everything, README.md:58-61): drop the middle-quarter ts_us range from
+    a time-sliced table. Interior files of the range are dropped WITHOUT
+    being read (metadata-only), disjoint files keep their exact paths, and
+    only the two horizon-straddling files are rewritten — at 100 TB a
+    retention delete costs O(boundary files), not O(deleted rows)."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "retention", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    # band fully covering one interior slice (metadata drop, zero IO),
+    # straddling its neighbours (the only rewrites), disjoint from the last
+    # slice (untouched, exact same file paths)
+    lo = mn + (mx - mn) * 2 // 8
+    hi = mn + (mx - mn) * 5 // 8
+    before = {f["path"] for f in tbl.manifest().files}
+    m = tbl.delete_where({"ts_us": (lo, hi)})
+    assert m.properties["delete_dropped_files"] >= 1, "no metadata-only drop"
+    untouched = before & {f["path"] for f in m.files}
+    assert untouched, "disjoint files were rewritten"
+    return tbl.read()
+
+
+def q_cdc_predicate_update(spark, sf_dir):
+    """Predicate UPDATE ... SET planned from manifest bounds (Iceberg
+    copy-on-write UPDATE analog; the reference's only update path is
+    whole-row MERGE WHEN MATCHED with merge_rule expressions,
+    DatabricksOutputConnection.java:180-232): reclassify one time band —
+    files provably outside the band keep their exact paths with zero IO,
+    and SET expressions see the pre-update row (props captures the OLD
+    event_type while event_type itself is rewritten)."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "predupd", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    lo = mn + (mx - mn) * 2 // 8
+    hi = mn + (mx - mn) * 5 // 8
+    before = {f["path"] for f in tbl.manifest().files}
+    m = tbl.update_where(
+        {"ts_us": (lo, hi)},
+        {"event_type": "concat('adj_', event_type)", "props": "event_type"})
+    assert m.properties["update_skipped_files"] >= 1, "no zero-IO skip"
+    assert before & {f["path"] for f in m.files}, "disjoint files were rewritten"
+    return tbl.read()
+
+
 def q_cdc_cluster_compact(spark, sf_dir):
     """Clustered compaction (OPTIMIZE ... sort analog): unsorted appends
     leave every file spanning the full ts_us range; compact(cluster_by)
@@ -2684,6 +2738,328 @@ FROM (
 """
 
 
+VOLUME_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between a nation PAIR in both
+    directions — the supplier and customer legs each resolve through their
+    own broadcast copy of `nation` (self-join of a dimension under two
+    roles), filtered to the pair BEFORE the fact join so the fact rows
+    that can't contribute never enter the shuffle; one hash agg by
+    (supp_nation, cust_nation, year)."""
+    a, b = VOLUME_NATIONS
+    l = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(F.col("n_name").isin(a, b))
+    su = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+          .join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                     F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("sn_key")))
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
+                                    F.col("n_name").alias("cust_nation"))),
+               F.col("c_nationkey") == F.col("cn_key")))
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (l.join(F.broadcast(su.select("s_suppkey", "supp_nation")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c.select("c_custkey", "cust_nation")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return j.groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year")).agg(
+        F.sum(rev).alias("revenue_c"))
+
+
+_SQL_NATION_PAIR = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         AS revenue_c
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{VOLUME_NATIONS[0]}', '{VOLUME_NATIONS[1]}')
+  AND n2.n_name IN ('{VOLUME_NATIONS[0]}', '{VOLUME_NATIONS[1]}')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape: profit by (supplier nation, order year) for parts
+    whose name matches a substring — the LIKE filter prunes `part` to a
+    small broadcast side and cascades: only matching partkeys survive the
+    fact join, so the wide orders join sees a pre-filtered fact stream."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_name").contains("red")).select("p_partkey"))
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_orderdate")
+    amount = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")))
+    return j.groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(amount).alias("profit_c"))
+
+
+_SQL_PROFIT_NATION = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         AS profit_c
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+RETURNED_FROM, RETURNED_TO = "1996-01-01", "1996-04-01"
+
+
+def q_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. The quarter filter lands on `orders` (partition-prunable at
+    scale), returnflag on the fact scan; agg keyed on the customer tuple,
+    then a global top-k via orderBy+limit (Spark plans TakeOrderedAndProject
+    — no full sort materialization)."""
+    l = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .filter(F.col("l_returnflag") == "R"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter((F.col("o_orderdate") >= F.lit(RETURNED_FROM).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(RETURNED_TO).cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")))
+    g = j.groupBy("c_custkey", "c_name", "n_name",
+                  _CENTS_S(F.col("c_acctbal")).alias("acctbal_c")).agg(
+        F.sum(rev).alias("revenue_c"))
+    return g.orderBy(F.col("revenue_c").desc(), F.col("c_custkey")).limit(20)
+
+
+_SQL_RETURNED = f"""
+SELECT c_custkey, c_name, n_name,
+       {_cents_sql("c_acctbal")} AS acctbal_c,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         AS revenue_c
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '{RETURNED_FROM}' AND o_orderdate < DATE '{RETURNED_TO}'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_c DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_customer_order_counts(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count — LEFT
+    OUTER join so zero-order customers survive with c_count 0, the filter
+    living in the JOIN CONDITION (not WHERE, which would turn the outer
+    join inner); then a second, tiny aggregation over the per-customer
+    counts. Two shuffles total, the second over ~#distinct-counts rows."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_SQL_CUSTDIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+SMALLQTY_BRAND = "Brand#23"
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from orders below 1/5 of the part's average
+    quantity. The correlated scalar subquery decorrelates into a per-part
+    pre-aggregate joined back to the fact — and the threshold compare is
+    kept in INTEGERS (5*qty*cnt < sum_qty, exact because quantities are
+    integral) so both engines agree at the boundary bit-for-bit."""
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_brand") == SMALLQTY_BRAND).select("p_partkey"))
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lp = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = lp.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"))
+    j = lp.join(F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey"))
+    small = j.filter(
+        F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt_qty")
+        < F.col("sum_qty"))
+    return small.agg(
+        F.sum(_CENTS_S(F.col("l_extendedprice"))).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+_SQL_SMALLQTY = f"""
+WITH lp AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{SMALLQTY_BRAND}'
+), pp AS (
+  SELECT l_partkey AS a_partkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         count(*) AS cnt_qty
+  FROM lp GROUP BY 1
+)
+SELECT CAST(sum({_cents_sql("l_extendedprice")}) AS BIGINT) AS revenue_c,
+       count(*) AS n_lines
+FROM lp JOIN pp ON l_partkey = a_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt_qty < sum_qty
+"""
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: three OR'd conjunction branches mixing part and
+    lineitem predicates. Written as one boolean expression over the joined
+    row — Catalyst extracts the common `p_partkey = l_partkey` equi-key
+    (no cartesian) and pushes the per-table halves of each branch below
+    the join via CNF conversion; one scan each side, zero extra passes."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15))
+           & qty.between(20, 30)))
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.filter(branch).agg(F.sum(rev).alias("revenue_c"),
+                                F.count(F.lit(1)).alias("n_lines"))
+
+
+_SQL_DISJUNCTIVE = f"""
+SELECT CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         AS revenue_c,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_lonely_supplier_returns(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who are the SOLE supplier with returned
+    ('R') lines on multi-supplier orders — a correlated EXISTS (another
+    supplier participated) plus a correlated NOT EXISTS (no OTHER supplier
+    had returns). Expressed in SQL so Spark plans the pair as left-semi +
+    null-safe left-anti joins on l_orderkey (the subqueries decorrelate;
+    no per-row re-execution), then counts per supplier with a global
+    top-20."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("q21_l")
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView("q21_s")
+    return spark.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM q21_l l1 JOIN q21_s ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM q21_l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """)
+
+
+_SQL_LONELY_SUPPLIER = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    orders — a scalar subquery (global positive-balance average, one
+    broadcast row) gating a NOT EXISTS anti join, aggregated per market
+    segment. The average compare is kept in exact integers (cents * count
+    vs sum-of-cents) so the boundary is engine-independent."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
+    cents = _CENTS_S(F.col("c_acctbal"))
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt"))
+    # c_acctbal_cents > sum/cnt  <=>  cents*cnt > sum  (exact bigint compare)
+    rich = (c.withColumn("bal_c", cents)
+            .crossJoin(F.broadcast(pos))
+            .filter(F.col("bal_c") * F.col("bal_cnt") > F.col("bal_sum")))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_c").alias("totacctbal_c"))
+
+
+_SQL_IDLE_RICH = f"""
+WITH pos AS (
+  SELECT CAST(sum({_cents_sql("c_acctbal")}) AS BIGINT) AS bal_sum,
+         count(*) AS bal_cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum({_cents_sql("c_acctbal")}) AS BIGINT) AS totacctbal_c
+FROM customer, pos
+WHERE {_cents_sql("c_acctbal")} * bal_cnt > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 # ================================================================ registry
 
 SPARK_QUERIES = {
@@ -2700,6 +3076,8 @@ SPARK_QUERIES = {
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_stats_skipping": q_cdc_stats_skipping,
+    "cdc_retention_delete": q_cdc_retention_delete,
+    "cdc_predicate_update": q_cdc_predicate_update,
     "cdc_cluster_compact": q_cdc_cluster_compact,
     "cdc_zorder_compact": q_cdc_zorder_compact,
     "cdc_bloom_lookup": q_cdc_bloom_lookup,
@@ -2773,6 +3151,14 @@ SPARK_QUERIES = {
     "events_quantiles": q_events_quantiles,
     "regional_revenue": q_regional_revenue,
     "top_supplier_per_nation": q_top_supplier_per_nation,
+    "nation_pair_volume": q_nation_pair_volume,
+    "profit_by_nation": q_profit_by_nation,
+    "returned_customers": q_returned_customers,
+    "customer_order_counts": q_customer_order_counts,
+    "small_qty_revenue": q_small_qty_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "lonely_supplier_returns": q_lonely_supplier_returns,
+    "idle_rich_customers": q_idle_rich_customers,
     "media_frames": q_media_frames,
     "cdc_changelog": q_cdc_changelog,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
@@ -2828,6 +3214,28 @@ def _oracle_sql() -> dict[str, str]:
             FROM events, b
             WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) * 3 // 8
                                    AND b.mn + (b.mx - b.mn) * 5 // 8
+        """,
+        "cdc_retention_delete": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events, b
+            WHERE epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                                       AND b.mn + (b.mx - b.mn) * 5 // 8
+        """,
+        "cdc_predicate_update": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events),
+            hit AS (SELECT *, epoch_us(ts)
+                         BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                             AND b.mn + (b.mx - b.mn) * 5 // 8 AS h
+                    FROM events, b)
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN h THEN 'adj_' || event_type
+                        ELSE event_type END AS event_type,
+                   value,
+                   CASE WHEN h THEN event_type ELSE props END AS props
+            FROM hit
         """,
         "cdc_apply_truncate": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props "
@@ -2980,6 +3388,14 @@ def _oracle_sql() -> dict[str, str]:
         "events_quantiles": _SQL_QUANTILES,
         "regional_revenue": _SQL_REGIONAL,
         "top_supplier_per_nation": _SQL_TOP_SUPPLIER,
+        "nation_pair_volume": _SQL_NATION_PAIR,
+        "profit_by_nation": _SQL_PROFIT_NATION,
+        "returned_customers": _SQL_RETURNED,
+        "customer_order_counts": _SQL_CUSTDIST,
+        "small_qty_revenue": _SQL_SMALLQTY,
+        "disjunctive_revenue": _SQL_DISJUNCTIVE,
+        "lonely_supplier_returns": _SQL_LONELY_SUPPLIER,
+        "idle_rich_customers": _SQL_IDLE_RICH,
         "media_frames": _sql_media_frames(),
         "cdc_changelog": _SQL_CHANGELOG,
         "cdc_agg_maintenance": _SQL_AGG_MAINT,

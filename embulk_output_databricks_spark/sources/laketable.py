@@ -184,6 +184,32 @@ def _footer_stats(md, wanted: set[str]) -> dict:
     return {k: v for k, v in agg.items() if v is not None}
 
 
+def _footer_nullfree(md, wanted: set[str]) -> list[str]:
+    """Columns of `wanted` PROVABLY null-free in this file (every row group
+    records null_count == 0). Powers delete_where's whole-file drops: a
+    range predicate never matches a NULL row, so a file may be dropped
+    wholesale only when bounds prove every row in-range AND the column is
+    proven null-free. A missing proof only forces a rewrite — never a
+    wrong result."""
+    ok = set(wanted)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        seen = set()
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in ok:
+                continue
+            seen.add(name)
+            st = col.statistics
+            if st is None or st.null_count is None or st.null_count > 0:
+                ok.discard(name)
+        ok &= seen  # a column absent from a row group has no proof
+        if not ok:
+            break
+    return sorted(ok)
+
+
 def _stats_keep(m: "Manifest", files: list[dict], stats_filter: dict) -> list[dict]:
     """File-skipping by column bounds: drop files whose recorded [min,max]
     provably misses every bound in `stats_filter` ({current_col_name:
@@ -216,6 +242,37 @@ def _stats_keep(m: "Manifest", files: list[dict], stats_filter: dict) -> list[di
         if keep:
             out.append(f)
     return out
+
+
+def _pred_classify(m: "Manifest", f: dict, pred: dict) -> str:
+    """Classify one data file against a conjunctive range predicate
+    ({current_col_name: (lo, hi)}, either bound None, null-excluding SQL
+    semantics — the stats_filter shape): 'none' (bounds prove NO row
+    matches), 'all' (bounds + null-free proof show EVERY row matches), or
+    'some' (must be read). Bounds resolve to the file's PHYSICAL column
+    name by field id, so classification survives renames; a file written
+    before the column existed is all-NULL there, hence 'none'."""
+    cur_by_name = {c["name"]: c for c in m.schema_version.fields}
+    phys_by_id = {s.sv: s for s in m.schema_versions}[f["sv"]].by_id()
+    all_match = True
+    for col, (lo, hi) in pred.items():
+        cf = cur_by_name.get(col)
+        if cf is None:
+            raise ValueError(f"delete predicate on unknown column {col!r}")
+        pf = phys_by_id.get(cf["id"])
+        if pf is None:  # column added after this file: all rows null
+            return "none"
+        s = f.get("stats", {}).get(pf["name"])
+        if s is None:
+            all_match = False
+            continue
+        mn, mx = s
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            return "none"
+        if not ((lo is None or mn >= lo) and (hi is None or mx <= hi)
+                and pf["name"] in f.get("nn", ())):
+            all_match = False
+    return "all" if all_match else "some"
 
 
 def _bloom_keep(m: "Manifest", files: list[dict], eq_filter: dict) -> list[dict]:
@@ -682,6 +739,9 @@ class LakeTable:
                 stats = _footer_stats(md, stats_cols)
                 if stats:
                     entry["stats"] = stats
+                nn = _footer_nullfree(md, stats_cols)
+                if nn:
+                    entry["nn"] = nn
                 if bloom_cols:
                     # equality-skip index: one small bloom per column over
                     # the file's DISTINCT values (read back from the file
@@ -711,12 +771,13 @@ class LakeTable:
         current_sv: int | None = None,
         next_field_id: int | None = None,
         n_buckets: int | None = None,
+        bucket_key: str | None = None,
     ) -> Manifest:
         m = Manifest(
             version=base.version + 1,
             parent=base.version,
             n_buckets=base.n_buckets if n_buckets is None else n_buckets,
-            bucket_key=base.bucket_key,
+            bucket_key=base.bucket_key if bucket_key is None else bucket_key,
             current_sv=base.current_sv if current_sv is None else current_sv,
             schema_versions=schema_versions or base.schema_versions,
             files=files,
@@ -887,6 +948,152 @@ class LakeTable:
         props.setdefault("operation", "compact_deltas")
         return self._commit(base, keep + new, props)
 
+    def delete_where(self, pred: dict, properties: dict | None = None) -> Manifest:
+        """Row-level DELETE by conjunctive range predicate ({col: (lo, hi)},
+        either bound None; null-excluding SQL semantics — the stats_filter
+        shape) planned file-by-file from manifest bounds (Iceberg
+        metadata-delete analog; the reference has no delete story at all —
+        its truncate mode drops everything, README.md:58-61):
+
+          * files whose bounds prove NO row matches — untouched, zero IO;
+          * files whose bounds + null-free proof show EVERY row matches —
+            dropped from the manifest, zero IO;
+          * only boundary/unproven files are rewritten (scan + anti-filter).
+
+        At 100 TB a retention delete (ts < horizon) on a time-clustered
+        table drops almost every affected file in metadata and rewrites
+        only the horizon-straddling files — IO is O(boundary), not
+        O(matching rows). With outstanding MOR deltas, delta-dirty buckets
+        resolve winners first and rewrite (a delta row can move a key into
+        or out of range); clean buckets still take the fast paths."""
+        base = self.manifest()
+        deltas = [f for f in base.files if f.get("kind") == "delta"]
+        clean, dirty = self._mor_split(base, base.files, deltas)
+        keep, rewrite = [], []
+        dropped = 0
+        for f in clean:
+            cls = _pred_classify(base, f, pred)
+            if cls == "none":
+                keep.append(f)
+            elif cls == "all":
+                dropped += 1
+            else:
+                rewrite.append(f)
+        cond = F.lit(True)
+        for c, (lo, hi) in pred.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        survive = ~F.coalesce(cond, F.lit(False))  # NULL never matches
+        parts: list[DataFrame] = []
+        if rewrite:
+            parts.append(self._df_for_files(base, rewrite).filter(survive))
+        if deltas:
+            from ..operators.lww import lww_dedup  # lazy: avoids module cycle
+
+            keys = [k for k in (base.properties.get("merge_keys") or "").split(",") if k]
+            if not keys:
+                raise ValueError(
+                    f"{self.name}: delta files present but no merge_keys property")
+            b = (self._df_for_files(base, dirty)
+                 .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
+                 .withColumn(_DOP_COL, F.lit("U")))
+            d = self._df_for_files(base, deltas, extra_fields=_DELTA_FIELDS)
+            w = lww_dedup(b.unionByName(d), keys=keys,
+                          order=[_DSEQ_COL], strategy="maxby")
+            parts.append(w.filter(F.col(_DOP_COL) != "D")
+                         .drop(_DSEQ_COL, _DOP_COL).filter(survive))
+        new: list[dict] = []
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            new = self._write_data_files(df, base)
+        props = dict(properties or {})
+        props.setdefault("operation", "delete_where")
+        props["delete_dropped_files"] = dropped
+        props["delete_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
+        return self._commit(base, keep + new, props)
+
+    def update_where(self, pred: dict, set_exprs: dict[str, str],
+                     properties: dict | None = None) -> Manifest:
+        """Predicate UPDATE ... SET planned file-by-file from manifest
+        bounds (Iceberg copy-on-write UPDATE analog; the reference's only
+        update path is whole-row MERGE WHEN MATCHED with merge_rule
+        expressions, DatabricksOutputConnection.java:180-232): files whose
+        bounds prove NO row matches keep their exact paths (zero IO — at
+        100 TB a time-banded correction touches only the band's files);
+        every other file is rewritten with `set_exprs` ({current column
+        name: Spark SQL expression over the OLD row — the merge_rule
+        analog, README.md:66-69}) applied to matching rows only. All SET
+        expressions see the pre-update row (SQL UPDATE semantics: one
+        simultaneous select, not sequential withColumn). NULL rows never
+        match the range predicate. With outstanding MOR deltas, winners
+        resolve first, then the update applies to the resolved state."""
+        base = self.manifest()
+        cur_fields = base.schema_version.fields
+        unknown = set(set_exprs) - {c["name"] for c in cur_fields}
+        if unknown:
+            raise ValueError(f"update on unknown columns {sorted(unknown)}")
+        if base.bucket_key in set_exprs:
+            raise ValueError(
+                f"cannot UPDATE bucket-key column {base.bucket_key!r}: rows "
+                "would land in the wrong bucket (delete+insert instead)")
+        deltas = [f for f in base.files if f.get("kind") == "delta"]
+        clean, dirty = self._mor_split(base, base.files, deltas)
+        keep, rewrite = [], []
+        for f in clean:
+            if _pred_classify(base, f, pred) == "none":
+                keep.append(f)
+            else:
+                rewrite.append(f)
+        cond = F.lit(True)
+        for c, (lo, hi) in pred.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        hit = F.coalesce(cond, F.lit(False))
+        parts: list[DataFrame] = []
+        if rewrite:
+            parts.append(self._df_for_files(base, rewrite))
+        if deltas:
+            from ..operators.lww import lww_dedup  # lazy: avoids module cycle
+
+            keys = [k for k in (base.properties.get("merge_keys") or "").split(",") if k]
+            if not keys:
+                raise ValueError(
+                    f"{self.name}: delta files present but no merge_keys property")
+            b = (self._df_for_files(base, dirty)
+                 .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
+                 .withColumn(_DOP_COL, F.lit("U")))
+            d = self._df_for_files(base, deltas, extra_fields=_DELTA_FIELDS)
+            w = lww_dedup(b.unionByName(d), keys=keys,
+                          order=[_DSEQ_COL], strategy="maxby")
+            parts.append(w.filter(F.col(_DOP_COL) != "D")
+                         .drop(_DSEQ_COL, _DOP_COL))
+        new: list[dict] = []
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            out = []
+            for fld in cur_fields:
+                name = fld["name"]
+                if name in set_exprs:
+                    out.append(
+                        F.when(hit, F.expr(set_exprs[name]).cast(fld["type"]))
+                        .otherwise(F.col(name)).alias(name))
+                else:
+                    out.append(F.col(name))
+            new = self._write_data_files(df.select(*out), base)
+        props = dict(properties or {})
+        props.setdefault("operation", "update_where")
+        props["update_skipped_files"] = len(keep)
+        props["update_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
+        return self._commit(base, keep + new, props)
+
     # ---------- metadata tables (Iceberg tbl.snapshots / tbl.files analog,
     # SURVEY B10: lineage/metadata probes as queryable DataFrames) ----------
 
@@ -1021,7 +1228,8 @@ class LakeTable:
     # ---------- schema evolution (metadata-only; SURVEY §2 M2) ----------
 
     def _evolved(self, base: Manifest, fields: list[dict], bump_ids: int,
-                 properties: dict | None) -> Manifest:
+                 properties: dict | None,
+                 bucket_key: str | None = None) -> Manifest:
         sv = SchemaVersion(base.current_sv + 1, fields)
         props = dict(properties or {})
         props.setdefault("operation", "evolve-schema")
@@ -1029,6 +1237,7 @@ class LakeTable:
             base, base.files, props,
             schema_versions=base.schema_versions + [sv],
             current_sv=sv.sv, next_field_id=base.next_field_id + bump_ids,
+            bucket_key=bucket_key,
         )
 
     def add_column(self, name: str, type_str: str, properties: dict | None = None) -> Manifest:
@@ -1070,7 +1279,10 @@ class LakeTable:
         if any(f["name"] == new for f in cur.fields):
             raise SchemaEvolutionError(f"column {new!r} already exists")
         fields = [{**f, "name": new} if f["name"] == old else dict(f) for f in cur.fields]
-        return self._evolved(base, fields, 0, properties)
+        # renaming the bucket-key column must carry the key along, or every
+        # later write fails routing rows by the retired name
+        return self._evolved(base, fields, 0, properties,
+                             bucket_key=new if old == base.bucket_key else None)
 
     def rebucket(self, n_buckets: int, properties: dict | None = None) -> Manifest:
         """Bucket-spec evolution (Iceberg partition-spec evolution analog):
