@@ -1513,6 +1513,43 @@ FROM g GROUP BY user_id
 """
 
 
+def q_events_session_stream(spark, sf_dir):
+    """True-streaming sessionization via Spark's NATIVE session_window
+    (streaming/windows.py family; the batch twin events_sessionize builds
+    the same islands with lag + running sum): readStream -> watermark ->
+    groupBy(session_window(ts, 30 min), user_id) -> complete-mode drain,
+    then a tiny batch rollup per user. Exact-boundary events (gap exactly
+    30 min) MERGE in Spark's implementation — verified empirically — which
+    is the same strict-> semantics as the lag-based oracle, so both twins
+    share one oracle. At scale the session state store is keyed by
+    (user_id, session), i.e. state is O(open sessions), not O(events)."""
+    base = f"{WORK_ROOT}/sessions/{uuid.uuid4().hex}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    ev.coalesce(1).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/src")
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"),
+                 F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream
+        .foreachBatch(lambda df, _e: df.select("user_id", "n")
+                      .write.mode("overwrite").parquet(f"{base}/out"))
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per_session = spark.read.parquet(f"{base}/out")
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_session_events"))
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (SURVEY §2.C): each purchase attaches the most recent
     strictly-prior click/view of the same user — union-tag + one window,
@@ -3120,6 +3157,7 @@ SPARK_QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_tumbling_stream": q_events_tumbling_stream,
     "events_sessionize": q_events_sessionize,
+    "events_session_stream": q_events_session_stream,
     "events_asof": q_events_asof,
     "events_asof_bucketed": q_events_asof_bucketed,
     "events_range_join": q_events_range_join,
@@ -3357,6 +3395,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": _SQL_SESSIONIZE,
+        "events_session_stream": _SQL_SESSIONIZE,
         "events_asof": _SQL_ASOF,
         "events_asof_bucketed": _SQL_ASOF,
         "events_range_join": _SQL_RANGE_JOIN,

@@ -67,3 +67,43 @@ def test_windows_emit_once_and_late_data_dropped(spark, tmp_path):
     # and the finalized W0 result was not altered anywhere
     all_w0 = [r for r in rows1 + rows2 if r["w_start"].minute == 0]
     assert len(all_w0) == 1 and all_w0[0]["n_events"] == 2
+
+def test_session_window_boundary_merges_and_streaming_matches_batch(spark, tmp_path):
+    """Pin Spark's session_window gap semantics: an event at EXACTLY
+    prev + gap merges into the session (strict-> islands), which is what
+    lets events_session_stream share the lag-based sessionize oracle. Also
+    checks the streaming drain equals the batch session_window result."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + datetime.timedelta(minutes=30)),        # merges
+        (1, t0 + datetime.timedelta(minutes=60, seconds=1)),      # splits
+        (2, t0), (2, t0 + datetime.timedelta(minutes=29, seconds=59)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    batch = (df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+             .agg(F.count(F.lit(1)).alias("n")))
+    got = {(r["user_id"], r["w"]["start"]): r["n"] for r in batch.collect()}
+    assert got[(1, t0)] == 2                 # exact-boundary event merged
+    assert len([k for k in got if k[0] == 1]) == 2
+    assert got[(2, t0)] == 2
+
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = (stream.withWatermark("ts", "1 minute")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream
+         .foreachBatch(lambda d, _e: d.select("user_id", "w.start", "n")
+                       .write.mode("overwrite").parquet(out))
+         .outputMode("complete")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sgot = {(r["user_id"], r["start"]): r["n"]
+            for r in spark.read.parquet(out).collect()}
+    assert sgot == got
