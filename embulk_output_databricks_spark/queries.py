@@ -392,6 +392,32 @@ def q_cdc_retention_delete(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_posdel_delete(spark, sf_dir):
+    """Positional-delete retention (Iceberg v2 position-delete analog;
+    delete_where(mode='mor')): same band delete as cdc_retention_delete,
+    but boundary files are NOT rewritten — a tiny (_file, _pos) sidecar
+    marks their matched rows and readers anti-join it. Asserts the commit
+    dropped interior files in metadata, rewrote ZERO data files, and
+    produced a sidecar; the returned state must equal the COW twin's."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "posdel", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    lo = mn + (mx - mn) * 2 // 8
+    hi = mn + (mx - mn) * 5 // 8
+    before = {f["path"] for f in tbl.manifest().files}
+    m = tbl.delete_where({"ts_us": (lo, hi)}, mode="mor")
+    assert m.properties["delete_dropped_files"] >= 1, "no metadata-only drop"
+    assert m.properties["delete_rewritten_files"] == 0, "boundary files rewritten"
+    assert m.properties["delete_posdel_files"] >= 1, "no posdel sidecar"
+    data_after = {f["path"] for f in m.files if f.get("kind") != "posdel"}
+    assert data_after <= before, "data files were rewritten"
+    return tbl.read()
+
+
 def q_cdc_predicate_update(spark, sf_dir):
     """Predicate UPDATE ... SET planned from manifest bounds (Iceberg
     copy-on-write UPDATE analog; the reference's only update path is
@@ -3114,6 +3140,7 @@ SPARK_QUERIES = {
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_retention_delete": q_cdc_retention_delete,
+    "cdc_posdel_delete": q_cdc_posdel_delete,
     "cdc_predicate_update": q_cdc_predicate_update,
     "cdc_cluster_compact": q_cdc_cluster_compact,
     "cdc_zorder_compact": q_cdc_zorder_compact,
@@ -3254,6 +3281,14 @@ def _oracle_sql() -> dict[str, str]:
                                    AND b.mn + (b.mx - b.mn) * 5 // 8
         """,
         "cdc_retention_delete": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events, b
+            WHERE epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                                       AND b.mn + (b.mx - b.mn) * 5 // 8
+        """,
+        "cdc_posdel_delete": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
                        FROM events)
             SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props

@@ -60,6 +60,21 @@ _BUCKET_COL = "__bucket"
 _DSEQ_COL = "__dseq"
 _DOP_COL = "__op"
 _DELTA_FIELDS = [(_DSEQ_COL, "bigint"), (_DOP_COL, "string")]
+# positional-delete envelope (Iceberg v2 position-delete analog): a posdel
+# file stores (_file = target data-file basename, _pos = row index within
+# that file); readers anti-join targeted files on this pair
+_PDFILE_COL = "_file"
+_PDPOS_COL = "_pos"
+
+
+def _live_data(files: list[dict]) -> list[dict]:
+    """Entries that hold table ROWS (data + delta) — positional-delete
+    files are metadata-shaped sidecars and must never be read as data."""
+    return [f for f in files if f.get("kind") != "posdel"]
+
+
+def _posdel_entries(files: list[dict]) -> list[dict]:
+    return [f for f in files if f.get("kind") == "posdel"]
 
 
 class CommitConflict(RuntimeError):
@@ -534,7 +549,7 @@ class LakeTable:
         every file's [min,max] spans the whole space and prunes nothing.
         """
         m = self.manifest(version)
-        files, _ = _split_files(m, m.files, buckets)
+        files, _ = _split_files(m, _live_data(m.files), buckets)
 
         def _apply(df: DataFrame) -> DataFrame:
             if not stats_filter and not eq_filter:
@@ -603,7 +618,7 @@ class LakeTable:
             nb = _file_nb(m, f)
             return set(dmap) <= {nb} and f["bucket"] not in dmap.get(nb, ())
 
-        base = [f for f in files if f.get("kind") != "delta"]
+        base = [f for f in files if f.get("kind") not in ("delta", "posdel")]
         return [f for f in base if is_clean(f)], [f for f in base if not is_clean(f)]
 
     def added_rows(self, since_version: int, version: int | None = None) -> DataFrame:
@@ -617,27 +632,53 @@ class LakeTable:
         old = {f["path"] for f in self.manifest(since_version).files}
         m = self.manifest(version)
         new = [f for f in m.files if f["path"] not in old]
-        if any(f.get("kind") == "delta" for f in new):
+        if any(f.get("kind") in ("delta", "posdel") for f in new):
             # projecting delta files to the current schema would strip the
-            # op/commit-seq envelope and surface deletes as upserts — refuse
-            # instead of returning a silently-wrong feed
+            # op/commit-seq envelope and surface deletes as upserts (and a
+            # positional-delete sidecar is pure deletes) — refuse instead
+            # of returning a silently-wrong feed
             raise ValueError(
-                f"{self.name}: interval contains merge-on-read delta files; "
-                "use changelog(since_version) for the row-level change feed"
+                f"{self.name}: interval contains merge-on-read delta or "
+                "positional-delete files; use changelog(since_version) "
+                "(delta-only intervals) or diff(since_version) for the "
+                "row-level change feed"
             )
         return self._df_for_files(m, new)
 
     def _df_for_files(self, m: Manifest, files: list[dict],
-                      extra_fields: list[tuple[str, str]] | None = None) -> DataFrame:
+                      extra_fields: list[tuple[str, str]] | None = None,
+                      apply_posdel: bool = True,
+                      with_lineage: bool = False) -> DataFrame:
         """Current-schema DF over `files`; `extra_fields` (name, type) are
         physical columns beyond the schema version (the MOR delta envelope),
-        read and passed through verbatim."""
+        read and passed through verbatim.
+
+        Outstanding positional-delete files in the snapshot are applied
+        HERE (anti-join on (file basename, row index), posdel side
+        broadcast) — every reader of base data funnels through this method,
+        so merge/compact/diff/delete inherit posdel correctness without
+        their own logic. `apply_posdel=False` reads raw physical rows (the
+        posdel WRITE path needs them); `with_lineage=True` appends
+        `_file`/`_pos` lineage columns to the output."""
         cur = m.schema_version
-        extra = extra_fields or []
+        extra = list(extra_fields or [])
+        need_lineage = with_lineage
+        pd_df = None
+        if apply_posdel:
+            posdels = _posdel_entries(m.files)
+            targeted = set().union(*(p["targets"] for p in posdels)) if posdels else set()
+            hit = [f for f in files
+                   if os.path.basename(f["path"]) in targeted
+                   and f.get("kind") != "delta"]
+            if hit:
+                pd_df = self._posdel_df(posdels)
+                need_lineage = True
         if not files:
             schema = T.StructType(
                 m.schema().fields
                 + [T.StructField(n, _type_of(t)) for n, t in extra]
+                + ([T.StructField(_PDFILE_COL, T.StringType()),
+                    T.StructField(_PDPOS_COL, T.LongType())] if with_lineage else [])
             )
             return self.spark.createDataFrame([], schema)
         by_sv: dict[int, list[str]] = {}
@@ -661,14 +702,38 @@ class LakeTable:
                 else:  # rename/widen resolved by id
                     cols.append(F.col(pf["name"]).cast(cf["type"]).alias(cf["name"]))
             cols += [F.col(n) for n, _t in extra]
+            if need_lineage:
+                cols += [
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                    .alias(_PDFILE_COL),
+                    F.col("_metadata.row_index").alias(_PDPOS_COL),
+                ]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if pd_df is not None:
+            out = out.join(F.broadcast(pd_df),
+                           on=[_PDFILE_COL, _PDPOS_COL], how="left_anti")
+        if need_lineage and not with_lineage:
+            out = out.drop(_PDFILE_COL, _PDPOS_COL)
         return out
 
+    def _posdel_df(self, posdels: list[dict]) -> DataFrame:
+        schema = T.StructType([T.StructField(_PDFILE_COL, T.StringType()),
+                               T.StructField(_PDPOS_COL, T.LongType())])
+        if not posdels:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, p["path"]) for p in posdels]
+        return self.spark.read.schema(schema).parquet(*paths)
+
     def row_count(self, version: int | None = None) -> int:
-        return sum(f["rows"] for f in self.manifest(version).files)
+        """Physical live rows from manifest counts alone (no IO): data+delta
+        rows minus positionally-deleted rows — exact because the posdel
+        write path dedups (file,pos) pairs against outstanding posdels."""
+        fs = self.manifest(version).files
+        return (sum(f["rows"] for f in _live_data(fs))
+                - sum(f["rows"] for f in _posdel_entries(fs)))
 
     # ---------- write primitives ----------
 
@@ -946,9 +1011,11 @@ class LakeTable:
         new = self._write_data_files(df, base)
         props = dict(properties or {})
         props.setdefault("operation", "compact_deltas")
+        keep += self._prune_posdels(base.files, keep)
         return self._commit(base, keep + new, props)
 
-    def delete_where(self, pred: dict, properties: dict | None = None) -> Manifest:
+    def delete_where(self, pred: dict, properties: dict | None = None,
+                     mode: str = "cow") -> Manifest:
         """Row-level DELETE by conjunctive range predicate ({col: (lo, hi)},
         either bound None; null-excluding SQL semantics — the stats_filter
         shape) planned file-by-file from manifest bounds (Iceberg
@@ -958,14 +1025,25 @@ class LakeTable:
           * files whose bounds prove NO row matches — untouched, zero IO;
           * files whose bounds + null-free proof show EVERY row matches —
             dropped from the manifest, zero IO;
-          * only boundary/unproven files are rewritten (scan + anti-filter).
+          * boundary/unproven files: `mode="cow"` rewrites them (scan +
+            anti-filter); `mode="mor"` writes POSITIONAL-DELETE files
+            instead (Iceberg v2 position-delete analog) — one small
+            (_file, _pos) sidecar marking the matched rows, the boundary
+            files keep their exact paths, and readers anti-join the pair
+            (applied centrally in _df_for_files). Write cost becomes
+            O(matched boundary rows), not O(boundary file bytes); a later
+            compact() folds the posdels away.
 
         At 100 TB a retention delete (ts < horizon) on a time-clustered
-        table drops almost every affected file in metadata and rewrites
-        only the horizon-straddling files — IO is O(boundary), not
-        O(matching rows). With outstanding MOR deltas, delta-dirty buckets
-        resolve winners first and rewrite (a delta row can move a key into
-        or out of range); clean buckets still take the fast paths."""
+        table drops almost every affected file in metadata and touches
+        only the horizon-straddling files — with "mor", barely even those.
+        With outstanding MOR DELTA files, delta-dirty buckets resolve
+        winners first and rewrite (a delta row can move a key into or out
+        of range); clean buckets still take the fast paths. (file,pos)
+        pairs are deduped against outstanding posdels at write, keeping
+        manifest row accounting exact."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         base = self.manifest()
         deltas = [f for f in base.files if f.get("kind") == "delta"]
         clean, dirty = self._mor_split(base, base.files, deltas)
@@ -985,9 +1063,26 @@ class LakeTable:
                 cond = cond & (F.col(c) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(c) <= F.lit(hi))
-        survive = ~F.coalesce(cond, F.lit(False))  # NULL never matches
+        hit = F.coalesce(cond, F.lit(False))
+        survive = ~hit  # NULL never matches
         parts: list[DataFrame] = []
-        if rewrite:
+        new: list[dict] = []
+        if rewrite and mode == "mor":
+            # raw physical rows + lineage; matched (file,pos) pairs become
+            # the delete sidecar — deduped against posdels already covering
+            # these targets so `rows` counts stay exact
+            raw = self._df_for_files(base, rewrite, apply_posdel=False,
+                                     with_lineage=True)
+            matched = raw.filter(hit).select(_PDFILE_COL, _PDPOS_COL)
+            prior = _posdel_entries(base.files)
+            if prior:
+                matched = matched.join(
+                    F.broadcast(self._posdel_df(prior)),
+                    on=[_PDFILE_COL, _PDPOS_COL], how="left_anti")
+            targets = sorted(os.path.basename(f["path"]) for f in rewrite)
+            new += self._write_posdel_files(matched, targets)
+            keep += rewrite  # boundary files keep their exact paths
+        elif rewrite:
             parts.append(self._df_for_files(base, rewrite).filter(survive))
         if deltas:
             from ..operators.lww import lww_dedup  # lazy: avoids module cycle
@@ -1004,17 +1099,69 @@ class LakeTable:
                           order=[_DSEQ_COL], strategy="maxby")
             parts.append(w.filter(F.col(_DOP_COL) != "D")
                          .drop(_DSEQ_COL, _DOP_COL).filter(survive))
-        new: list[dict] = []
         if parts:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-            new = self._write_data_files(df, base)
+            new += self._write_data_files(df, base)
         props = dict(properties or {})
         props.setdefault("operation", "delete_where")
         props["delete_dropped_files"] = dropped
-        props["delete_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
+        if mode == "mor":
+            props["delete_rewritten_files"] = len(dirty) + len(deltas)
+            props["delete_posdel_files"] = sum(
+                1 for e in new if e.get("kind") == "posdel")
+            props["delete_posdel_rows"] = sum(
+                e["rows"] for e in new if e.get("kind") == "posdel")
+        else:
+            props["delete_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
+        keep += self._prune_posdels(base.files, keep)
         return self._commit(base, keep + new, props)
+
+    @staticmethod
+    def _prune_posdels(all_files: list[dict], kept_data: list[dict]) -> list[dict]:
+        """Posdel entries still needed after a commit that keeps exactly
+        `kept_data` data files: targets narrowed to surviving basenames,
+        entries with none left dropped (their rows were resolved into the
+        rewrite or died with the dropped file)."""
+        kept = {os.path.basename(f["path"]) for f in kept_data
+                if f.get("kind") != "posdel"}
+        out = []
+        for p in _posdel_entries(all_files):
+            t = [b for b in p["targets"] if b in kept]
+            if t:
+                out.append({**p, "targets": t})
+        return out
+
+    def _write_posdel_files(self, pd_df: DataFrame, targets: list[str]) -> list[dict]:
+        """Write (_file,_pos) rows as positional-delete parquet sidecars
+        under data/ (so expire/orphan GC manages them like data files).
+        The delete set is O(matched boundary rows) — small by construction
+        — so it coalesces to one file."""
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(self.root, f"data/.tmp-{uuid.uuid4().hex}")
+        (pd_df.select(_PDFILE_COL, _PDPOS_COL).coalesce(1)
+         .write.parquet(tmp, mode="overwrite"))
+        entries: list[dict] = []
+        for dirpath, _dirs, fnames in os.walk(tmp):
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fn)
+                rows = pq.ParquetFile(src).metadata.num_rows
+                if rows == 0:
+                    continue
+                rel = f"data/pd-{uuid.uuid4().hex}.parquet"
+                os.replace(src, os.path.join(self.root, rel))
+                entries.append({"path": rel, "rows": rows, "kind": "posdel",
+                                "targets": list(targets), "bucket": None,
+                                "sv": self.manifest().current_sv})
+        shutil.rmtree(tmp, ignore_errors=True)
+        return entries
+
+    def posdel_file_count(self) -> int:
+        return len(_posdel_entries(self.manifest().files))
 
     def update_where(self, pred: dict, set_exprs: dict[str, str],
                      properties: dict | None = None) -> Manifest:
@@ -1092,6 +1239,7 @@ class LakeTable:
         props.setdefault("operation", "update_where")
         props["update_skipped_files"] = len(keep)
         props["update_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
+        keep += self._prune_posdels(base.files, keep)
         return self._commit(base, keep + new, props)
 
     # ---------- metadata tables (Iceberg tbl.snapshots / tbl.files analog,
@@ -1141,6 +1289,12 @@ class LakeTable:
         interval (which fold rows into base files) use added_rows()."""
         old = {f["path"] for f in self.manifest(since_version).files}
         m = self.manifest(version)
+        if any(f.get("kind") == "posdel" and f["path"] not in old for f in m.files):
+            # positional deletes in the interval are row removals the delta
+            # replay cannot see — refuse rather than emit an incomplete feed
+            raise ValueError(
+                f"{self.name}: interval contains positional-delete files; "
+                "use diff(since_version) for the row-level change feed")
         new_deltas = [f for f in m.files
                       if f.get("kind") == "delta" and f["path"] not in old]
         return self._df_for_files(m, new_deltas, extra_fields=_DELTA_FIELDS)
@@ -1221,8 +1375,9 @@ class LakeTable:
         must have READ exactly the selected files into add_df — selection
         here mirrors read()'s pruning bit-for-bit (_split_files)."""
         base = self.manifest()
-        _sel, keep = _split_files(base, base.files, remove_buckets)
+        _sel, keep = _split_files(base, _live_data(base.files), remove_buckets)
         new = self._write_data_files(add_df, base)
+        keep += self._prune_posdels(base.files, keep)
         return self._commit(base, keep + new, properties)
 
     # ---------- schema evolution (metadata-only; SURVEY §2 M2) ----------
@@ -1302,7 +1457,8 @@ class LakeTable:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         if n_buckets == base.n_buckets:
             return base
-        files = [{**f, "nb": _file_nb(base, f)} for f in base.files]
+        files = [{**f, "nb": _file_nb(base, f)} if f.get("kind") != "posdel"
+                 else f for f in base.files]
         props = dict(properties or {})
         props.setdefault("operation", "rebucket")
         return self._commit(base, files, props, n_buckets=n_buckets)
@@ -1499,7 +1655,7 @@ class LakeTable:
         being rewritten."""
         base = self.manifest()
         counts: dict = {}
-        for f in base.files:
+        for f in _live_data(base.files):
             pair = (_file_nb(base, f), f["bucket"])
             counts[pair] = counts.get(pair, 0) + 1
         victims = {p for p, n in counts.items() if n >= min_files_per_bucket}
@@ -1512,7 +1668,7 @@ class LakeTable:
             victims = set(counts)  # clustering rewrites every populated bucket
         if not victims:
             return None
-        vmap: dict[int, set] = {_file_nb(base, f): set() for f in base.files}
+        vmap: dict[int, set] = {_file_nb(base, f): set() for f in _live_data(base.files)}
         for nb, b in victims:
             vmap[nb].add(b)
         df = self.read(buckets=vmap)
@@ -1528,9 +1684,10 @@ class LakeTable:
                 {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cluster_by})]
         elif cluster_mode != "sort":
             raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
-        _sel, keep = _split_files(base, base.files, vmap)
+        _sel, keep = _split_files(base, _live_data(base.files), vmap)
         new = self._write_data_files(df, base, sort_by=sort_by,
                                      rows_per_file=rows_per_file)
+        keep += self._prune_posdels(base.files, keep)
         return self._commit(base, keep + new, props)
 
     def clean_staging(self) -> list[str]:
