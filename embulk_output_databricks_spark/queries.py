@@ -444,6 +444,36 @@ def q_cdc_predicate_update(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_posdel_update(spark, sf_dir):
+    """Merge-on-read predicate UPDATE (Iceberg v2 MOR UPDATE analog =
+    position delete + re-append; update_where(mode='mor')): same band
+    reclassification as cdc_predicate_update, but NO data file is
+    rewritten — matched rows become one (_file, _pos) sidecar plus newly
+    appended updated rows in the same atomic commit, so update IO is
+    O(matched rows), not O(boundary file bytes). Asserts zero rewrites, a
+    sidecar present, and every pre-existing data file path surviving; the
+    returned state must equal the COW twin's oracle."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "posdelupd", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    lo = mn + (mx - mn) * 2 // 8
+    hi = mn + (mx - mn) * 5 // 8
+    before = {f["path"] for f in tbl.manifest().files}
+    m = tbl.update_where(
+        {"ts_us": (lo, hi)},
+        {"event_type": "concat('adj_', event_type)", "props": "event_type"},
+        mode="mor")
+    assert m.properties["update_rewritten_files"] == 0, "boundary files rewritten"
+    assert m.properties["update_posdel_files"] >= 1, "no posdel sidecar"
+    assert m.properties["update_skipped_files"] >= 1, "no zero-IO skip"
+    assert before <= {f["path"] for f in m.files}, "a data file lost its path"
+    return tbl.read()
+
+
 def q_cdc_cluster_compact(spark, sf_dir):
     """Clustered compaction (OPTIMIZE ... sort analog): unsorted appends
     leave every file spanning the full ts_us range; compact(cluster_by)
@@ -3142,6 +3172,7 @@ SPARK_QUERIES = {
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
     "cdc_predicate_update": q_cdc_predicate_update,
+    "cdc_posdel_update": q_cdc_posdel_update,
     "cdc_cluster_compact": q_cdc_cluster_compact,
     "cdc_zorder_compact": q_cdc_zorder_compact,
     "cdc_bloom_lookup": q_cdc_bloom_lookup,
@@ -3297,6 +3328,20 @@ def _oracle_sql() -> dict[str, str]:
                                        AND b.mn + (b.mx - b.mn) * 5 // 8
         """,
         "cdc_predicate_update": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events),
+            hit AS (SELECT *, epoch_us(ts)
+                         BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                             AND b.mn + (b.mx - b.mn) * 5 // 8 AS h
+                    FROM events, b)
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN h THEN 'adj_' || event_type
+                        ELSE event_type END AS event_type,
+                   value,
+                   CASE WHEN h THEN event_type ELSE props END AS props
+            FROM hit
+        """,
+        "cdc_posdel_update": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
                        FROM events),
             hit AS (SELECT *, epoch_us(ts)

@@ -1164,7 +1164,8 @@ class LakeTable:
         return len(_posdel_entries(self.manifest().files))
 
     def update_where(self, pred: dict, set_exprs: dict[str, str],
-                     properties: dict | None = None) -> Manifest:
+                     properties: dict | None = None,
+                     mode: str = "cow") -> Manifest:
         """Predicate UPDATE ... SET planned file-by-file from manifest
         bounds (Iceberg copy-on-write UPDATE analog; the reference's only
         update path is whole-row MERGE WHEN MATCHED with merge_rule
@@ -1177,7 +1178,17 @@ class LakeTable:
         expressions see the pre-update row (SQL UPDATE semantics: one
         simultaneous select, not sequential withColumn). NULL rows never
         match the range predicate. With outstanding MOR deltas, winners
-        resolve first, then the update applies to the resolved state."""
+        resolve first, then the update applies to the resolved state.
+
+        `mode="mor"` (Iceberg v2 merge-on-read UPDATE analog = position
+        delete + re-append): boundary files keep their exact paths; the
+        matched LIVE rows (already-posdeleted rows stay dead) become one
+        positional-delete sidecar plus newly-appended updated rows in the
+        same atomic commit. Write cost O(matched rows), not O(boundary
+        file bytes); a later compact() folds both back. Delta-dirty
+        buckets still rewrite (winners must resolve first)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown update mode {mode!r}")
         base = self.manifest()
         cur_fields = base.schema_version.fields
         unknown = set(set_exprs) - {c["name"] for c in cur_fields}
@@ -1202,8 +1213,30 @@ class LakeTable:
             if hi is not None:
                 cond = cond & (F.col(c) <= F.lit(hi))
         hit = F.coalesce(cond, F.lit(False))
+        skipped = len(keep)  # bounds-disjoint files (before mor keeps boundary files too)
         parts: list[DataFrame] = []
-        if rewrite:
+        new: list[dict] = []
+        matched = None
+        if rewrite and mode == "mor":
+            # live boundary rows + (_file,_pos) lineage; apply_posdel=True
+            # (the default) means already-deleted rows neither resurrect
+            # nor re-enter the sidecar — the pairs are fresh by construction
+            live = self._df_for_files(base, rewrite, with_lineage=True)
+            matched = live.filter(hit).persist()
+            upd = []
+            for fld in cur_fields:
+                name = fld["name"]
+                if name in set_exprs:  # one simultaneous select over OLD row
+                    upd.append(F.expr(set_exprs[name]).cast(fld["type"])
+                               .alias(name))
+                else:
+                    upd.append(F.col(name))
+            new += self._write_posdel_files(
+                matched.select(_PDFILE_COL, _PDPOS_COL),
+                sorted(os.path.basename(f["path"]) for f in rewrite))
+            new += self._write_data_files(matched.select(*upd), base)
+            keep += rewrite  # boundary files keep their exact paths
+        elif rewrite:
             parts.append(self._df_for_files(base, rewrite))
         if deltas:
             from ..operators.lww import lww_dedup  # lazy: avoids module cycle
@@ -1220,7 +1253,6 @@ class LakeTable:
                           order=[_DSEQ_COL], strategy="maxby")
             parts.append(w.filter(F.col(_DOP_COL) != "D")
                          .drop(_DSEQ_COL, _DOP_COL))
-        new: list[dict] = []
         if parts:
             df = parts[0]
             for p in parts[1:]:
@@ -1234,13 +1266,23 @@ class LakeTable:
                         .otherwise(F.col(name)).alias(name))
                 else:
                     out.append(F.col(name))
-            new = self._write_data_files(df.select(*out), base)
+            new += self._write_data_files(df.select(*out), base)
         props = dict(properties or {})
         props.setdefault("operation", "update_where")
-        props["update_skipped_files"] = len(keep)
-        props["update_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
+        props["update_skipped_files"] = skipped
+        if mode == "mor":
+            props["update_rewritten_files"] = len(dirty) + len(deltas)
+            props["update_posdel_files"] = sum(
+                1 for e in new if e.get("kind") == "posdel")
+            props["update_posdel_rows"] = sum(
+                e["rows"] for e in new if e.get("kind") == "posdel")
+        else:
+            props["update_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
         keep += self._prune_posdels(base.files, keep)
-        return self._commit(base, keep + new, props)
+        m = self._commit(base, keep + new, props)
+        if matched is not None:
+            matched.unpersist()
+        return m
 
     # ---------- metadata tables (Iceberg tbl.snapshots / tbl.files analog,
     # SURVEY B10: lineage/metadata probes as queryable DataFrames) ----------

@@ -98,6 +98,53 @@ def test_update_where_does_not_resurrect_posdeleted_rows(spark, warehouse):
     assert t.posdel_file_count() == 0  # the rewrite folded them in
 
 
+def test_mor_update_keeps_boundary_paths(spark, warehouse):
+    t = _mk(spark, warehouse)
+    t.append(seq_rows(spark, range(0, 100)))
+    t.append(seq_rows(spark, range(100, 200)))
+    before = {f["path"] for f in t.manifest().files}
+    # straddles the first slice: boundary files posdel'd + re-appended,
+    # second slice disjoint (zero IO)
+    m = t.update_where({"doc_id": (None, "doc00000049")},
+                       {"source": "'upd'", "n_tok": "n_tok + 100"},
+                       mode="mor")
+    assert m.properties["update_rewritten_files"] == 0
+    assert m.properties["update_posdel_files"] >= 1
+    assert m.properties["update_posdel_rows"] == 50
+    assert m.properties["update_skipped_files"] >= 1
+    # every pre-existing data file kept its exact path
+    assert before <= {f["path"] for f in m.files}
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert len(got) == 200 and t.row_count() == 200
+    assert got["doc00000010"]["source"] == "upd"
+    assert got["doc00000010"]["n_tok"] == 103  # SET saw the pre-update row (3+100)
+    assert got["doc00000150"]["source"] == "web"
+
+
+def test_mor_update_after_mor_delete_and_compact_folds(spark, warehouse):
+    t = _mk(spark, warehouse, n_buckets=1)
+    t.append(seq_rows(spark, range(0, 30)))
+    t.delete_where({"doc_id": ("doc00000005", "doc00000009")}, mode="mor")
+    # deleted rows stay dead: neither resurrected nor re-posdel'd
+    m = t.update_where({"doc_id": (None, "doc00000014")}, {"source": "'upd'"},
+                       mode="mor")
+    assert m.properties["update_posdel_rows"] == 10  # 15 in range - 5 dead
+    got = {r["doc_id"]: r["source"] for r in t.read().collect()}
+    assert len(got) == 25 and t.row_count() == 25
+    assert "doc00000007" not in got
+    assert got["doc00000003"] == "upd" and got["doc00000012"] == "upd"
+    assert got["doc00000020"] == "web"
+    # idempotent re-run: rows already equal target values still re-update
+    # (SQL semantics), pairs target the NEW files now, accounting stays exact
+    t.update_where({"doc_id": (None, "doc00000014")}, {"source": "'upd'"},
+                   mode="mor")
+    assert t.row_count() == 25 and t.read().count() == 25
+    t.compact(min_files_per_bucket=1)
+    assert t.posdel_file_count() == 0
+    assert {r["doc_id"] for r in t.read().collect()} == \
+        {f"doc{i:08d}" for i in range(30) if not 5 <= i <= 9}
+
+
 def test_stats_skip_and_time_travel_with_posdels(spark, warehouse):
     t = _mk(spark, warehouse, n_buckets=1)
     t.append(seq_rows(spark, range(0, 50)))
