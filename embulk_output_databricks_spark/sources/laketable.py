@@ -838,36 +838,142 @@ class LakeTable:
         n_buckets: int | None = None,
         bucket_key: str | None = None,
     ) -> Manifest:
-        m = Manifest(
-            version=base.version + 1,
-            parent=base.version,
-            n_buckets=base.n_buckets if n_buckets is None else n_buckets,
-            bucket_key=base.bucket_key if bucket_key is None else bucket_key,
-            current_sv=base.current_sv if current_sv is None else current_sv,
-            schema_versions=schema_versions or base.schema_versions,
-            files=files,
-            properties={**base.properties, **(properties or {})},
-            next_field_id=base.next_field_id if next_field_id is None else next_field_id,
-        )
+        meta_change = (schema_versions is not None or current_sv is not None
+                       or next_field_id is not None or n_buckets is not None
+                       or bucket_key is not None)
+        props_arg = dict(properties or {})
         t0 = time.monotonic()
-        # all heads (CURRENT + branches) share one global version sequence;
-        # a vN.json collision therefore means either (a) another HEAD took
-        # the number — ours is untouched, so take the next free number (the
-        # parent pointer, not the number, records lineage) — or (b) a real
-        # same-head race, which must surface as CommitConflict.
+        retries = 0
         while True:
-            try:
-                self._write_manifest(m, parent=base)
-                break
-            except CommitConflict:
-                if self.current_version() != base.version:
-                    raise
-                m.version += 1
-        # snapshot-publish latency (metadata swap only, excludes data write);
-        # surfaced in checkpoint metrics so per-batch lineage shows how much
-        # of the apply was commit overhead vs. data-plane work.
-        self.last_commit_s = time.monotonic() - t0
-        return m
+            # properties inherit commit-over-commit; commit_retries is
+            # per-commit observability, so it must not leak forward
+            props = {**base.properties, **props_arg}
+            props.pop("commit_retries", None)
+            if retries:
+                props["commit_retries"] = retries
+            m = Manifest(
+                version=base.version + 1,
+                parent=base.version,
+                n_buckets=base.n_buckets if n_buckets is None else n_buckets,
+                bucket_key=base.bucket_key if bucket_key is None else bucket_key,
+                current_sv=base.current_sv if current_sv is None else current_sv,
+                schema_versions=schema_versions or base.schema_versions,
+                files=files,
+                properties=props,
+                next_field_id=base.next_field_id if next_field_id is None else next_field_id,
+            )
+            # all heads (CURRENT + branches) share one global version sequence;
+            # a vN.json collision therefore means either (a) another HEAD took
+            # the number — ours is untouched, so take the next free number (the
+            # parent pointer, not the number, records lineage) — or (b) a real
+            # same-head race, resolved by optimistic rebase when the two
+            # commits provably commute (Iceberg retry-with-validation analog),
+            # else surfaced as CommitConflict.
+            committed = True
+            while True:
+                try:
+                    self._write_manifest(m, parent=base)
+                    break
+                except CommitConflict:
+                    if self.current_version() != base.version:
+                        committed = False
+                        break
+                    m.version += 1
+            if committed:
+                # snapshot-publish latency (metadata swap only, excludes data
+                # write); surfaced in checkpoint metrics so per-batch lineage
+                # shows how much of the apply was commit overhead.
+                self.last_commit_s = time.monotonic() - t0
+                return m
+            retries += 1
+            if retries > 5 or meta_change:
+                raise CommitConflict(
+                    f"{self.name}: concurrent commit advanced {self.ref} past "
+                    f"v{base.version}" + (" during a schema/bucket-spec change"
+                                          if meta_change else
+                                          f" ({retries} rebase attempts)"))
+            cur = self.manifest()
+            files = self._rebase_files(base, cur, files)
+            base = cur
+
+    def _rebase_files(self, base: Manifest, cur: Manifest,
+                      files: list[dict]) -> list[dict]:
+        """Rebase this commit's file delta (computed against `base`) onto the
+        concurrent winner's snapshot `cur` — Iceberg optimistic-concurrency
+        retry with serializable validation. Allowed only when the histories
+        provably commute; raises CommitConflict otherwise.
+
+        Validation (read-set = files we removed or replaced-in-place, plus
+        the targets of any positional-delete sidecar we wrote):
+          * winner changed schema / bucket spec / field ids -> conflict;
+          * winner removed or replaced anything in our read-set -> conflict
+            (we resolved those rows; the winner's rewrite would be lost);
+          * winner removed or replaced a file our posdel sidecar targets ->
+            conflict (our (file,pos) pairs would silently resurrect rows);
+          * winner's posdel additions targeting our read-set -> conflict
+            (their deletes died inside our rewrite);
+          * winner added data/delta files into a bucket we rewrote ->
+            conflict (our merge/compact/delete never saw those rows);
+          * both sides appended MOR delta files -> conflict (__dseq is
+            stamped base.version+1 into the data, so the two batches would
+            tie and LWW resolution turns nondeterministic).
+        Pure appends therefore always rebase; rewriting commits rebase over
+        appends to OTHER buckets and over disjoint rewrites."""
+        if (cur.current_sv != base.current_sv
+                or cur.n_buckets != base.n_buckets
+                or cur.bucket_key != base.bucket_key
+                or cur.next_field_id != base.next_field_id
+                or len(cur.schema_versions) != len(base.schema_versions)):
+            raise CommitConflict(
+                f"{self.name}: concurrent schema/bucket-spec change")
+        base_by = {f["path"]: f for f in base.files}
+        ours_by = {f["path"]: f for f in files}
+        added = [f for f in files if base_by.get(f["path"]) != f]
+        added_paths = {f["path"] for f in added}
+        removed = {p for p in base_by if p not in ours_by}
+        updated = {p for p in added_paths if p in base_by}
+        read_set = removed | updated
+        pd_targets = set()
+        for f in added:
+            if f.get("kind") == "posdel":
+                pd_targets.update(f["targets"])
+        cur_by = {f["path"]: f for f in cur.files}
+        w_removed = {p for p in base_by if p not in cur_by}
+        w_updated = {p for p, e in cur_by.items()
+                     if p in base_by and base_by[p] != e}
+        w_added = [e for p, e in cur_by.items() if p not in base_by]
+        w_touched = w_removed | w_updated
+        if w_touched & read_set:
+            raise CommitConflict(
+                f"{self.name}: concurrent commit rewrote files this commit "
+                "resolved")
+        w_touched_base = {os.path.basename(p) for p in w_touched}
+        if pd_targets & w_touched_base:
+            raise CommitConflict(
+                f"{self.name}: concurrent commit rewrote files targeted by "
+                "this commit's positional deletes")
+        read_base = {os.path.basename(p) for p in read_set}
+        touched_buckets = {
+            (_file_nb(base, base_by[p]), base_by[p].get("bucket"))
+            for p in read_set if base_by[p].get("kind") != "posdel"}
+        our_delta = any(f.get("kind") == "delta" for f in added)
+        for e in w_added:
+            if e.get("kind") == "posdel":
+                if set(e["targets"]) & read_base:
+                    raise CommitConflict(
+                        f"{self.name}: concurrent positional deletes target "
+                        "files this commit rewrote")
+                continue
+            if e.get("kind") == "delta" and our_delta:
+                raise CommitConflict(
+                    f"{self.name}: concurrent MOR delta appends (__dseq tie)")
+            if read_set and (_file_nb(cur, e), e.get("bucket")) in touched_buckets:
+                raise CommitConflict(
+                    f"{self.name}: concurrent append into a bucket this "
+                    "commit rewrote")
+        return ([e for e in cur.files
+                 if e["path"] not in read_set and e["path"] not in added_paths]
+                + added)
 
     # ---------- load modes (SURVEY §2.B) ----------
 

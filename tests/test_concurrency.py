@@ -1,0 +1,136 @@
+"""Optimistic concurrency: _commit retries a lost same-head race by
+rebasing the commit's file delta onto the winner (Iceberg
+retry-with-validation analog). Commuting histories succeed — pure
+appends over anything, rewrites over appends to OTHER buckets or over
+disjoint rewrites; non-commuting histories (rewrite of what we read,
+append into a bucket we rewrote, double MOR-delta append's __dseq tie,
+concurrent schema change) must still surface CommitConflict.
+
+Races are staged deterministically through the same internals the public
+ops use: read base -> write data files -> let the rival commit -> commit
+against the stale base.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA
+from embulk_output_databricks_spark.sources import LakeCatalog
+from embulk_output_databricks_spark.sources.laketable import (
+    _DOP_COL, _DSEQ_COL, CommitConflict)
+from tests.test_laketable import seq_rows
+
+
+def _pair(spark, warehouse, name="cc", **kw):
+    cat = LakeCatalog(spark, warehouse)
+    kw.setdefault("n_buckets", 2)
+    kw.setdefault("bucket_key", "doc_id")
+    t1 = cat.create_table(name, SEQUENCES_SCHEMA, **kw)
+    t2 = cat.load(name)
+    return t1, t2
+
+
+def _stale_append(t, df):
+    """First half of append(): read base, write files. Caller lets a rival
+    commit before finishing with _commit against the stale base."""
+    base = t.manifest()
+    new = t._write_data_files(df, base)
+    return base, base.files + new
+
+
+def test_concurrent_appends_rebase(spark, warehouse):
+    t1, t2 = _pair(spark, warehouse)
+    t1.append(seq_rows(spark, range(0, 10)))
+    base, files = _stale_append(t1, seq_rows(spark, range(10, 20)))
+    t2.append(seq_rows(spark, range(20, 30)))  # rival wins the head
+    m = t1._commit(base, files, {"operation": "append"})
+    assert m.properties["commit_retries"] == 1
+    assert {r["doc_id"] for r in t1.read().collect()} == \
+        {f"doc{i:08d}" for i in range(30)}
+    assert t1.row_count() == 30
+    # the per-commit marker does not leak into later commits
+    m2 = t1.append(seq_rows(spark, range(30, 35)))
+    assert "commit_retries" not in m2.properties
+
+
+def test_append_rebases_over_concurrent_delete(spark, warehouse):
+    t1, t2 = _pair(spark, warehouse, n_buckets=1)
+    t1.append(seq_rows(spark, range(0, 50)))
+    base, files = _stale_append(t1, seq_rows(spark, range(50, 60)))
+    t2.delete_where({"doc_id": (None, "doc00000049")})  # drops whole file
+    m = t1._commit(base, files, {"operation": "append"})
+    assert m.properties["commit_retries"] == 1
+    # the rival's delete survives AND our rows land
+    assert {r["doc_id"] for r in t1.read().collect()} == \
+        {f"doc{i:08d}" for i in range(50, 60)}
+
+
+def test_rewrite_conflicts_with_append_into_same_bucket(spark, warehouse):
+    t1, t2 = _pair(spark, warehouse, n_buckets=1)
+    t1.append(seq_rows(spark, range(0, 20)))
+    base = t1.manifest()
+    victim = base.files[0]
+    rewritten = t1._write_data_files(
+        t1._df_for_files(base, [victim]).filter(F.col("n_tok") > 0), base)
+    t2.append(seq_rows(spark, range(20, 25)))  # same bucket (n_buckets=1)
+    with pytest.raises(CommitConflict, match="bucket this commit rewrote"):
+        t1._commit(base, [f for f in base.files if f is not victim] + rewritten,
+                   {"operation": "compact"})
+
+
+def test_rewrite_rebases_over_append_to_other_bucket(spark, warehouse):
+    t1, t2 = _pair(spark, warehouse, n_buckets=2)
+    t1.append(seq_rows(spark, range(0, 40)))
+    docs_b1 = [r["doc_id"] for r in t1.read(buckets={1}).collect()]
+    assert docs_b1, "fixture needs rows in bucket 1"
+    base = t1.manifest()
+    victim = next(f for f in base.files if f["bucket"] == 0)
+    rewritten = t1._write_data_files(t1._df_for_files(base, [victim]), base)
+    # rival appends rows that hash into bucket 1 only
+    ids = [int(d[3:]) for d in docs_b1]
+    t2.append(seq_rows(spark, ids))
+    m = t1._commit(base, [f for f in base.files if f is not victim] + rewritten,
+                   {"operation": "compact"})
+    assert m.properties["commit_retries"] == 1
+    got = [r["doc_id"] for r in t1.read().collect()]
+    assert len(got) == 40 + len(ids)  # bag append kept + rewrite lost nothing
+    assert set(got) == {f"doc{i:08d}" for i in range(40)}
+
+
+def test_rewrite_conflicts_with_rewrite_of_same_file(spark, warehouse):
+    t1, t2 = _pair(spark, warehouse, n_buckets=1)
+    t1.append(seq_rows(spark, range(0, 20)))
+    base = t1.manifest()
+    victim = base.files[0]
+    rewritten = t1._write_data_files(t1._df_for_files(base, [victim]), base)
+    t2.delete_where({"doc_id": (None, "doc00000004")})  # rewrites the file
+    with pytest.raises(CommitConflict, match="this commit resolved"):
+        t1._commit(base, [f for f in base.files if f is not victim] + rewritten,
+                   {"operation": "compact"})
+
+
+def test_concurrent_delta_appends_conflict(spark, warehouse):
+    t1, t2 = _pair(spark, warehouse, n_buckets=1,
+                   properties={"merge_keys": "doc_id"})
+    t1.append(seq_rows(spark, range(0, 10)))
+    base = t1.manifest()
+    d = (seq_rows(spark, range(0, 3), src="d1")
+         .withColumn(_DSEQ_COL, F.lit(base.version + 1).cast("bigint"))
+         .withColumn(_DOP_COL, F.lit("U")))
+    new = t1._write_data_files(d, base, extra_fields=[(_DSEQ_COL, "bigint"),
+                                                      (_DOP_COL, "string")])
+    for e in new:
+        e["kind"] = "delta"
+    t2.append_delta(seq_rows(spark, range(3, 6), src="d2"),
+                    merge_keys=["doc_id"])
+    with pytest.raises(CommitConflict, match="dseq tie"):
+        t1._commit(base, base.files + new, {"operation": "append-delta"})
+
+
+def test_concurrent_schema_change_conflicts(spark, warehouse):
+    t1, t2 = _pair(spark, warehouse)
+    t1.append(seq_rows(spark, range(0, 10)))
+    base, files = _stale_append(t1, seq_rows(spark, range(10, 20)))
+    t2.rename_column("source", "origin")
+    with pytest.raises(CommitConflict, match="schema"):
+        t1._commit(base, files, {"operation": "append"})

@@ -246,22 +246,36 @@ def test_metadata_tables_snapshots_and_files(spark, warehouse):
         == "merge-mor"
 
 
-def test_concurrent_commit_conflict(spark, warehouse):
-    """Single-writer protection: two writers racing to the same version —
-    the loser gets CommitConflict, state stays consistent (SURVEY §1:
-    'concurrent commits raise CommitConflict instead of corrupting state')."""
+def test_concurrent_commit_race(spark, warehouse):
+    """Two writers racing from the same base: commuting commits (distinct
+    appends) BOTH land — the loser rebases onto the winner (optimistic
+    concurrency, tests/test_concurrency.py has the full matrix); a
+    non-commuting race (rewrite of a file the winner also rewrote) still
+    raises CommitConflict instead of corrupting state."""
     from embulk_output_databricks_spark.sources.laketable import (
         CommitConflict, LakeCatalog)
 
     cat = LakeCatalog(spark, warehouse)
     t = cat.create_table("race", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
-    df = spark.createDataFrame([("a", [1], 1, "web")], SEQUENCES_SCHEMA)
+    df1 = spark.createDataFrame([("a", [1], 1, "web")], SEQUENCES_SCHEMA)
+    df2 = spark.createDataFrame([("b", [2], 1, "web")], SEQUENCES_SCHEMA)
     base = t.manifest()          # both writers read the same base...
-    files = t._write_data_files(df, base)
-    t._commit(base, base.files + files, {})   # writer 1 wins
+    f1 = t._write_data_files(df1, base)
+    f2 = t._write_data_files(df2, base)
+    t._commit(base, base.files + f1, {})   # writer 1 wins the head
+    m = t._commit(base, base.files + f2, {})  # writer 2 rebases
+    assert m.properties["commit_retries"] == 1
+    assert t.row_count() == 2
+    # non-commuting: both rewrite the SAME file -> loser must fail
+    base = t.manifest()
+    victim = base.files[0]
+    r1 = t._write_data_files(t._df_for_files(base, [victim]), base)
+    r2 = t._write_data_files(t._df_for_files(base, [victim]), base)
+    rest = [f for f in base.files if f is not victim]
+    t._commit(base, rest + r1, {})
     with pytest.raises(CommitConflict):
-        t._commit(base, base.files + files, {})  # writer 2 loses
-    assert t.current_version() == 1 and t.row_count() == 1
+        t._commit(base, rest + r2, {})
+    assert t.row_count() == 2
 
 
 def test_merge_rules_non_ascii_columns(spark, warehouse):
