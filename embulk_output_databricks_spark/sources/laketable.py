@@ -681,16 +681,27 @@ class LakeTable:
                     T.StructField(_PDPOS_COL, T.LongType())] if with_lineage else [])
             )
             return self.spark.createDataFrame([], schema)
-        by_sv: dict[int, list[str]] = {}
+        # group by (schema version, entry-level dseq): delta entries written
+        # by current code carry their commit sequence in the MANIFEST
+        # ("dseq"), not in the data — it is assigned at commit time and
+        # renumbered on optimistic rebase, which is what lets concurrent
+        # delta appends commute (legacy entries without "dseq" still read
+        # the physical __dseq column)
+        by_grp: dict[tuple[int, int | None], list[str]] = {}
         for f in files:
-            by_sv.setdefault(f["sv"], []).append(os.path.join(self.root, f["path"]))
+            by_grp.setdefault((f["sv"], f.get("dseq")), []).append(
+                os.path.join(self.root, f["path"]))
         svs = {s.sv: s for s in m.schema_versions}
         parts = []
-        for sv, paths in sorted(by_sv.items()):
+        for (sv, dseq), paths in sorted(
+                by_grp.items(),
+                key=lambda kv: (kv[0][0], -1 if kv[0][1] is None else kv[0][1])):
             phys = svs[sv]
+            phys_extra = [(n, t) for n, t in extra
+                          if not (n == _DSEQ_COL and dseq is not None)]
             read_schema = T.StructType(
                 phys.struct().fields
-                + [T.StructField(n, _type_of(t)) for n, t in extra]
+                + [T.StructField(n, _type_of(t)) for n, t in phys_extra]
             )
             df = self.spark.read.schema(read_schema).parquet(*paths)
             phys_by_id = phys.by_id()
@@ -701,7 +712,11 @@ class LakeTable:
                     cols.append(F.lit(None).cast(cf["type"]).alias(cf["name"]))
                 else:  # rename/widen resolved by id
                     cols.append(F.col(pf["name"]).cast(cf["type"]).alias(cf["name"]))
-            cols += [F.col(n) for n, _t in extra]
+            for n, _t in extra:
+                if n == _DSEQ_COL and dseq is not None:
+                    cols.append(F.lit(dseq).cast("bigint").alias(n))
+                else:
+                    cols.append(F.col(n))
             if need_lineage:
                 cols += [
                     F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
@@ -914,9 +929,12 @@ class LakeTable:
             (their deletes died inside our rewrite);
           * winner added data/delta files into a bucket we rewrote ->
             conflict (our merge/compact/delete never saw those rows);
-          * both sides appended MOR delta files -> conflict (__dseq is
-            stamped base.version+1 into the data, so the two batches would
-            tie and LWW resolution turns nondeterministic).
+          * both sides appended MOR delta files AND ours are legacy
+            physical-__dseq files -> conflict (the stamped base.version+1
+            would tie the winner's and LWW turns nondeterministic).
+        Delta entries carrying their dseq in the MANIFEST (current write
+        path) are renumbered to the rebased commit's version instead, so
+        concurrent delta appends commute — serialized by commit order.
         Pure appends therefore always rebase; rewriting commits rebase over
         appends to OTHER buckets and over disjoint rewrites."""
         if (cur.current_sv != base.current_sv
@@ -956,7 +974,8 @@ class LakeTable:
         touched_buckets = {
             (_file_nb(base, base_by[p]), base_by[p].get("bucket"))
             for p in read_set if base_by[p].get("kind") != "posdel"}
-        our_delta = any(f.get("kind") == "delta" for f in added)
+        our_legacy_delta = any(f.get("kind") == "delta" and f.get("dseq") is None
+                               for f in added)
         for e in w_added:
             if e.get("kind") == "posdel":
                 if set(e["targets"]) & read_base:
@@ -964,13 +983,19 @@ class LakeTable:
                         f"{self.name}: concurrent positional deletes target "
                         "files this commit rewrote")
                 continue
-            if e.get("kind") == "delta" and our_delta:
+            if e.get("kind") == "delta" and our_legacy_delta:
                 raise CommitConflict(
-                    f"{self.name}: concurrent MOR delta appends (__dseq tie)")
+                    f"{self.name}: concurrent MOR delta appends with a "
+                    "physically-stamped __dseq (tie)")
             if read_set and (_file_nb(cur, e), e.get("bucket")) in touched_buckets:
                 raise CommitConflict(
                     f"{self.name}: concurrent append into a bucket this "
                     "commit rewrote")
+        # serialize our delta batch after everything already committed:
+        # entry-level dseq renumbers to the rebased commit's version
+        added = [{**f, "dseq": cur.version + 1}
+                 if f.get("kind") == "delta" and f.get("dseq") is not None
+                 else f for f in added]
         return ([e for e in cur.files
                  if e["path"] not in read_set and e["path"] not in added_paths]
                 + added)
@@ -1057,12 +1082,16 @@ class LakeTable:
         if prev and prev != ",".join(merge_keys):
             raise ValueError(
                 f"{self.name}: merge_keys {merge_keys} != table's {prev!r}")
-        df = df.withColumn(_DSEQ_COL, F.lit(base.version + 1).cast("bigint"))
         if _DOP_COL not in df.columns:
             df = df.withColumn(_DOP_COL, F.lit("U"))
-        new = self._write_data_files(df, base, extra_fields=_DELTA_FIELDS)
+        # commit sequence lives in the MANIFEST ENTRY, not the data: it is
+        # assigned here optimistically and renumbered by _rebase_files if
+        # the commit loses a race — physical stamping would freeze the
+        # ordering and force concurrent delta appends to conflict
+        new = self._write_data_files(df, base, extra_fields=[(_DOP_COL, "string")])
         for e in new:
             e["kind"] = "delta"
+            e["dseq"] = base.version + 1
         props = {"merge_keys": ",".join(merge_keys), **(properties or {})}
         props.setdefault("operation", "append-delta")
         return self._commit(base, base.files + new, props)

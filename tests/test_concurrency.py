@@ -109,22 +109,53 @@ def test_rewrite_conflicts_with_rewrite_of_same_file(spark, warehouse):
                    {"operation": "compact"})
 
 
-def test_concurrent_delta_appends_conflict(spark, warehouse):
+def _stale_delta(t, df, legacy=False):
+    """First half of append_delta(): write delta files against the current
+    base. legacy=True mimics pre-entry-dseq files (physical __dseq stamp)."""
+    base = t.manifest()
+    df = df.withColumn(_DOP_COL, F.lit("U"))
+    extra = [(_DOP_COL, "string")]
+    if legacy:
+        df = df.withColumn(_DSEQ_COL, F.lit(base.version + 1).cast("bigint"))
+        extra = [(_DSEQ_COL, "bigint"), (_DOP_COL, "string")]
+    new = t._write_data_files(df, base, extra_fields=extra)
+    for e in new:
+        e["kind"] = "delta"
+        if not legacy:
+            e["dseq"] = base.version + 1
+    return base, base.files + new
+
+
+def test_concurrent_delta_appends_rebase_serialized_by_commit_order(spark, warehouse):
+    t1, t2 = _pair(spark, warehouse, n_buckets=1,
+                   properties={"merge_keys": "doc_id"})
+    t1.append(seq_rows(spark, range(0, 10), src="base"))
+    base, files = _stale_delta(t1, seq_rows(spark, range(0, 3), src="d1"))
+    t2.append_delta(seq_rows(spark, range(0, 6), src="d2"),
+                    merge_keys=["doc_id"])  # rival wins the head
+    m = t1._commit(base, files,
+                   {"operation": "append-delta", "merge_keys": "doc_id"})
+    assert m.properties["commit_retries"] == 1
+    # entry-level dseq renumbered: the rebased commit serializes AFTER the
+    # winner, so d1 beats d2 on the overlapping keys, d2 keeps the rest
+    got = {r["doc_id"]: r["source"] for r in t1.read().collect()}
+    assert len(got) == 10
+    assert got["doc00000001"] == "d1"
+    assert got["doc00000004"] == "d2"
+    assert got["doc00000008"] == "base"
+
+
+def test_concurrent_legacy_delta_appends_still_conflict(spark, warehouse):
     t1, t2 = _pair(spark, warehouse, n_buckets=1,
                    properties={"merge_keys": "doc_id"})
     t1.append(seq_rows(spark, range(0, 10)))
-    base = t1.manifest()
-    d = (seq_rows(spark, range(0, 3), src="d1")
-         .withColumn(_DSEQ_COL, F.lit(base.version + 1).cast("bigint"))
-         .withColumn(_DOP_COL, F.lit("U")))
-    new = t1._write_data_files(d, base, extra_fields=[(_DSEQ_COL, "bigint"),
-                                                      (_DOP_COL, "string")])
-    for e in new:
-        e["kind"] = "delta"
+    base, files = _stale_delta(t1, seq_rows(spark, range(0, 3), src="d1"),
+                               legacy=True)
     t2.append_delta(seq_rows(spark, range(3, 6), src="d2"),
                     merge_keys=["doc_id"])
-    with pytest.raises(CommitConflict, match="dseq tie"):
-        t1._commit(base, base.files + new, {"operation": "append-delta"})
+    with pytest.raises(CommitConflict, match="tie"):
+        t1._commit(base, files,
+                   {"operation": "append-delta", "merge_keys": "doc_id"})
 
 
 def test_concurrent_schema_change_conflicts(spark, warehouse):
