@@ -1751,6 +1751,49 @@ class LakeTable:
         self._publish_ref(self.ref, head)
         return self.manifest(head)
 
+    # ---------- tags (Iceberg tag refs: immutable named snapshots) ----------
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin `version` (default: this head's current snapshot) under an
+        immutable name (Iceberg tag-ref analog; no reference counterpart —
+        its loads are fire-and-forget). A tag protects exactly that
+        snapshot from expire_snapshots and its files from orphan GC,
+        giving a training run a reproducible `table@tag` handle at zero
+        storage cost (a pointer, nothing rewritten). Tags are immutable:
+        re-tagging an existing name raises; drop_tag releases the pin."""
+        v = self.current_version() if version is None else version
+        self.manifest(v)  # validate the snapshot exists
+        try:
+            with open(self._meta(f"TAG-{name}"), "x") as f:  # O_EXCL: immutable
+                f.write(str(v))
+        except FileExistsError:
+            raise ValueError(f"{self.name}: tag {name!r} already exists") from None
+        return v
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(self._meta(f"TAG-{name}")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            raise ValueError(f"{self.name}: no tag {name!r}") from None
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for fn in os.listdir(self._meta()):
+            if fn.startswith("TAG-"):
+                with open(self._meta(fn)) as f:
+                    out[fn[4:]] = int(f.read().strip())
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.unlink(self._meta(f"TAG-{name}"))
+        except FileNotFoundError:
+            raise ValueError(f"{self.name}: no tag {name!r}") from None
+
+    def read_tag(self, name: str, **kw) -> DataFrame:
+        return self.read(version=self.tag_version(name), **kw)
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop manifests older than the newest `keep_last` snapshots (the
         analog of Iceberg's expire_snapshots procedure; the reference's
@@ -1764,16 +1807,22 @@ class LakeTable:
         current = self.current_version()
         cutoff = current - keep_last + 1
         # never expire a snapshot some live ref still points at (or could
-        # fast-forward through): clamp to the oldest branch head
+        # fast-forward through): clamp to the oldest branch head. Tags pin
+        # exactly THEIR snapshot (no clamp — history between a tag and the
+        # head still expires, the Iceberg retention semantics).
+        protected: set[int] = set()
         for fn in os.listdir(self._meta()):
             if fn.startswith("BRANCH-"):
                 with open(self._meta(fn)) as f:
                     cutoff = min(cutoff, int(f.read().strip()))
+            elif fn.startswith("TAG-"):
+                with open(self._meta(fn)) as f:
+                    protected.add(int(f.read().strip()))
         expired = []
         for fn in sorted(os.listdir(self._meta())):
             if fn.startswith("v") and fn.endswith(".json"):
                 v = int(fn[1:-5])
-                if v < cutoff:
+                if v < cutoff and v not in protected:
                     os.unlink(self._meta(fn))
                     expired.append(v)
         return expired

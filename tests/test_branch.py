@@ -120,3 +120,35 @@ def test_branch_refs_and_errors(spark, cat):
     with pytest.raises(ValueError):
         t.drop_branch("x")
     binlog.unpersist()
+
+
+def test_tags_pin_reproducible_snapshots(spark, cat):
+    """Iceberg tag-ref analog: an immutable named snapshot survives
+    expire_snapshots (exactly that version; the untagged history between
+    tag and head still expires) and its files survive orphan GC — the
+    reproducible `table@tag` handle for a training run."""
+    binlog = synth_binlog(spark, 400, 30, 100, delete_frac=0.1).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    drv.replay(binlog, batch_ids=[0])
+    t = drv.table
+    v_tagged = t.create_tag("train-v1")
+    assert t.tags() == {"train-v1": v_tagged}
+    tagged_state = {r["doc_id"]: r["tokens"] for r in t.read_tag("train-v1").collect()}
+    with pytest.raises(ValueError):
+        t.create_tag("train-v1")  # immutable
+    with pytest.raises(ValueError):
+        t.tag_version("nope")
+    drv.replay(binlog, batch_ids=[1, 2, 3])
+    expired = t.expire_snapshots(keep_last=1)
+    assert v_tagged not in expired            # pinned
+    assert any(v > v_tagged for v in expired)  # in-between history expired
+    t.remove_orphan_files()
+    # byte-identical read-back after expiry + GC
+    assert {r["doc_id"]: r["tokens"]
+            for r in t.read_tag("train-v1").collect()} == tagged_state
+    # dropping the tag releases the pin: next expiry reclaims it
+    t.drop_tag("train-v1")
+    with pytest.raises(ValueError):
+        t.drop_tag("train-v1")
+    assert v_tagged in t.expire_snapshots(keep_last=1)
+    binlog.unpersist()
