@@ -474,6 +474,36 @@ def q_cdc_posdel_update(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_concurrent_writers(spark, sf_dir):
+    """Optimistic concurrency at the table head (Iceberg commit
+    retry-with-validation analog; the reference is single-writer by
+    construction — one Embulk run owns the whole load): writer A stages an
+    append of the day-band batch 3 against a base that goes stale when
+    writer B lands a predicate DELETE of an epoch band first. A's commit
+    REBASES onto B's snapshot instead of failing — both the delete and the
+    append survive, serialized B-then-A, so band rows inside batch 3 (which
+    B never saw) survive while batch 0-2 band rows are gone. Asserts the
+    race actually happened (commit_retries == 1)."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 day-of-month batches
+    tbl = _new_table(spark, "concwr", n_buckets=4)
+    cols = [F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+            "event_type", "value", "props"]
+    for b in (0, 1, 2):
+        tbl.append(ev.filter(F.col("batch_id") == b).select(*cols))
+    # writer A: first half of append() — read base, write files, stall
+    base = tbl.manifest()
+    staged = tbl._write_data_files(
+        ev.filter(F.col("batch_id") == 3).select(*cols), base)
+    # writer B wins the head with a band delete over the live slices
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    lo = mn + (mx - mn) * 2 // 8
+    hi = mn + (mx - mn) * 5 // 8
+    tbl.delete_where({"ts_us": (lo, hi)})
+    m = tbl._commit(base, base.files + staged, {"operation": "append"})
+    assert m.properties["commit_retries"] == 1, "no rebase happened"
+    return tbl.read()
+
+
 def q_cdc_cluster_compact(spark, sf_dir):
     """Clustered compaction (OPTIMIZE ... sort analog): unsorted appends
     leave every file spanning the full ts_us range; compact(cluster_by)
@@ -3173,6 +3203,7 @@ SPARK_QUERIES = {
     "cdc_posdel_delete": q_cdc_posdel_delete,
     "cdc_predicate_update": q_cdc_predicate_update,
     "cdc_posdel_update": q_cdc_posdel_update,
+    "cdc_concurrent_writers": q_cdc_concurrent_writers,
     "cdc_cluster_compact": q_cdc_cluster_compact,
     "cdc_zorder_compact": q_cdc_zorder_compact,
     "cdc_bloom_lookup": q_cdc_bloom_lookup,
@@ -3354,6 +3385,15 @@ def _oracle_sql() -> dict[str, str]:
                    value,
                    CASE WHEN h THEN event_type ELSE props END AS props
             FROM hit
+        """,
+        "cdc_concurrent_writers": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events, b
+            WHERE CAST((day(ts) - 1) // 8 AS BIGINT) = 3
+               OR epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                                       AND b.mn + (b.mx - b.mn) * 5 // 8
         """,
         "cdc_apply_truncate": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props "
