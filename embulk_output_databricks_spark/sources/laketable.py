@@ -1454,6 +1454,20 @@ class LakeTable:
                   "schema_version int, kind string, stats string")
         return self.spark.createDataFrame(rows, schema)
 
+    def refs(self) -> DataFrame:
+        """One row per named ref (Iceberg tbl.refs analog): the main head,
+        every branch head, and every tag pin — name, type, snapshot
+        version. The audit view for WAP branches and training-run tags."""
+        with open(self._meta("CURRENT")) as f:
+            rows = [("main", "head", int(f.read().strip()))]
+        for fn in sorted(os.listdir(self._meta())):
+            if fn.startswith("BRANCH-") or fn.startswith("TAG-"):
+                kind, name = fn.split("-", 1)
+                with open(self._meta(fn)) as f:
+                    rows.append((name, kind.lower(), int(f.read().strip())))
+        return self.spark.createDataFrame(
+            rows, "name string, type string, version long")
+
     def delta_file_count(self) -> int:
         return sum(1 for f in self.manifest().files if f.get("kind") == "delta")
 

@@ -152,3 +152,17 @@ def test_tags_pin_reproducible_snapshots(spark, cat):
         t.drop_tag("train-v1")
     assert v_tagged in t.expire_snapshots(keep_last=1)
     binlog.unpersist()
+
+
+def test_refs_metadata_table(spark, cat):
+    binlog = synth_binlog(spark, 200, 20, 60).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    drv.replay(binlog, batch_ids=[0])
+    t = drv.table
+    t.create_branch("audit")
+    v_tag = t.create_tag("train-v1")
+    got = {(r["name"], r["type"]): r["version"] for r in t.refs().collect()}
+    assert got[("main", "head")] == t.current_version()
+    assert got[("audit", "branch")] == t.current_version()
+    assert got[("train-v1", "tag")] == v_tag
+    binlog.unpersist()
