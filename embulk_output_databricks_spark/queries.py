@@ -474,6 +474,34 @@ def q_cdc_posdel_update(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_slice_restatement(spark, sf_dir):
+    """Atomic slice restatement (Iceberg overwriteByRowFilter analog;
+    overwrite_where): a time band is recomputed — event_type re-tagged,
+    value doubled — and swapped in as delete-band + insert-restated in ONE
+    snapshot commit. Files provably outside the band keep their exact
+    paths (metadata-only); readers never see the band half-replaced. The
+    100 TB backfill primitive: restating a corrupted day costs O(that
+    day's files), not a table rewrite."""
+    ev = _binlog_batches(spark, sf_dir)
+    tbl = _new_table(spark, "restate", n_buckets=4)
+    cols = [F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+            "event_type", "value", "props"]
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b).select(*cols))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    lo = mn + (mx - mn) * 2 // 8
+    hi = mn + (mx - mn) * 5 // 8
+    v0 = tbl.current_version()
+    restated = (ev.filter(F.col("seq_lsn").between(lo, hi))
+                .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                        F.concat(F.lit("re_"), F.col("event_type")).alias("event_type"),
+                        (F.col("value") * 2).alias("value"), F.col("props")))
+    m = tbl.overwrite_where({"ts_us": (lo, hi)}, restated)
+    assert tbl.current_version() == v0 + 1, "restatement was not one commit"
+    assert m.properties["delete_dropped_files"] >= 1, "no metadata-only drop"
+    return tbl.read()
+
+
 def q_cdc_concurrent_writers(spark, sf_dir):
     """Optimistic concurrency at the table head (Iceberg commit
     retry-with-validation analog; the reference is single-writer by
@@ -3204,6 +3232,7 @@ SPARK_QUERIES = {
     "cdc_predicate_update": q_cdc_predicate_update,
     "cdc_posdel_update": q_cdc_posdel_update,
     "cdc_concurrent_writers": q_cdc_concurrent_writers,
+    "cdc_slice_restatement": q_cdc_slice_restatement,
     "cdc_cluster_compact": q_cdc_cluster_compact,
     "cdc_zorder_compact": q_cdc_zorder_compact,
     "cdc_bloom_lookup": q_cdc_bloom_lookup,
@@ -3385,6 +3414,21 @@ def _oracle_sql() -> dict[str, str]:
                    value,
                    CASE WHEN h THEN event_type ELSE props END AS props
             FROM hit
+        """,
+        "cdc_slice_restatement": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events, b
+            WHERE epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                                       AND b.mn + (b.mx - b.mn) * 5 // 8
+            UNION ALL
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   're_' || event_type AS event_type,
+                   value * 2 AS value, props
+            FROM events, b
+            WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                                   AND b.mn + (b.mx - b.mn) * 5 // 8
         """,
         "cdc_concurrent_writers": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx

@@ -1180,6 +1180,48 @@ class LakeTable:
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown delete mode {mode!r}")
         base = self.manifest()
+        keep, new, stats = self._delete_plan(base, pred, mode)
+        props = dict(properties or {})
+        props.setdefault("operation", "delete_where")
+        props.update(stats)
+        keep += self._prune_posdels(base.files, keep)
+        return self._commit(base, keep + new, props)
+
+    def overwrite_where(self, pred: dict, df: DataFrame,
+                        properties: dict | None = None,
+                        mode: str = "cow") -> Manifest:
+        """Atomic slice restatement (Iceberg overwriteByRowFilter /
+        static-overwrite analog; the reference's closest gesture is
+        truncate-everything-then-insert, README.md:58-61): delete every
+        row matching `pred` AND insert `df` in ONE snapshot commit —
+        readers see the old slice or the new slice, never neither and
+        never both. The delete leg reuses the manifest-bounds plan
+        (zero-IO metadata drops and skips; mode='mor' writes posdel
+        sidecars instead of rewriting boundary files); the insert leg
+        writes ordinary bucket-partitioned files.
+
+        This is the backfill/restatement primitive a training pipeline
+        needs: at 100 TB, recomputing one corrupted day = drop that day's
+        files in metadata + write the recomputed day. `df` is NOT
+        filtered against `pred` — the caller owns the restated content
+        (Iceberg static-overwrite semantics)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown overwrite mode {mode!r}")
+        base = self.manifest()
+        keep, new, stats = self._delete_plan(base, pred, mode)
+        new += self._write_data_files(df, base)
+        props = dict(properties or {})
+        props.setdefault("operation", "overwrite_where")
+        props.update(stats)
+        keep += self._prune_posdels(base.files, keep)
+        return self._commit(base, keep + new, props)
+
+    def _delete_plan(self, base: Manifest, pred: dict, mode: str
+                     ) -> tuple[list[dict], list[dict], dict]:
+        """Shared planning for delete_where/overwrite_where: classify every
+        file against the predicate bounds, resolve MOR-dirty buckets, write
+        rewrite/posdel outputs. Returns (kept entries, new entries, stats
+        properties) — the caller commits."""
         deltas = [f for f in base.files if f.get("kind") == "delta"]
         clean, dirty = self._mor_split(base, base.files, deltas)
         keep, rewrite = [], []
@@ -1239,19 +1281,16 @@ class LakeTable:
             for p in parts[1:]:
                 df = df.unionByName(p)
             new += self._write_data_files(df, base)
-        props = dict(properties or {})
-        props.setdefault("operation", "delete_where")
-        props["delete_dropped_files"] = dropped
+        stats: dict = {"delete_dropped_files": dropped}
         if mode == "mor":
-            props["delete_rewritten_files"] = len(dirty) + len(deltas)
-            props["delete_posdel_files"] = sum(
+            stats["delete_rewritten_files"] = len(dirty) + len(deltas)
+            stats["delete_posdel_files"] = sum(
                 1 for e in new if e.get("kind") == "posdel")
-            props["delete_posdel_rows"] = sum(
+            stats["delete_posdel_rows"] = sum(
                 e["rows"] for e in new if e.get("kind") == "posdel")
         else:
-            props["delete_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
-        keep += self._prune_posdels(base.files, keep)
-        return self._commit(base, keep + new, props)
+            stats["delete_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
+        return keep, new, stats
 
     @staticmethod
     def _prune_posdels(all_files: list[dict], kept_data: list[dict]) -> list[dict]:

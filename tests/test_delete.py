@@ -168,3 +168,44 @@ def test_delete_resolves_mor_deltas_first(spark, warehouse):
     got = {r["doc_id"]: r["source"] for r in t.read().collect()}
     assert got == {"doc00000003": "new"}  # sole survivor; no delta files left
     assert t.delta_file_count() == 0
+
+
+def test_overwrite_where_atomic_slice_restatement(spark, warehouse):
+    """Iceberg overwriteByRowFilter analog: delete-matching + insert in ONE
+    snapshot. Disjoint files keep exact paths; the restated slice replaces
+    the old one atomically (single version bump)."""
+    t = _mk(spark, warehouse)
+    t.append(seq_rows(spark, range(0, 100), src="old"))
+    t.append(seq_rows(spark, range(100, 200), src="old"))
+    v0 = t.current_version()
+    before = {f["path"] for f in t.manifest().files}
+    restated = seq_rows(spark, range(0, 80), src="restated")
+    m = t.overwrite_where({"doc_id": (None, "doc00000099")}, restated)
+    assert t.current_version() == v0 + 1          # one atomic commit
+    assert m.properties["operation"] == "overwrite_where"
+    assert m.properties["delete_dropped_files"] >= 1
+    # the untouched slice's files kept their exact paths
+    kept = {f["path"] for f in m.files} & before
+    assert kept
+    got = {r["doc_id"]: r["source"] for r in t.read().collect()}
+    assert len(got) == 80 + 100
+    assert got["doc00000010"] == "restated"
+    assert "doc00000090" not in got               # deleted, not restated
+    assert got["doc00000150"] == "old"
+    # time travel to v0 still sees the pre-restatement slice
+    assert t.read(version=v0).count() == 200
+
+
+def test_overwrite_where_mor_keeps_boundary_paths(spark, warehouse):
+    t = _mk(spark, warehouse, n_buckets=1)
+    t.append(seq_rows(spark, range(0, 100), src="old"))  # one file, boundary
+    before = {f["path"] for f in t.manifest().files}
+    m = t.overwrite_where({"doc_id": ("doc00000020", "doc00000049")},
+                          seq_rows(spark, range(20, 50), src="new"),
+                          mode="mor")
+    assert m.properties["delete_rewritten_files"] == 0
+    assert m.properties["delete_posdel_files"] >= 1
+    assert before <= {f["path"] for f in m.files}
+    got = {r["doc_id"]: r["source"] for r in t.read().collect()}
+    assert len(got) == 100 and t.row_count() == 100
+    assert got["doc00000030"] == "new" and got["doc00000060"] == "old"
