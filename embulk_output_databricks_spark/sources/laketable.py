@@ -456,6 +456,23 @@ class LakeTable:
         self._seg_cache[name] = list(entries)
         return name
 
+    def version_as_of(self, ts_us: int) -> int:
+        """Newest RETAINED snapshot committed at or before `ts_us` (epoch
+        micros) — Iceberg `TIMESTAMP AS OF` resolution over the
+        committed_at_us stamp each commit writes. Raises if every retained
+        snapshot is newer (history expired past the asked-for time)."""
+        best = None
+        for fn in sorted(os.listdir(self._meta())):
+            if fn.startswith("v") and fn.endswith(".json"):
+                m = self.manifest(int(fn[1:-5]))
+                at = m.properties.get("committed_at_us")
+                if at is not None and at <= ts_us and (best is None or m.version > best):
+                    best = m.version
+        if best is None:
+            raise ValueError(
+                f"{self.name}: no retained snapshot at or before ts_us={ts_us}")
+        return best
+
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
         with open(self._meta(f"v{v:012d}.json")) as f:
@@ -866,6 +883,9 @@ class LakeTable:
             props.pop("commit_retries", None)
             if retries:
                 props["commit_retries"] = retries
+            # wall-clock commit stamp (overwritten every commit): powers
+            # read(as_of_us=...) / version_as_of timestamp travel
+            props["committed_at_us"] = int(time.time() * 1_000_000)
             m = Manifest(
                 version=base.version + 1,
                 parent=base.version,

@@ -319,3 +319,25 @@ def test_torn_write_invisible_and_reclaimed(spark, warehouse):
     assert t.read().count() == 1           # invisible to readers
     assert t.remove_orphan_files() == ["data/deadbeef.parquet"]
     assert t.read().count() == 1
+
+
+def test_timestamp_time_travel(spark, warehouse):
+    """Iceberg TIMESTAMP AS OF analog: every commit stamps committed_at_us;
+    version_as_of resolves the newest retained snapshot at-or-before it."""
+    import time as _time
+
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("ttt", SEQUENCES_SCHEMA, n_buckets=2, bucket_key="doc_id")
+    t.append(seq_rows(spark, range(0, 10)))
+    v1 = t.current_version()
+    ts1 = t.manifest().properties["committed_at_us"]
+    _time.sleep(0.01)
+    t.append(seq_rows(spark, range(10, 20)))
+    assert t.version_as_of(ts1) == v1
+    assert t.read(version=t.version_as_of(ts1)).count() == 10
+    now = int(_time.time() * 1_000_000)
+    assert t.version_as_of(now) == t.current_version()
+    with pytest.raises(ValueError):
+        t.version_as_of(ts1 - 10_000_000_000)  # long before the first commit
