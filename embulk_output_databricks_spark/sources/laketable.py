@@ -1734,7 +1734,8 @@ class LakeTable:
         # re-point the checkpoint-recovery view at the target snapshot:
         # without this, crash reconciliation would read the BAD batch's
         # fence stamp out of the inherited properties and re-fence it
-        for k in ("batch_id", "lsn_from", "lsn_to", "lineage", "committed_at"):
+        for k in ("batch_id", "source_id", "lsn_from", "lsn_to", "lineage",
+                  "committed_at"):
             props[k] = target.properties.get(k)
         return self._commit(
             base,

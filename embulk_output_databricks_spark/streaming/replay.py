@@ -59,7 +59,8 @@ class EvolutionOp:
 
 class ReplayDriver:
     def __init__(self, catalog: LakeCatalog, cfg: JobConfig,
-                 target_schema=SEQUENCES_SCHEMA, table: LakeTable | None = None):
+                 target_schema=SEQUENCES_SCHEMA, table: LakeTable | None = None,
+                 source_id: str = ""):
         self.catalog = catalog
         self.cfg = cfg
         # `table` injects an existing handle — e.g. a BRANCH handle for the
@@ -67,9 +68,13 @@ class ReplayDriver:
         # catalog-managed main table. The fence store lives under the shared
         # table root either way, so batches audited on a branch stay fenced
         # after publish.
+        # `source_id` enables multi-source fan-in: N sharded binlog streams
+        # (disjoint key ranges) into ONE table, each source with its own
+        # batch-id sequence, fence namespace, and crash reconciliation.
         self.table = table if table is not None else ensure_table(
             catalog, cfg, target_schema)
-        self.ckpt = CheckpointStore(self.table)
+        self.source_id = source_id
+        self.ckpt = CheckpointStore(self.table, source_id=source_id)
         self._applied_since_compact = 0  # mor auto-compact cadence counter
         # maintained downstream rollups (cfg.rollups): created/seeded here,
         # advanced after every batch by their own consumed-version watermark
@@ -216,7 +221,10 @@ class ReplayDriver:
         # itself (crash reconciliation reads it back); lsn stats are
         # informational and may be filled post-action from the observation
         # (a crash-recovered light batch simply has no lsn stats).
-        props = {"batch_id": batch_id}
+        # source_id is set UNCONDITIONALLY (empty = single-stream): snapshot
+        # properties inherit, so a later source-less batch must not wear an
+        # earlier source's tag in crash reconciliation
+        props = {"batch_id": batch_id, "source_id": self.source_id}
         if obs is None:
             props.update({"lsn_from": lo, "lsn_to": hi + 1, "events_in": n_in})
         import time as _time
