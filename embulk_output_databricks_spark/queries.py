@@ -701,6 +701,29 @@ def q_cdc_fence_idempotent(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_fanin(spark, sf_dir):
+    """Multi-source fan-in (FIXTURES.md S51; sharded-CDC layout the
+    single-run reference cannot express): the binlog split into two
+    disjoint-key shards by hash(user_id) parity, each applied by its OWN
+    driver with a source-scoped fence and overlapping batch ids,
+    interleaved shard-by-shard. Final state must equal the single-stream
+    LWW replay, and re-running one shard's committed batch is a no-op for
+    that shard only (its fence, not the other's)."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "fanin")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)
+    d0 = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA, source_id="s0")
+    d1 = ReplayDriver(cat, cfg, table=d0.table, source_id="s1")
+    s0 = binlog.filter(F.abs(F.hash("user_id")) % 2 == 0)
+    s1 = binlog.filter(F.abs(F.hash("user_id")) % 2 == 1)
+    for b in range(4):
+        d0.run_batch(s0.filter(F.col("batch_id") == b), b)
+        d1.run_batch(s1.filter(F.col("batch_id") == b), b)
+    assert d0.run_batch(s0.filter(F.col("batch_id") == 3), 3) is None, \
+        "source fence did not hold"
+    return d0.table.read()
+
+
 def q_cdc_rollback(spark, sf_dir):
     """Operational rollback: batch 2 lands corrupted -> rollback to the
     pre-batch snapshot (metadata-only, history-preserving) -> retract its
@@ -3239,6 +3262,7 @@ SPARK_QUERIES = {
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
+    "cdc_fanin": q_cdc_fanin,
     "cdc_rollback": q_cdc_rollback,
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_chunked_batch": q_cdc_chunked_batch,
@@ -3449,6 +3473,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 1 GROUP BY user_id
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
+        "cdc_fanin": _SQL_REPLAY_FINAL,
         "cdc_rollback": _SQL_REPLAY_FINAL,
         "cdc_wap_publish": _SQL_REPLAY_FINAL,
         "cdc_chunked_batch": _SQL_REPLAY_FINAL,
