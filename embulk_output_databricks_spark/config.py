@@ -103,6 +103,14 @@ class JobConfig:
                                   # own consumed-version watermark, so a
                                   # crash between apply and sync self-heals
     support_deletes: bool = True  # op='D' extension (FIXTURES.md S12)
+    auto_evolve: bool = False     # Delta mergeSchema analog: a batch that
+                                  # carries a column the target lacks adds it
+                                  # (metadata-only DDL, old rows read NULL)
+                                  # before the apply, instead of dropping the
+                                  # column. Off by default: the reference's
+                                  # posture is explicit column_options DDL,
+                                  # and silent widening of the target schema
+                                  # is a policy decision, not a default.
     # replay-level retry of a failed batch apply (ref retry_limit 12 /
     # retry_wait 1000ms doubling to max_retry_wait 30min, README.md:32-34;
     # inherited AbstractJdbcOutputConnector). Idempotent by the fence: a

@@ -701,6 +701,25 @@ def q_cdc_fence_idempotent(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_auto_evolve(spark, sf_dir):
+    """Auto schema evolution on write (Delta mergeSchema analog;
+    JobConfig.auto_evolve — the reference's closest concept is explicit
+    column_options DDL, README.md:40-41): batches 2-3 start carrying a new
+    `flag` column, the driver adds it metadata-only before their apply,
+    and rows whose LWW winner predates the column read NULL."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "autoevolve")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"],
+                    n_buckets=8, auto_evolve=True)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    for b in range(4):
+        ev = binlog.filter(F.col("batch_id") == b)
+        if b >= 2:
+            ev = ev.withColumn("flag", F.col("event_type"))
+        driver.run_batch(ev, b)
+    return driver.table.read()
+
+
 def q_cdc_fanin(spark, sf_dir):
     """Multi-source fan-in (FIXTURES.md S51; sharded-CDC layout the
     single-run reference cannot express): the binlog split into two
@@ -3263,6 +3282,7 @@ SPARK_QUERIES = {
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
     "cdc_fanin": q_cdc_fanin,
+    "cdc_auto_evolve": q_cdc_auto_evolve,
     "cdc_rollback": q_cdc_rollback,
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_chunked_batch": q_cdc_chunked_batch,
@@ -3474,6 +3494,18 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
         "cdc_fanin": _SQL_REPLAY_FINAL,
+        "cdc_auto_evolve": """
+            SELECT user_id, ts_us AS seq_lsn, event_type, value, props,
+                   CASE WHEN b >= 2 THEN event_type END AS flag
+            FROM (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                     value, props, CAST((day(ts) - 1) // 8 AS BIGINT) AS b,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts) DESC,
+                                                 event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
         "cdc_rollback": _SQL_REPLAY_FINAL,
         "cdc_wap_publish": _SQL_REPLAY_FINAL,
         "cdc_chunked_batch": _SQL_REPLAY_FINAL,

@@ -157,6 +157,19 @@ class ReplayDriver:
         for op in evolution or []:
             op.apply(self.table)
 
+        if self.cfg.auto_evolve:
+            # Delta mergeSchema analog: batch columns the target lacks are
+            # added (metadata-only, old rows read NULL) instead of dropped.
+            # Names any historical schema version ever used (renames!) and
+            # the change-event envelope are NOT new columns.
+            known: set[str] = set()
+            for cands in self._event_names().values():
+                known.update(cands)
+            envelope = {"op", "seq_lsn", "event_id", "batch_id", "table"}
+            for f in events.schema.fields:
+                if f.name not in known and f.name not in envelope:
+                    self.table.add_column(f.name, f.dataType.simpleString())
+
         # the batch is consumed by up to two passes (lineage metrics + the
         # dedup/apply plan). Caching is opt-in: columnar cache build costs
         # more than a rescan for cheap sources (seeded synth / pruned

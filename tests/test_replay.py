@@ -189,3 +189,29 @@ def test_rollback_bad_batch_then_reapply(spark, cat):
     clean.run_batch(b0, 0)
     clean.run_batch(b1, 1)
     assert table_state(drv.table) == table_state(clean.table)
+
+
+def test_auto_evolve_adds_batch_columns(spark, cat):
+    """Delta mergeSchema analog (JobConfig.auto_evolve): a batch carrying a
+    column the target lacks adds it metadata-only before the apply; rows
+    whose winner predates the column read NULL. Off by default."""
+    from pyspark.sql import functions as F
+
+    binlog = synth_binlog(spark, 400, 40, 200, delete_frac=0.0).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4,
+                                      auto_evolve=True))
+    drv.run_batch(binlog.filter("batch_id = 0"), 0)
+    assert "lang" not in drv.table.read().columns
+    b1 = binlog.filter("batch_id = 1").withColumn("lang", F.lit("en"))
+    drv.run_batch(b1, 1)
+    b1_keys = {r["doc_id"] for r in b1.select("doc_id").distinct().collect()}
+    got = {r["doc_id"]: r["lang"] for r in drv.table.read().collect()}
+    assert got and all(
+        v == ("en" if k in b1_keys else None) for k, v in got.items())
+    # default posture: unknown batch columns are DROPPED, not added
+    drv2 = ReplayDriver(cat, JobConfig(table="noevolve", mode="merge",
+                                       n_buckets=4))
+    drv2.run_batch(binlog.filter("batch_id = 0")
+                   .withColumn("extra", F.lit(1)), 0)
+    assert "extra" not in drv2.table.read().columns
+    binlog.unpersist()
