@@ -2457,6 +2457,26 @@ def q_events_ranks_scalable(spark, sf_dir):
     ).select("user_id", "cents", "rn", "rnk", "drnk", "quartile")
 
 
+def q_tok_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle — the training-order permutation for one
+    epoch: order docs by a seeded hash (md5 of doc_id + epoch seed) and
+    assign each its global position via the distributed rank operator
+    (range-partition -> local ranks -> prefix offsets; no single-partition
+    window ever sees the corpus). Same seed -> bit-identical order at any
+    parallelism; next epoch = next seed. The reference has no ordering
+    story at all (sink only)."""
+    from .operators.ranks import global_ranks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", F.col("doc_id"), F.lit("epoch42")))
+        .alias("shuffle_key"))
+    return (global_ranks(keyed, order=[("shuffle_key", "asc")])
+            .select("doc_id", "shuffle_key",
+                    F.col("rn").cast("bigint").alias("epoch_pos")))
+
+
 SAMPLE_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 50}  # percent
 
 
@@ -3308,6 +3328,7 @@ SPARK_QUERIES = {
     "tok_chunks": q_tok_chunks,
     "tok_chunks_arrow": q_tok_chunks_arrow,
     "tok_pack": q_tok_pack,
+    "tok_epoch_shuffle": q_tok_epoch_shuffle,
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -3568,6 +3589,14 @@ def _oracle_sql() -> dict[str, str]:
         "tok_chunks": _sql_tok_chunks(),
         "tok_chunks_arrow": _sql_tok_chunks(),
         "tok_pack": _sql_tok_pack(),
+        "tok_epoch_shuffle": """
+            SELECT doc_id,
+                   md5(concat_ws('|', doc_id, 'epoch42')) AS shuffle_key,
+                   CAST(row_number() OVER (
+                        ORDER BY md5(concat_ws('|', doc_id, 'epoch42')))
+                        AS BIGINT) AS epoch_pos
+            FROM documents
+        """,
         # tok_pack: stateful greedy packing (applyInPandas) — rows-only check
         "media_decode": _sql_media_decode(),
         "media_resize": _sql_media_resize(),
