@@ -201,6 +201,52 @@ def bench_stats_skip(spark, n_rows: int = 4_000_000, slices: int = 16,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_retention(spark, n_rows: int = 4_000_000, slices: int = 16,
+                    n_buckets: int = 8) -> dict:
+    """Retention-delete IO scaling: on a time-clustered table, delete the
+    oldest 5/16 of history by ts band. COW drops interior files in metadata
+    (zero IO) and rewrites only boundary files; MOR touches not even those
+    (posdel sidecar, O(matched rows)). The probe records file-level IO
+    accounting straight from the commit — the 100 TB claim is that delete
+    cost is O(boundary), never O(deleted rows)."""
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    out = {}
+    for mode in ("cow", "mor"):
+        work = tempfile.mkdtemp(prefix=f"bench_ret_{mode}_")
+        try:
+            cat = LakeCatalog(spark, work)
+            step = n_rows // slices
+            t = None
+            for i in range(slices):
+                sl = synth_binlog(spark, step, n_rows // 4, n_rows,
+                                  start=i * step, delete_frac=0.0,
+                                  partitions=16) \
+                    .select("seq_lsn", "doc_id", "n_tok", "source")
+                if t is None:
+                    t = cat.create_table("ret", sl.schema, n_buckets=n_buckets,
+                                         bucket_key="doc_id")
+                t.append(sl)
+            files_before = len(t.manifest().files)
+            t0 = time.perf_counter()
+            # horizon mid-slice: interior slices drop in metadata, ONE slice
+            # straddles — cow rewrites its files, mor posdels its rows
+            m = t.delete_where({"seq_lsn": (None, 5 * step + step // 2)},
+                               mode=mode)
+            dt = time.perf_counter() - t0
+            out[mode] = {
+                "files_before": files_before,
+                "dropped_zero_io": m.properties["delete_dropped_files"],
+                "rewritten": m.properties["delete_rewritten_files"],
+                "posdel_files": m.properties.get("delete_posdel_files", 0),
+                "delete_s": round(dt, 3),
+                "rows_after": t.row_count(),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from __spark_entry__ import queries
 
@@ -254,6 +300,7 @@ def main() -> None:
         }
         steady = bench_steady_state(spark)
         stats_skip = bench_stats_skip(spark)
+        retention = bench_retention(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -267,6 +314,7 @@ def main() -> None:
             "mor": mor_probe,
             "steady_state": steady,
             "stats_skip": stats_skip,
+            "retention": retention,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))

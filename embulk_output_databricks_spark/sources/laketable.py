@@ -1527,6 +1527,29 @@ class LakeTable:
         return self.spark.createDataFrame(
             rows, "name string, type string, version long")
 
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Per-bucket summary (Iceberg tbl.partitions analog): files, rows,
+        outstanding delta files — the skew/maintenance dashboard. A bucket
+        with many small files wants compact(); many delta files want
+        compact_deltas(); row counts far from uniform suggest rebucket()."""
+        m = self.manifest(version)
+        agg: dict[tuple[int, int | None], dict] = {}
+        for f in _live_data(m.files):
+            key = (_file_nb(m, f), f.get("bucket"))
+            a = agg.setdefault(key, {"files": 0, "rows": 0, "delta_files": 0})
+            a["files"] += 1
+            a["rows"] += f["rows"]
+            if f.get("kind") == "delta":
+                a["delta_files"] += 1
+        rows = [(nb, b, a["files"], a["rows"], a["delta_files"])
+                for (nb, b), a in sorted(
+                    agg.items(),
+                    key=lambda kv: (kv[0][0],
+                                    -1 if kv[0][1] is None else kv[0][1]))]
+        return self.spark.createDataFrame(
+            rows, "n_buckets int, bucket int, files long, rows long, "
+                  "delta_files long")
+
     def delta_file_count(self) -> int:
         return sum(1 for f in self.manifest().files if f.get("kind") == "delta")
 

@@ -341,3 +341,19 @@ def test_timestamp_time_travel(spark, warehouse):
     assert t.version_as_of(now) == t.current_version()
     with pytest.raises(ValueError):
         t.version_as_of(ts1 - 10_000_000_000)  # long before the first commit
+
+
+def test_partitions_metadata_table(spark, warehouse):
+    """Iceberg tbl.partitions analog: per-bucket files/rows/delta summary."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply_mor
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("parts", SEQUENCES_SCHEMA, n_buckets=4,
+                         bucket_key="doc_id")
+    t.append(seq_rows(spark, range(0, 200)))
+    merge_apply_mor(t, seq_rows(spark, range(0, 10), src="u"), keys=["doc_id"])
+    got = {r["bucket"]: r for r in t.partitions().collect()}
+    assert set(got) == set(range(4))
+    assert sum(r["rows"] for r in got.values()) == t.row_count()
+    assert sum(r["delta_files"] for r in got.values()) == t.delta_file_count()
+    assert all(r["n_buckets"] == 4 for r in got.values())
