@@ -418,6 +418,33 @@ def q_cdc_posdel_delete(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_eqdel_delete(spark, sf_dir):
+    """Equality-delete by key (Iceberg v2 equality-delete analog;
+    LakeTable.delete_keys): the right-to-be-forgotten / purge primitive.
+    Dropping a set of user keys writes ONE sidecar of the deleted key
+    values with ZERO data-file IO at delete time — even a positional
+    delete must first SCAN to locate row positions; at 100 TB an eqdel is
+    O(keys) outright. Readers apply it as a broadcast anti-join scoped to
+    the files live at delete time, so later appends legitimately
+    resurrect a key (Iceberg's sequence-number rule). Asserts the commit
+    added no data file and recorded the sidecar."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "eqdel", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    before = {f["path"] for f in tbl.manifest().files}
+    keys = (ev.select("user_id").distinct()
+            .filter(F.col("user_id") % 7 == F.lit(3)))
+    m = tbl.delete_keys(keys)
+    assert m.properties["operation"] == "delete_keys", "no eqdel commit"
+    assert m.properties["eqdel_keys"] >= 1, "empty eqdel sidecar"
+    assert {f["path"] for f in m.files
+            if f.get("kind") != "eqdel"} == before, "data files touched"
+    return tbl.read()
+
+
 def q_cdc_predicate_update(spark, sf_dir):
     """Predicate UPDATE ... SET planned from manifest bounds (Iceberg
     copy-on-write UPDATE analog; the reference's only update path is
@@ -3291,6 +3318,7 @@ SPARK_QUERIES = {
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
+    "cdc_eqdel_delete": q_cdc_eqdel_delete,
     "cdc_predicate_update": q_cdc_predicate_update,
     "cdc_posdel_update": q_cdc_posdel_update,
     "cdc_concurrent_writers": q_cdc_concurrent_writers,
@@ -3451,6 +3479,11 @@ def _oracle_sql() -> dict[str, str]:
             FROM events, b
             WHERE epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
                                        AND b.mn + (b.mx - b.mn) * 5 // 8
+        """,
+        "cdc_eqdel_delete": """
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events
+            WHERE user_id % 7 <> 3
         """,
         "cdc_predicate_update": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx

@@ -68,13 +68,18 @@ _PDPOS_COL = "_pos"
 
 
 def _live_data(files: list[dict]) -> list[dict]:
-    """Entries that hold table ROWS (data + delta) — positional-delete
-    files are metadata-shaped sidecars and must never be read as data."""
-    return [f for f in files if f.get("kind") != "posdel"]
+    """Entries that hold table ROWS (data + delta) — positional- and
+    equality-delete files are metadata-shaped sidecars and must never be
+    read as data."""
+    return [f for f in files if f.get("kind") not in ("posdel", "eqdel")]
 
 
 def _posdel_entries(files: list[dict]) -> list[dict]:
     return [f for f in files if f.get("kind") == "posdel"]
+
+
+def _eqdel_entries(files: list[dict]) -> list[dict]:
+    return [f for f in files if f.get("kind") == "eqdel"]
 
 
 class CommitConflict(RuntimeError):
@@ -635,7 +640,8 @@ class LakeTable:
             nb = _file_nb(m, f)
             return set(dmap) <= {nb} and f["bucket"] not in dmap.get(nb, ())
 
-        base = [f for f in files if f.get("kind") not in ("delta", "posdel")]
+        base = [f for f in files
+                if f.get("kind") not in ("delta", "posdel", "eqdel")]
         return [f for f in base if is_clean(f)], [f for f in base if not is_clean(f)]
 
     def added_rows(self, since_version: int, version: int | None = None) -> DataFrame:
@@ -649,16 +655,16 @@ class LakeTable:
         old = {f["path"] for f in self.manifest(since_version).files}
         m = self.manifest(version)
         new = [f for f in m.files if f["path"] not in old]
-        if any(f.get("kind") in ("delta", "posdel") for f in new):
+        if any(f.get("kind") in ("delta", "posdel", "eqdel") for f in new):
             # projecting delta files to the current schema would strip the
             # op/commit-seq envelope and surface deletes as upserts (and a
-            # positional-delete sidecar is pure deletes) — refuse instead
-            # of returning a silently-wrong feed
+            # positional- or equality-delete sidecar is pure deletes) —
+            # refuse instead of returning a silently-wrong feed
             raise ValueError(
                 f"{self.name}: interval contains merge-on-read delta or "
-                "positional-delete files; use changelog(since_version) "
-                "(delta-only intervals) or diff(since_version) for the "
-                "row-level change feed"
+                "positional-delete or equality-delete files; use "
+                "changelog(since_version) (delta-only intervals) or "
+                "diff(since_version) for the row-level change feed"
             )
         return self._df_for_files(m, new)
 
@@ -674,13 +680,19 @@ class LakeTable:
         HERE (anti-join on (file basename, row index), posdel side
         broadcast) — every reader of base data funnels through this method,
         so merge/compact/diff/delete inherit posdel correctness without
-        their own logic. `apply_posdel=False` reads raw physical rows (the
-        posdel WRITE path needs them); `with_lineage=True` appends
-        `_file`/`_pos` lineage columns to the output."""
+        their own logic. Equality-delete sidecars (delete_keys) are applied
+        the same way: rows of targeted files whose key columns match a
+        deleted key are dropped (broadcast left join + file-scoped filter),
+        so rows appended AFTER the equality delete — not in its target set
+        — legitimately resurrect the key. `apply_posdel=False` reads raw
+        physical rows (the posdel WRITE path needs them) and skips both
+        delete kinds; `with_lineage=True` appends `_file`/`_pos` lineage
+        columns to the output."""
         cur = m.schema_version
         extra = list(extra_fields or [])
         need_lineage = with_lineage
         pd_df = None
+        eq_hits: list[dict] = []
         if apply_posdel:
             posdels = _posdel_entries(m.files)
             targeted = set().union(*(p["targets"] for p in posdels)) if posdels else set()
@@ -690,6 +702,15 @@ class LakeTable:
             if hit:
                 pd_df = self._posdel_df(posdels)
                 need_lineage = True
+            eqdels = _eqdel_entries(m.files)
+            if eqdels:
+                # eqdel targets INCLUDE delta files present at delete time:
+                # an old delta upsert of a deleted key must die with it,
+                # while a delta appended later legitimately resurrects it
+                req = {os.path.basename(f["path"]) for f in files}
+                eq_hits = [e for e in eqdels if req & set(e["targets"])]
+                if eq_hits:
+                    need_lineage = True
         if not files:
             schema = T.StructType(
                 m.schema().fields
@@ -747,6 +768,16 @@ class LakeTable:
         if pd_df is not None:
             out = out.join(F.broadcast(pd_df),
                            on=[_PDFILE_COL, _PDPOS_COL], how="left_anti")
+        for i, e in enumerate(eq_hits):
+            kdf = self._eqdel_df(m, e)
+            kcols = list(kdf.columns)
+            flag = f"__eqdel_hit_{i}"
+            out = out.join(F.broadcast(kdf.withColumn(flag, F.lit(True))),
+                           on=kcols, how="left")
+            out = out.filter(
+                ~(F.coalesce(F.col(flag), F.lit(False))
+                  & F.col(_PDFILE_COL).isin(e["targets"]))
+            ).drop(flag)
         if need_lineage and not with_lineage:
             out = out.drop(_PDFILE_COL, _PDPOS_COL)
         return out
@@ -759,13 +790,57 @@ class LakeTable:
         paths = [os.path.join(self.root, p["path"]) for p in posdels]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _eqdel_df(self, m: Manifest, e: dict) -> DataFrame:
+        """Deleted-key rows of one eqdel sidecar, projected to the CURRENT
+        schema: key columns are stored with their write-time names/types and
+        resolved forward by field id, so renames and widens after the delete
+        keep matching (the same id-based mapping data files use)."""
+        cur_by_id = {f["id"]: f for f in m.schema_version.fields}
+        phys = T.StructType([T.StructField(n, _type_of(t))
+                             for n, t in zip(e["keys"], e["ktypes"])])
+        df = self.spark.read.schema(phys).parquet(
+            os.path.join(self.root, e["path"]))
+        cols = []
+        for name, kid in zip(e["keys"], e["key_ids"]):
+            cf = cur_by_id.get(kid)
+            if cf is None:
+                raise SchemaEvolutionError(
+                    f"{self.name}: equality-delete file {e['path']} keys on "
+                    f"a dropped column (field id {kid})")
+            cols.append(F.col(name).cast(cf["type"]).alias(cf["name"]))
+        return df.select(*cols)
+
     def row_count(self, version: int | None = None) -> int:
-        """Physical live rows from manifest counts alone (no IO): data+delta
-        rows minus positionally-deleted rows — exact because the posdel
-        write path dedups (file,pos) pairs against outstanding posdels."""
-        fs = self.manifest(version).files
-        return (sum(f["rows"] for f in _live_data(fs))
-                - sum(f["rows"] for f in _posdel_entries(fs)))
+        """Physical live rows: data+delta rows minus positionally-deleted
+        rows — exact from manifest counts alone (no IO) because the posdel
+        write path dedups (file,pos) pairs against outstanding posdels.
+        With outstanding EQUALITY deletes the matched-row count is not
+        recorded in metadata (that is the point — the delete did no IO), so
+        only the targeted files are counted via IO; untargeted files still
+        come free from the manifest."""
+        m = self.manifest(version)
+        fs = m.files
+        eq = _eqdel_entries(fs)
+        live = _live_data(fs)
+        if not eq:
+            return (sum(f["rows"] for f in live)
+                    - sum(f["rows"] for f in _posdel_entries(fs)))
+        dirty: set[str] = set()
+        for e in eq:
+            dirty.update(e["targets"])
+        for p in _posdel_entries(fs):
+            dirty.update(p["targets"])
+        clean = [f for f in live if os.path.basename(f["path"]) not in dirty]
+        t_data = [f for f in live if os.path.basename(f["path"]) in dirty
+                  and f.get("kind") != "delta"]
+        t_delta = [f for f in live if os.path.basename(f["path"]) in dirty
+                   and f.get("kind") == "delta"]
+        n = sum(f["rows"] for f in clean)
+        if t_data:
+            n += self._df_for_files(m, t_data).count()
+        if t_delta:
+            n += self._df_for_files(m, t_delta, extra_fields=_DELTA_FIELDS).count()
+        return n
 
     # ---------- write primitives ----------
 
@@ -973,7 +1048,7 @@ class LakeTable:
         read_set = removed | updated
         pd_targets = set()
         for f in added:
-            if f.get("kind") == "posdel":
+            if f.get("kind") in ("posdel", "eqdel"):
                 pd_targets.update(f["targets"])
         cur_by = {f["path"]: f for f in cur.files}
         w_removed = {p for p in base_by if p not in cur_by}
@@ -989,19 +1064,20 @@ class LakeTable:
         if pd_targets & w_touched_base:
             raise CommitConflict(
                 f"{self.name}: concurrent commit rewrote files targeted by "
-                "this commit's positional deletes")
+                "this commit's positional/equality deletes")
         read_base = {os.path.basename(p) for p in read_set}
         touched_buckets = {
             (_file_nb(base, base_by[p]), base_by[p].get("bucket"))
-            for p in read_set if base_by[p].get("kind") != "posdel"}
+            for p in read_set
+            if base_by[p].get("kind") not in ("posdel", "eqdel")}
         our_legacy_delta = any(f.get("kind") == "delta" and f.get("dseq") is None
                                for f in added)
         for e in w_added:
-            if e.get("kind") == "posdel":
+            if e.get("kind") in ("posdel", "eqdel"):
                 if set(e["targets"]) & read_base:
                     raise CommitConflict(
-                        f"{self.name}: concurrent positional deletes target "
-                        "files this commit rewrote")
+                        f"{self.name}: concurrent positional/equality "
+                        "deletes target files this commit rewrote")
                 continue
             if e.get("kind") == "delta" and our_legacy_delta:
                 raise CommitConflict(
@@ -1167,6 +1243,7 @@ class LakeTable:
         props = dict(properties or {})
         props.setdefault("operation", "compact_deltas")
         keep += self._prune_posdels(base.files, keep)
+        keep += self._prune_eqdels(base.files, keep)
         return self._commit(base, keep + new, props)
 
     def delete_where(self, pred: dict, properties: dict | None = None,
@@ -1205,6 +1282,7 @@ class LakeTable:
         props.setdefault("operation", "delete_where")
         props.update(stats)
         keep += self._prune_posdels(base.files, keep)
+        keep += self._prune_eqdels(base.files, keep)
         return self._commit(base, keep + new, props)
 
     def overwrite_where(self, pred: dict, df: DataFrame,
@@ -1234,6 +1312,7 @@ class LakeTable:
         props.setdefault("operation", "overwrite_where")
         props.update(stats)
         keep += self._prune_posdels(base.files, keep)
+        keep += self._prune_eqdels(base.files, keep)
         return self._commit(base, keep + new, props)
 
     def _delete_plan(self, base: Manifest, pred: dict, mode: str
@@ -1319,12 +1398,28 @@ class LakeTable:
         entries with none left dropped (their rows were resolved into the
         rewrite or died with the dropped file)."""
         kept = {os.path.basename(f["path"]) for f in kept_data
-                if f.get("kind") != "posdel"}
+                if f.get("kind") not in ("posdel", "eqdel")}
         out = []
         for p in _posdel_entries(all_files):
             t = [b for b in p["targets"] if b in kept]
             if t:
                 out.append({**p, "targets": t})
+        return out
+
+    @staticmethod
+    def _prune_eqdels(all_files: list[dict], kept_data: list[dict]) -> list[dict]:
+        """Eqdel entries still needed after a commit keeping exactly
+        `kept_data`: a rewrite of a targeted file went through the resolved
+        read (the eqdel applied), so the surviving entry narrows to the
+        still-live targets and drops entirely once none remain — compaction
+        is how equality deletes get folded away."""
+        kept = {os.path.basename(f["path"]) for f in kept_data
+                if f.get("kind") not in ("posdel", "eqdel")}
+        out = []
+        for e in _eqdel_entries(all_files):
+            t = [b for b in e["targets"] if b in kept]
+            if t:
+                out.append({**e, "targets": t})
         return out
 
     def _write_posdel_files(self, pd_df: DataFrame, targets: list[str]) -> list[dict]:
@@ -1356,6 +1451,106 @@ class LakeTable:
 
     def posdel_file_count(self) -> int:
         return len(_posdel_entries(self.manifest().files))
+
+    def eqdel_file_count(self) -> int:
+        return len(_eqdel_entries(self.manifest().files))
+
+    def delete_keys(self, keys_df: DataFrame,
+                    properties: dict | None = None) -> Manifest:
+        """Equality DELETE by key value (Iceberg v2 equality-delete analog;
+        the reference's only deletes are truncate-everything, README.md:58-61,
+        and it has no key-delete at all). Writes ONE small sidecar parquet of
+        the distinct deleted key tuples — ZERO data-file IO at delete time,
+        regardless of table size: the 100 TB right-to-be-forgotten / purge
+        primitive, where even a posdel delete must first SCAN to locate row
+        positions but an eqdel is O(keys) outright.
+
+        Semantics: the sidecar targets every data AND delta file live at
+        commit time (an old delta upsert of the key dies with it); rows
+        appended after the delete are outside the target set and so
+        legitimately resurrect the key — exactly Iceberg's sequence-number
+        rule, expressed over this format's explicit target lists. When the
+        key is the table's bucket key, targets are pruned to the keys'
+        buckets under every live bucket spec, so the read-side anti-join
+        never touches unrelated buckets. Readers apply the delete centrally
+        in _df_for_files (broadcast join, file-scoped), and compact() /
+        rewrites fold it away via _prune_eqdels. Key columns are recorded by
+        field id, so later renames/widens keep matching; dropping a key
+        column with the delete outstanding is refused.
+
+        NULL key values never match (SQL equality) and are dropped from the
+        sidecar. Returns the committed manifest, or the current one when the
+        table has no live files or the key set is empty (no-op)."""
+        base = self.manifest()
+        cur = base.schema_version
+        by_name = {f["name"]: f for f in cur.fields}
+        kcols = list(keys_df.columns)
+        unknown = [c for c in kcols if c not in by_name]
+        if not kcols or unknown:
+            raise ValueError(
+                f"{self.name}: delete_keys columns {unknown or kcols} not in "
+                "the current schema")
+        keys_df = (keys_df
+                   .select(*[F.col(c).cast(by_name[c]["type"]).alias(c)
+                             for c in kcols])
+                   .dropna().dropDuplicates())
+        live = _live_data(base.files)
+        if base.bucket_key and kcols == [base.bucket_key]:
+            nbs = {_file_nb(base, f) for f in live
+                   if f.get("bucket") is not None}
+            bmap = {
+                nb: {r["b"] for r in keys_df.select(
+                    bucket_expr(base.bucket_key, nb).alias("b"))
+                    .distinct().collect()}
+                for nb in sorted(nbs)
+            }
+            targets = sorted(
+                os.path.basename(f["path"]) for f in live
+                if f.get("bucket") is None
+                or f["bucket"] in bmap.get(_file_nb(base, f), set()))
+        else:
+            targets = sorted(os.path.basename(f["path"]) for f in live)
+        if not targets:
+            return base
+        entry = self._write_eqdel_file(
+            keys_df, kcols,
+            [by_name[c]["id"] for c in kcols],
+            [by_name[c]["type"] for c in kcols],
+            targets, base)
+        if entry is None:  # empty key set after dropna/dedup
+            return base
+        props = dict(properties or {})
+        props.setdefault("operation", "delete_keys")
+        props["eqdel_keys"] = entry["rows"]
+        props["eqdel_targets"] = len(targets)
+        return self._commit(base, base.files + [entry], props)
+
+    def _write_eqdel_file(self, kdf: DataFrame, kcols: list[str],
+                          kids: list[int], ktypes: list[str],
+                          targets: list[str], m: Manifest) -> dict | None:
+        """Write the distinct deleted-key rows as one equality-delete parquet
+        sidecar under data/ (expire/orphan GC manages it like a data file)."""
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(self.root, f"data/.tmp-{uuid.uuid4().hex}")
+        kdf.coalesce(1).write.parquet(tmp, mode="overwrite")
+        entry = None
+        for dirpath, _dirs, fnames in os.walk(tmp):
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fn)
+                rows = pq.ParquetFile(src).metadata.num_rows
+                if rows == 0:
+                    continue
+                rel = f"data/{uuid.uuid4().hex}.parquet"
+                os.replace(src, os.path.join(self.root, rel))
+                entry = {"path": rel, "rows": rows, "kind": "eqdel",
+                         "keys": kcols, "key_ids": kids, "ktypes": ktypes,
+                         "targets": targets, "bucket": None,
+                         "sv": m.current_sv}
+        shutil.rmtree(tmp, ignore_errors=True)
+        return entry
 
     def update_where(self, pred: dict, set_exprs: dict[str, str],
                      properties: dict | None = None,
@@ -1473,6 +1668,7 @@ class LakeTable:
         else:
             props["update_rewritten_files"] = len(rewrite) + len(dirty) + len(deltas)
         keep += self._prune_posdels(base.files, keep)
+        keep += self._prune_eqdels(base.files, keep)
         m = self._commit(base, keep + new, props)
         if matched is not None:
             matched.unpersist()
@@ -1562,12 +1758,15 @@ class LakeTable:
         interval (which fold rows into base files) use added_rows()."""
         old = {f["path"] for f in self.manifest(since_version).files}
         m = self.manifest(version)
-        if any(f.get("kind") == "posdel" and f["path"] not in old for f in m.files):
-            # positional deletes in the interval are row removals the delta
-            # replay cannot see — refuse rather than emit an incomplete feed
+        if any(f.get("kind") in ("posdel", "eqdel") and f["path"] not in old
+               for f in m.files):
+            # positional/equality deletes in the interval are row removals
+            # the delta replay cannot see — refuse rather than emit an
+            # incomplete feed
             raise ValueError(
-                f"{self.name}: interval contains positional-delete files; "
-                "use diff(since_version) for the row-level change feed")
+                f"{self.name}: interval contains positional-delete or "
+                "equality-delete files; use diff(since_version) for the "
+                "row-level change feed")
         new_deltas = [f for f in m.files
                       if f.get("kind") == "delta" and f["path"] not in old]
         return self._df_for_files(m, new_deltas, extra_fields=_DELTA_FIELDS)
@@ -1651,6 +1850,7 @@ class LakeTable:
         _sel, keep = _split_files(base, _live_data(base.files), remove_buckets)
         new = self._write_data_files(add_df, base)
         keep += self._prune_posdels(base.files, keep)
+        keep += self._prune_eqdels(base.files, keep)
         return self._commit(base, keep + new, properties)
 
     # ---------- schema evolution (metadata-only; SURVEY §2 M2) ----------
@@ -1696,6 +1896,11 @@ class LakeTable:
             raise SchemaEvolutionError(f"cannot drop merge key {name!r}")
         if len(cur.fields) == 1:
             raise SchemaEvolutionError("cannot drop the last column")
+        fid = next(f["id"] for f in cur.fields if f["name"] == name)
+        if any(fid in e.get("key_ids", ()) for e in _eqdel_entries(base.files)):
+            raise SchemaEvolutionError(
+                f"cannot drop {name!r}: outstanding equality-delete files "
+                "key on it; compact() to fold them first")
         fields = [dict(f) for f in cur.fields if f["name"] != name]
         return self._evolved(base, fields, 0, properties)
 
@@ -1708,8 +1913,13 @@ class LakeTable:
             raise SchemaEvolutionError(f"column {new!r} already exists")
         fields = [{**f, "name": new} if f["name"] == old else dict(f) for f in cur.fields]
         # renaming the bucket-key column must carry the key along, or every
-        # later write fails routing rows by the retired name
-        return self._evolved(base, fields, 0, properties,
+        # later write fails routing rows by the retired name; same for the
+        # merge_keys property, or MOR resolution dies on the retired name
+        props = dict(properties or {})
+        mk = [k for k in (base.properties.get("merge_keys") or "").split(",") if k]
+        if old in mk:
+            props["merge_keys"] = ",".join(new if k == old else k for k in mk)
+        return self._evolved(base, fields, 0, props,
                              bucket_key=new if old == base.bucket_key else None)
 
     def rebucket(self, n_buckets: int, properties: dict | None = None) -> Manifest:
@@ -1730,7 +1940,8 @@ class LakeTable:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         if n_buckets == base.n_buckets:
             return base
-        files = [{**f, "nb": _file_nb(base, f)} if f.get("kind") != "posdel"
+        files = [{**f, "nb": _file_nb(base, f)}
+                 if f.get("kind") not in ("posdel", "eqdel")
                  else f for f in base.files]
         props = dict(properties or {})
         props.setdefault("operation", "rebucket")
@@ -2011,6 +2222,7 @@ class LakeTable:
         new = self._write_data_files(df, base, sort_by=sort_by,
                                      rows_per_file=rows_per_file)
         keep += self._prune_posdels(base.files, keep)
+        keep += self._prune_eqdels(base.files, keep)
         return self._commit(base, keep + new, props)
 
     def clean_staging(self) -> list[str]:
