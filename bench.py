@@ -244,6 +244,41 @@ def bench_retention(spark, n_rows: int = 4_000_000, slices: int = 16,
             }
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+    # equality-delete purge probe: delete 1,000 keys from the same-shape
+    # table with delete_keys — ZERO data-file IO at delete time (one sidecar
+    # of key values). The right-to-be-forgotten primitive: at 100 TB even a
+    # posdel delete scans to locate row positions; an eqdel is O(keys).
+    work = tempfile.mkdtemp(prefix="bench_ret_eqdel_")
+    try:
+        from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+        cat = LakeCatalog(spark, work)
+        step = n_rows // slices
+        t = None
+        for i in range(slices):
+            sl = synth_binlog(spark, step, n_rows // 4, n_rows,
+                              start=i * step, delete_frac=0.0,
+                              partitions=16) \
+                .select("seq_lsn", "doc_id", "n_tok", "source")
+            if t is None:
+                t = cat.create_table("reteq", sl.schema, n_buckets=n_buckets,
+                                     bucket_key="doc_id")
+            t.append(sl)
+        keys = t.read().select("doc_id").distinct().limit(1000)
+        files_before = {f["path"] for f in t.manifest().files}
+        t0 = time.perf_counter()
+        m = t.delete_keys(keys)
+        dt = time.perf_counter() - t0
+        untouched = {f["path"] for f in m.files
+                     if f.get("kind") != "eqdel"} == files_before
+        out["eqdel"] = {
+            "keys": m.properties.get("eqdel_keys", 0),
+            "data_files_touched": 0 if untouched else -1,
+            "delete_s": round(dt, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 

@@ -152,6 +152,26 @@ def merge_apply(
     s_cols = payload + ([OP_COL] if has_op else [])
     staged = staged.select(*s_cols).persist()
 
+    # -- 0. delete-only fast path: a batch whose every winner is a 'D'
+    # (purge streams, retention feeds) needs NO target scan at all — commit
+    # one equality-delete sidecar keyed on the merge keys instead of
+    # joining + rewriting buckets. At 100 TB this turns a delete batch from
+    # O(touched buckets) IO into O(keys). Fence-safe: the sidecar commit
+    # carries the batch properties (batch_id rides the snapshot); if
+    # delete_keys declines to commit (empty table — nothing to delete), we
+    # fall through to the regular plan, which always commits, so crash
+    # reconciliation still finds the batch stamp. merge_rules disable the
+    # path (a rule could rewrite a 'D' into a keep) --
+    if (has_op and support_deletes and not merge_rules
+            and staged.filter(  # NULL op = insert, NOT a delete
+                ~F.coalesce(F.col(OP_COL) == "D", F.lit(False))).isEmpty()):
+        props = dict(properties or {})
+        props.setdefault("operation", "merge-eqdel")
+        out = table.delete_keys(staged.select(*keys), properties=props)
+        if out.version != m.version:
+            staged.unpersist()
+            return out
+
     # -- 1. bucket pruning (only valid when the bucket key is a merge key,
     # i.e. equal keys necessarily share a bucket). After a rebucket() the
     # snapshot can hold files under several bucket specs; the staged keys'

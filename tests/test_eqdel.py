@@ -199,6 +199,48 @@ def test_composite_key_delete(cat, spark):
     assert (3, "other") in got and (3, "v3") not in got
 
 
+def test_merge_delete_only_batch_fast_path(cat, spark):
+    """A deduped CDC batch that is ALL deletes commits an eqdel sidecar —
+    zero target-bucket IO — instead of joining + rewriting (merge_apply's
+    delete-only fast path). Final state must equal the regular plan's."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+
+    t = _table(cat, spark)
+    before = {f["path"] for f in t.manifest().files}
+    staged = spark.createDataFrame(
+        [(2, None, "D"), (5, None, "D")], "user_id long, v string, op string")
+    m = merge_apply(t, staged, keys=["user_id"],
+                    properties={"batch_id": 7})
+    assert m.properties["operation"] == "merge-eqdel"
+    assert m.properties["batch_id"] == 7  # fence stamp rides the snapshot
+    assert {f["path"] for f in m.files if f.get("kind") != "eqdel"} == before
+    assert _ids(t) == [i for i in range(20) if i not in (2, 5)]
+    # mixed batch must NOT take the fast path
+    staged2 = spark.createDataFrame(
+        [(1, None, "D"), (50, "new", "U")],
+        "user_id long, v string, op string")
+    m2 = merge_apply(t, staged2, keys=["user_id"])
+    assert m2.properties["operation"] == "merge"
+    ids = _ids(t)
+    assert 1 not in ids and 50 in ids
+
+
+def test_merge_delete_only_on_empty_table_still_commits(cat, spark):
+    """Fall-through: nothing to delete -> the regular plan commits anyway,
+    so the fence's batch_id stamp always lands on a snapshot."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+
+    t = cat.create_table("e", SCHEMA, n_buckets=2, bucket_key="user_id",
+                         properties={"merge_keys": "user_id"})
+    v0 = t.manifest().version
+    staged = spark.createDataFrame([(1, None, "D")],
+                                   "user_id long, v string, op string")
+    m = merge_apply(t, staged, keys=["user_id"], properties={"batch_id": 1})
+    assert m.version > v0
+    assert m.properties["batch_id"] == 1
+    assert t.read().count() == 0
+
+
 def test_null_keys_never_match(cat, spark):
     t = cat.create_table("n", SCHEMA, n_buckets=2, bucket_key="user_id")
     t.append(spark.createDataFrame([(1, "a"), (2, None)], SCHEMA))
