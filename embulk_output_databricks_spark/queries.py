@@ -916,6 +916,43 @@ def q_cdc_schema_evolution(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_default_values(spark, sf_dir):
+    """Iceberg v3 initial-default analog: columns added with `default=` are
+    a metadata-only backfill — pre-add files read the literal (never NULL,
+    zero rewrite), post-add files carry physical values, and file skipping
+    treats pre-add files as constant-valued [d, d]: the stats_filter leg
+    below keeps them because the DEFAULT (0) is in range, with no recorded
+    bounds for the column in those files at all."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "default_values")
+    tbl.append(_lww(t_half))
+    tbl.add_column("tier", "string", default="std")
+    tbl.add_column("score", "bigint", default=0)
+    staged = (
+        _lww(s_half)
+        .withColumn("tier", F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")))
+        .withColumn("score", (F.col("user_id") * 10).cast("bigint"))
+    )
+    tbl.append(staged.select(*_STATE_COLS, "tier", "score"))
+    return (
+        tbl.read(stats_filter={"score": (None, 100)})
+        .select("user_id", "ts_us", "event_type", "value", "tier", "score")
+    )
+
+
+_SQL_DEFAULT_VALUES = f"""
+SELECT user_id, ts_us, event_type, value,
+       'std' AS tier, CAST(0 AS BIGINT) AS score
+FROM {_sql_lww("event_id % 2 = 0")}
+UNION ALL
+SELECT user_id, ts_us, event_type, value,
+       't' || CAST(user_id % 3 AS VARCHAR) AS tier,
+       CAST(user_id * 10 AS BIGINT) AS score
+FROM {_sql_lww("event_id % 2 = 1")}
+WHERE user_id * 10 <= 100
+"""
+
+
 _SQL_EVOLUTION = """
 SELECT user_id, seq_lsn, value AS val, vk,
        CASE WHEN b = 1 THEN 'b1' END AS src
@@ -3339,6 +3376,7 @@ SPARK_QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_read": q_cdc_incremental_read,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_default_values": q_cdc_default_values,
     "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_kafka_roundtrip": q_cdc_kafka_roundtrip,
     "cdc_multi_table": q_cdc_multi_table,
@@ -3580,6 +3618,7 @@ def _oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_id % 2 = 1"
         ),
         "cdc_schema_evolution": _SQL_EVOLUTION,
+        "cdc_default_values": _SQL_DEFAULT_VALUES,
         "cdc_lineage_stats": """
             SELECT CAST((day(ts) - 1) // 8 AS BIGINT) AS batch_id,
                    count(*) AS events_in,

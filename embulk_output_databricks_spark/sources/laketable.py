@@ -249,9 +249,13 @@ def _stats_keep(m: "Manifest", files: list[dict], stats_filter: dict) -> list[di
             if cf is None:
                 raise ValueError(f"stats_filter on unknown column {col!r}")
             pf = phys_by_id.get(cf["id"])
-            if pf is None:  # column added after this file: all rows null
-                keep = False
-                break
+            if pf is None:  # column added after this file: every row reads
+                # the initial-default (all-NULL when none — misses any range)
+                d = cf.get("default")
+                if d is None or not _const_in_range(d, lo, hi):
+                    keep = False
+                    break
+                continue
             s = f.get("stats", {}).get(pf["name"])
             if s is None:
                 continue
@@ -262,6 +266,18 @@ def _stats_keep(m: "Manifest", files: list[dict], stats_filter: dict) -> list[di
         if keep:
             out.append(f)
     return out
+
+
+def _const_in_range(d, lo, hi) -> bool:
+    """Whether a constant column value `d` can satisfy a [lo, hi] bound.
+    Non-comparable defaults (arrays, cross-type) answer True — conservative
+    keep, never a wrong skip."""
+    try:
+        if (lo is not None and d < lo) or (hi is not None and d > hi):
+            return False
+    except TypeError:
+        return True
+    return True
 
 
 def _pred_classify(m: "Manifest", f: dict, pred: dict) -> str:
@@ -280,8 +296,20 @@ def _pred_classify(m: "Manifest", f: dict, pred: dict) -> str:
         if cf is None:
             raise ValueError(f"delete predicate on unknown column {col!r}")
         pf = phys_by_id.get(cf["id"])
-        if pf is None:  # column added after this file: all rows null
-            return "none"
+        if pf is None:  # column added after this file: constant-valued at
+            # the initial-default; all-NULL (no default) misses any range
+            d = cf.get("default")
+            if d is None:
+                return "none"
+            try:  # point value [d, d]: provably outside -> none; provably
+                # inside + non-null -> conjunct holds for every row
+                if (lo is not None and d < lo) or (hi is not None and d > hi):
+                    return "none"
+                if not ((lo is None or d >= lo) and (hi is None or d <= hi)):
+                    all_match = False
+            except TypeError:  # non-comparable default: must read
+                all_match = False
+            continue
         s = f.get("stats", {}).get(pf["name"])
         if s is None:
             all_match = False
@@ -314,9 +342,12 @@ def _bloom_keep(m: "Manifest", files: list[dict], eq_filter: dict) -> list[dict]
             if cf is None:
                 raise ValueError(f"eq_filter on unknown column {col!r}")
             pf = phys_by_id.get(cf["id"])
-            if pf is None:  # column added after this file: all rows null
-                keep = False
-                break
+            if pf is None:  # column added after this file: every row reads
+                # the initial-default (all-NULL when none, never equal)
+                if cf.get("default") != val:
+                    keep = False
+                    break
+                continue
             blob = f.get("bloom", {}).get(pf["name"])
             if blob is None:
                 continue
@@ -746,8 +777,9 @@ class LakeTable:
             cols = []
             for cf in cur.fields:
                 pf = phys_by_id.get(cf["id"])
-                if pf is None:  # column added after these files were written
-                    cols.append(F.lit(None).cast(cf["type"]).alias(cf["name"]))
+                if pf is None:  # column added after these files were written:
+                    # initial-default (or NULL) — metadata-only backfill
+                    cols.append(F.lit(cf.get("default")).cast(cf["type"]).alias(cf["name"]))
                 else:  # rename/widen resolved by id
                     cols.append(F.col(pf["name"]).cast(cf["type"]).alias(cf["name"]))
             for n, _t in extra:
@@ -1868,15 +1900,29 @@ class LakeTable:
             bucket_key=bucket_key,
         )
 
-    def add_column(self, name: str, type_str: str, properties: dict | None = None) -> Manifest:
+    def add_column(self, name: str, type_str: str, default=None,
+                   properties: dict | None = None) -> Manifest:
+        """Metadata-only column add. `default` is the Iceberg v3
+        initial-default analog: rows written BEFORE the column existed read
+        this literal instead of NULL — zero rewrite, so a new column lands
+        on a 100 TB table with no backfill job. Files written after carry
+        the physical value; skip machinery (_stats_keep/_pred_classify/
+        _bloom_keep) treats pre-add files as constant-valued [d, d]."""
         base = self.manifest()
         cur = base.schema_version
         if any(f["name"] == name for f in cur.fields):
             raise SchemaEvolutionError(f"column {name!r} already exists")
-        _type_of(type_str)  # validate
-        fields = [dict(f) for f in cur.fields] + [
-            {"id": base.next_field_id, "name": name, "type": type_str, "nullable": True}
-        ]
+        dt = _type_of(type_str)  # validate
+        nf = {"id": base.next_field_id, "name": name, "type": type_str, "nullable": True}
+        if default is not None:
+            try:  # driver-side verification, no job: literal must fit the type
+                self.spark.createDataFrame(
+                    [(default,)], T.StructType([T.StructField("d", dt)]))
+            except Exception as e:
+                raise SchemaEvolutionError(
+                    f"default {default!r} does not fit {type_str}: {e}") from e
+            nf["default"] = default
+        fields = [dict(f) for f in cur.fields] + [nf]
         return self._evolved(base, fields, 1, properties)
 
     def drop_column(self, name: str, properties: dict | None = None) -> Manifest:

@@ -48,7 +48,8 @@ class EvolutionOp:
 
     def apply(self, table: LakeTable) -> None:
         if self.kind == "add":
-            table.add_column(self.kw["name"], self.kw["type"])
+            table.add_column(self.kw["name"], self.kw["type"],
+                             default=self.kw.get("default"))
         elif self.kind == "rename":
             table.rename_column(self.kw["old"], self.kw["new"])
         elif self.kind == "drop":
