@@ -3337,6 +3337,281 @@ GROUP BY c_mktsegment
 """
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + filter + global agg — the pushdown
+    showcase. All three predicates (ship year, discount band, quantity cap)
+    reach the parquet reader as PushedFilters, so row groups outside the
+    year never decompress; the discount band is compared on integerized
+    hundredths (round(d*100)) so the boundary is engine-independent."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("int")
+    f = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 24))
+    f = f.filter(disc_pct.between(5, 7))
+    return f.agg(
+        F.sum(_CENTS_S(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+_SQL_FORECAST = f"""
+SELECT CAST(sum({_cents_sql("l_extendedprice * l_discount")}) AS BIGINT)
+         AS revenue_c,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_quantity < 24
+  AND CAST(round(l_discount * 100) AS INT) BETWEEN 5 AND 7
+"""
+
+
+MINCOST_SIZE = 15
+MINCOST_REGION = "EUROPE"
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part MIN-cost supplier within one region. The
+    correlated `cost = (SELECT min(cost) …)` subquery decorrelates into a
+    per-part pre-aggregate equi-joined back to the eligible supply rows —
+    two hash aggs + one join instead of a per-row re-execution. The supply
+    relation is derived from lineitem (this corpus has no partsupp):
+    cost(part, supplier) = MIN line price in cents, exact integers so the
+    min-equality boundary is bit-identical across engines. Region filter
+    runs on the supplier dimension BEFORE the supply agg joins it, so
+    out-of-region suppliers never reach the min."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_size") == MINCOST_SIZE).select("p_partkey"))
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = (spark.read.parquet(f"{sf_dir}/region.parquet")
+         .filter(F.col("r_name") == MINCOST_REGION))
+    region_supp = (su.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+                   .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("s_suppkey", "s_name", "n_name"))
+    supply = (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(_CENTS_S(F.col("l_extendedprice"))).alias("cost_c")))
+    eligible = supply.join(F.broadcast(region_supp),
+                           F.col("l_suppkey") == F.col("s_suppkey"))
+    mincost = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("cost_c").alias("min_cost_c"))
+    return (eligible.join(F.broadcast(mincost),
+                          (F.col("l_partkey") == F.col("m_partkey"))
+                          & (F.col("cost_c") == F.col("min_cost_c")))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("l_suppkey").alias("s_suppkey"),
+                    "s_name", "n_name", "cost_c"))
+
+
+_SQL_MINCOST = f"""
+WITH region_supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MINCOST_REGION}'
+), supply AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min({_cents_sql("l_extendedprice")}) AS BIGINT) AS cost_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = {MINCOST_SIZE}
+  GROUP BY 1, 2
+), eligible AS (
+  SELECT l_partkey, l_suppkey, s_name, n_name, cost_c
+  FROM supply JOIN region_supp ON l_suppkey = s_suppkey
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name, n_name, cost_c
+FROM eligible e
+WHERE cost_c = (SELECT min(cost_c) FROM eligible m
+                WHERE m.l_partkey = e.l_partkey)
+"""
+
+
+SHARE_NATION = "NATION_3"
+SHARE_REGION = "AMERICA"
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part market
+    per order year — the dimension `nation` appears under TWO roles
+    (customer's region membership vs supplier's identity). Both legs
+    broadcast; the share's numerator is a conditional sum inside the same
+    hash agg as the denominator (no second pass); cents-integer sums make
+    the division inputs exact, so the double ratio is reproducible."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = (spark.read.parquet(f"{sf_dir}/region.parquet")
+         .filter(F.col("r_name") == SHARE_REGION))
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    region_cust = (c.join(F.broadcast(
+                       n.select("n_nationkey", "n_regionkey")),
+                       F.col("c_nationkey") == F.col("n_nationkey"))
+                   .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("c_custkey"))
+    supp_nation = su.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key")).select("s_suppkey", "supp_nation")
+    o2 = (o.filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                   & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+          .join(region_cust, F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderkey", F.year("o_orderdate").alias("o_year")))
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey")))
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == SHARE_NATION, rev).otherwise(F.lit(0))
+              ).alias("nation_rev_c"),
+        F.sum(rev).alias("total_rev_c"))
+    return agg.select(
+        "o_year", "nation_rev_c", "total_rev_c",
+        (F.col("nation_rev_c").cast("double")
+         / F.col("total_rev_c").cast("double")).alias("mkt_share"))
+
+
+_SQL_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = '{SHARE_NATION}'
+                THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
+                ELSE 0 END) AS BIGINT) AS nation_rev_c,
+       CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         AS total_rev_c,
+       CAST(sum(CASE WHEN n2.n_name = '{SHARE_NATION}'
+                THEN {_cents_sql("l_extendedprice * (1 - l_discount)")}
+                ELSE 0 END) AS BIGINT)::DOUBLE
+         / CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)::DOUBLE
+         AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{SHARE_REGION}' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_late_line_priority(spark, sf_dir):
+    """TPC-H Q12 shape: priority mix of LATE shipments per line status
+    (this corpus has no l_shipmode/l_commitdate; l_linestatus stands in
+    for the mode and "late" = shipped >= 90 days after the order date —
+    an exact timestamp-interval compare both engines evaluate
+    identically). Both conditional counts land in ONE hash agg over the
+    orders⋈lineitem join; orders broadcasts only its two needed columns."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    j = l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+    late = j.filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+
+
+_SQL_LATE_PRIORITY = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    GLOBAL max — the view + scalar-subquery pattern. The revenue relation
+    is built once and reused for both the max (one broadcast row via a
+    cross join) and the equality filter; ties all surface, exactly like
+    the spec query. Integer cents make `= max` a bit-exact predicate."""
+    l = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))))
+    rev = _CENTS_S(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = l.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev_c"))
+    mx = per_supp.agg(F.max("total_rev_c").alias("max_rev_c"))
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_name")
+    return (per_supp.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev_c") == F.col("max_rev_c"))
+            .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_rev_c"))
+
+
+_SQL_TOP_REV_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum({_cents_sql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+           AS total_rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_rev_c
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev_c = (SELECT max(total_rev_c) FROM rev)
+"""
+
+
+def q_promo_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join chain — suppliers whose recent
+    (1996+) shipped quantity of PROMO parts exceeds HALF their all-time
+    PROMO quantity (stands in for `availqty > 0.5 * shipped`; this corpus
+    has no partsupp). Inner part filter → per-supplier conditional sums in
+    one agg (recent vs all-time from the same rows, no second scan) →
+    integer threshold (2*recent > total, exact) → left-SEMI into the
+    supplier dimension so each qualifying supplier emits once."""
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lp = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    recent = F.col("l_shipdate") >= F.lit("1996-07-01").cast("timestamp")
+    per_supp = lp.groupBy("l_suppkey").agg(
+        F.sum(F.when(recent, F.col("l_quantity").cast("long")).otherwise(0)
+              ).alias("recent_qty"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+    hot = per_supp.filter(F.lit(2) * F.col("recent_qty") > F.col("total_qty"))
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (su.join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+
+
+_SQL_PROMO_STOCK = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS recent_qty,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_supp
+                    WHERE 2 * recent_qty > total_qty)
+"""
+
+
 # ================================================================ registry
 
 SPARK_QUERIES = {
@@ -3446,6 +3721,12 @@ SPARK_QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "lonely_supplier_returns": q_lonely_supplier_returns,
     "idle_rich_customers": q_idle_rich_customers,
+    "forecast_revenue": q_forecast_revenue,
+    "min_cost_supplier": q_min_cost_supplier,
+    "market_share": q_market_share,
+    "late_line_priority": q_late_line_priority,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "promo_stock_suppliers": q_promo_stock_suppliers,
     "media_frames": q_media_frames,
     "cdc_changelog": q_cdc_changelog,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
@@ -3757,6 +4038,12 @@ def _oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": _SQL_DISJUNCTIVE,
         "lonely_supplier_returns": _SQL_LONELY_SUPPLIER,
         "idle_rich_customers": _SQL_IDLE_RICH,
+        "forecast_revenue": _SQL_FORECAST,
+        "min_cost_supplier": _SQL_MINCOST,
+        "market_share": _SQL_MARKET_SHARE,
+        "late_line_priority": _SQL_LATE_PRIORITY,
+        "top_revenue_supplier": _SQL_TOP_REV_SUPPLIER,
+        "promo_stock_suppliers": _SQL_PROMO_STOCK,
         "media_frames": _sql_media_frames(),
         "cdc_changelog": _SQL_CHANGELOG,
         "cdc_agg_maintenance": _SQL_AGG_MAINT,
