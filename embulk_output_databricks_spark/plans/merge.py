@@ -29,7 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..sources.laketable import LakeTable, Manifest, _file_nb, bucket_expr
+from ..sources.laketable import (LAST_SEQ, ROW_ID, LakeTable, Manifest,
+                                 _file_nb, bucket_expr)
 
 OP_COL = "op"
 _T_HIT = "__t_present"
@@ -61,6 +62,19 @@ def broadcast_upsert_plan(
     rules = rules or {}
     is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) \
         else F.lit(False)
+    # row lineage: carried whenever the target slice was read with row ids.
+    # Matched rows take the staged row's id when the staged side HAS one
+    # (MOR delta fold: the winner row keeps ITS id, same as the LWW path),
+    # else the target row's (CDC upsert: the row's identity continues);
+    # inserts take the staged id or mint a fresh one at read (NULL).
+    carry = ROW_ID in target.columns
+    s_has = ROW_ID in staged.columns
+    # _last_seq rides the same carry flag: a matched row takes the staged
+    # side's value when it has one (MOR fold: the winner keeps ITS commit
+    # seq), else NULL — the update is a modification, so it inherits the
+    # rewrite commit's sequence at read (v3 rule); kept rows carry T's.
+    ls_carry = carry and LAST_SEQ in target.columns
+    s_has_ls = LAST_SEQ in staged.columns
     # pass 1 (full target scan, map-only): keep / update / delete per row
     j = target.join(F.broadcast(staged.withColumn(_S_HIT, F.lit(True))),
                     cond, "left_outer")
@@ -69,6 +83,16 @@ def broadcast_upsert_plan(
     for c in payload:
         upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
         upd_cols.append(F.when(matched, upd).otherwise(F.col(f"T.{c}")).alias(c))
+    if carry:
+        rid = (F.coalesce(F.col(f"S.{ROW_ID}"), F.col(f"T.{ROW_ID}"))
+               if s_has else F.col(f"T.{ROW_ID}"))
+        upd_cols.append(F.when(matched, rid)
+                        .otherwise(F.col(f"T.{ROW_ID}")).alias(ROW_ID))
+    if ls_carry:
+        lsv = (F.coalesce(F.col(f"S.{LAST_SEQ}"), F.col(f"T.{LAST_SEQ}"))
+               if s_has_ls else F.lit(None).cast("bigint"))
+        upd_cols.append(F.when(matched, lsv)
+                        .otherwise(F.col(f"T.{LAST_SEQ}")).alias(LAST_SEQ))
     updated = j.filter(~F.coalesce(matched & is_del, F.lit(False))).select(*upd_cols)
     # pass 2 (key-pruned target scan, map-only): which staged keys matched
     tk = target_keys.alias("TK")
@@ -86,8 +110,14 @@ def broadcast_upsert_plan(
         [F.col(f"S.{k}").eqNullSafe(F.col(f"MK.{k}")) for k in keys],
         "left_anti",
     ).filter(~F.coalesce(is_del, F.lit(False)))
-    return updated.unionByName(
-        ins.select(*[F.col(f"S.{c}").alias(c) for c in payload]))
+    ins_cols = [F.col(f"S.{c}").alias(c) for c in payload]
+    if carry:
+        ins_cols.append((F.col(f"S.{ROW_ID}") if s_has
+                         else F.lit(None).cast("bigint")).alias(ROW_ID))
+    if ls_carry:
+        ins_cols.append((F.col(f"S.{LAST_SEQ}") if s_has_ls
+                         else F.lit(None).cast("bigint")).alias(LAST_SEQ))
+    return updated.unionByName(ins.select(*ins_cols))
 
 
 def merge_apply_mor(
@@ -186,7 +216,9 @@ def merge_apply(
         affected = {nb: set(row[f"b{nb}"]) for nb in nbs}
     else:
         affected = None  # unprunable: read / swap the whole table
-    target = table.read(buckets=affected).alias("T")
+    # target slice read WITH row ids: updated rows keep their identity
+    # through the rewrite, inserts mint fresh ids at next read (v3 rule)
+    target = table.read(buckets=affected, with_row_ids=True).alias("T")
     staged = staged.alias("S")
     rules = merge_rules or {}
 
@@ -221,6 +253,13 @@ def merge_apply(
                 .otherwise(F.col(f"T.{c}"))
                 .alias(c)
             )
+        # inserts: NULL id (minted at read); kept/updated rows carry T's
+        out_cols.append(F.when(s_only, F.lit(None).cast("bigint"))
+                        .otherwise(F.col(f"T.{ROW_ID}")).alias(ROW_ID))
+        # _last_seq: updated AND inserted rows inherit this commit's
+        # sequence (NULL); only untouched target rows keep their old one
+        out_cols.append(F.when(matched | s_only, F.lit(None).cast("bigint"))
+                        .otherwise(F.col(f"T.{LAST_SEQ}")).alias(LAST_SEQ))
         # delete drops matched rows; an unmatched 'D' contributes nothing either
         result = j.filter(~F.coalesce((matched | s_only) & is_del, F.lit(False))).select(*out_cols)
 

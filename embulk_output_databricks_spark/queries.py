@@ -3612,6 +3612,161 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM per_supp
 """
 
 
+def q_cdc_row_lineage(spark, sf_dir):
+    """Row lineage (Iceberg v3 row-id analog): every committed file gets a
+    first_row_id from the table's monotone counter; _row_id = coalesce(
+    materialized __row_id, first_row_id + position). The gate pins the
+    three contracts — target rows keep their id through a COW MERGE
+    (identity continues across the bucket rewrite), merge inserts mint
+    fresh ids ABOVE the pre-merge counter, and compaction carries every
+    id untouched — as engine-computed booleans the oracle predicts.
+    The reference has no row-identity story at all (fire-and-forget bulk
+    loads, README.md:50-69)."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.sources.laketable import ROW_ID
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "row_lineage", n_buckets=4)
+    tbl.append(_lww(t_half))
+    v_target = tbl.current_version()
+    n_target = tbl.row_count()  # ids of target rows tile [0, n_target)
+    merge_apply(tbl, _lww(s_half), keys=["user_id"])
+    v_merged = tbl.current_version()
+    tbl.compact(min_files_per_bucket=1)
+
+    def ids(version):
+        return (tbl.read(version=version, with_row_ids=True)
+                .select("user_id", F.col(ROW_ID).alias(f"rid{version}")))
+
+    b, m1, a = ids(v_target), ids(v_merged), ids(tbl.current_version())
+    assert (a.select(f"rid{tbl.current_version()}").distinct().count()
+            == a.count()), "row ids not unique"
+    rid0, rid1, rid2 = (f"rid{v_target}", f"rid{v_merged}",
+                        f"rid{tbl.current_version()}")
+    carried = F.col(rid0).isNotNull()
+    return (m1.join(b, "user_id", "left").join(a, "user_id")
+            .select("user_id",
+                    carried.alias("carried"),
+                    F.when(carried, F.col(rid1) == F.col(rid0))
+                    .otherwise(F.col(rid1) >= n_target).alias("id_preserved"),
+                    (F.col(rid2) == F.col(rid1)).alias("stable_after_compact")))
+
+
+def q_cdc_last_updated(spark, sf_dir):
+    """Second half of v3 row lineage (_last_updated_sequence_number analog):
+    every row-holding file records its commit sequence ("ls"); a row's
+    _last_seq = coalesce(materialized __last_seq, ls). A rewrite carries the
+    value for rows it merely COPIES and writes NULL for rows it MODIFIED, so
+    modified rows inherit the rewrite commit's sequence — recency without a
+    diff. The gate pins: merge bumps exactly the staged rows (updates AND
+    inserts) to the merge commit's sequence while untouched rows keep the
+    append commit's, and compaction changes nothing. The reference has no
+    per-row recency concept (fire-and-forget loads, README.md:50-69)."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.sources.laketable import LAST_SEQ
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "last_updated", n_buckets=4)
+    tbl.append(_lww(t_half))
+    v1 = tbl.current_version()
+    merge_apply(tbl, _lww(s_half), keys=["user_id"])
+    v2 = tbl.current_version()
+
+    def ls(version, alias):
+        return (tbl.read(version=version, with_row_ids=True)
+                .select("user_id", F.col(LAST_SEQ).alias(alias)))
+
+    m = ls(v2, "ls1")
+    tbl.compact(min_files_per_bucket=1)
+    a = ls(tbl.current_version(), "ls2")
+    staged = (_lww(s_half).select("user_id")
+              .withColumn("__s", F.lit(True)))
+    is_staged = F.coalesce(F.col("__s"), F.lit(False))
+    return (m.join(a, "user_id").join(staged, "user_id", "left")
+            .select("user_id", is_staged.alias("staged"),
+                    F.when(is_staged, F.col("ls1") == F.lit(v2))
+                    .otherwise(F.col("ls1") == F.lit(v1))
+                    .alias("bumped_iff_staged"),
+                    (F.col("ls2") == F.col("ls1"))
+                    .alias("stable_after_compact")))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters per document: top-word
+    fraction, top-bigram fraction, distinct-word ratio (Rae et al. 2021,
+    'Scaling Language Models', repetition-removal table — public paper).
+    Bigrams come from a pure-JVM zip_with over the split words (no Python
+    in the hot path); the frequency maxima are two-stage aggs over the
+    exploded words, so the heavy groupBy keys are (doc_id, word) — fine
+    parallelism at 100 TB, no giant per-doc rows. Flag thresholds compare
+    in integers (5*top_word > n_words; 10*top_bigram > n_bigrams) so the
+    boundary is engine-independent."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", words.alias("ws"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"))
+    topw = (base.select("doc_id", F.explode("ws").alias("w"))
+            .groupBy("doc_id", "w").count()
+            .groupBy("doc_id").agg(F.max("count").alias("top_word_n")))
+    bigrams = F.expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> concat(a, ' ', b))")
+    topb = (base.select("doc_id", F.explode(bigrams).alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id").agg(F.max("count").alias("top_bigram_n"),
+                                   F.sum("count").alias("n_bigrams")))
+    out = (base.select("doc_id", "n_words", "n_distinct")
+           .join(topw, "doc_id", "left")
+           .join(topb, "doc_id", "left")
+           .select("doc_id", "n_words", "n_distinct",
+                   F.coalesce("top_word_n", F.lit(0)).alias("top_word_n"),
+                   F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                   F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n")))
+    flagged = ((F.lit(5) * F.col("top_word_n") > F.col("n_words"))
+               | ((F.col("n_bigrams") > 0)
+                  & (F.lit(10) * F.col("top_bigram_n") > F.col("n_bigrams"))))
+    return out.withColumn("flagged", flagged)
+
+
+_SQL_TEXT_REPETITION = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), stats AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+  FROM base
+), topw AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_word_n FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY 1, 2
+  ) GROUP BY 1
+), bgs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS gs
+  FROM base
+), topb AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_n,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM (
+    SELECT doc_id, g, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(gs) AS g FROM bgs) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT s.doc_id, n_words, n_distinct,
+       COALESCE(top_word_n, 0) AS top_word_n,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(top_bigram_n, 0) AS top_bigram_n,
+       (5 * COALESCE(top_word_n, 0) > n_words)
+         OR (COALESCE(n_bigrams, 0) > 0
+             AND 10 * COALESCE(top_bigram_n, 0) > COALESCE(n_bigrams, 0))
+         AS flagged
+FROM stats s
+LEFT JOIN topw USING (doc_id)
+LEFT JOIN topb USING (doc_id)
+"""
+
+
 # ================================================================ registry
 
 SPARK_QUERIES = {
@@ -3727,6 +3882,9 @@ SPARK_QUERIES = {
     "late_line_priority": q_late_line_priority,
     "top_revenue_supplier": q_top_revenue_supplier,
     "promo_stock_suppliers": q_promo_stock_suppliers,
+    "text_repetition": q_text_repetition,
+    "cdc_row_lineage": q_cdc_row_lineage,
+    "cdc_last_updated": q_cdc_last_updated,
     "media_frames": q_media_frames,
     "cdc_changelog": q_cdc_changelog,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
@@ -4044,6 +4202,25 @@ def _oracle_sql() -> dict[str, str]:
         "late_line_priority": _SQL_LATE_PRIORITY,
         "top_revenue_supplier": _SQL_TOP_REV_SUPPLIER,
         "promo_stock_suppliers": _SQL_PROMO_STOCK,
+        "text_repetition": _SQL_TEXT_REPETITION,
+        "cdc_row_lineage": f"""
+            WITH t AS (SELECT user_id FROM {_sql_lww("event_id % 2 = 0")}),
+                 s AS (SELECT user_id FROM {_sql_lww("event_id % 2 = 1")})
+            SELECT coalesce(s.user_id, t.user_id) AS user_id,
+                   t.user_id IS NOT NULL AS carried,
+                   TRUE AS id_preserved,
+                   TRUE AS stable_after_compact
+            FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+        """,
+        "cdc_last_updated": f"""
+            WITH t AS (SELECT user_id FROM {_sql_lww("event_id % 2 = 0")}),
+                 s AS (SELECT user_id FROM {_sql_lww("event_id % 2 = 1")})
+            SELECT coalesce(s.user_id, t.user_id) AS user_id,
+                   s.user_id IS NOT NULL AS staged,
+                   TRUE AS bumped_iff_staged,
+                   TRUE AS stable_after_compact
+            FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+        """,
         "media_frames": _sql_media_frames(),
         "cdc_changelog": _SQL_CHANGELOG,
         "cdc_agg_maintenance": _SQL_AGG_MAINT,

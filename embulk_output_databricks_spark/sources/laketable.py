@@ -65,6 +65,36 @@ _DELTA_FIELDS = [(_DSEQ_COL, "bigint"), (_DOP_COL, "string")]
 # that file); readers anti-join targeted files on this pair
 _PDFILE_COL = "_file"
 _PDPOS_COL = "_pos"
+# row lineage (Iceberg v3 row-id analog): every data/delta file gets a
+# first-row-id ("fr") at COMMIT time from the manifest's next_row_id
+# counter; a row's _row_id = fr + its position in the file. Rewrites
+# (compact, COW merge/update/delete, MOR fold) carry ids by materializing
+# a physical __row_id column (entry flag "ridc"); rows with NULL __row_id
+# in such a file (e.g. merge inserts) inherit fr + position, per the v3
+# null-inheritance rule.
+ROW_ID = "_row_id"
+_RID_COL = "__row_id"
+# second half of v3 row lineage (_last_updated_sequence_number analog):
+# every row-holding file also gets the commit sequence that added it
+# ("ls", stamped next to "fr"); a row's _last_seq = coalesce(physical
+# __last_seq, ls). Rewrites that COPY a row materialize its old value;
+# rows the operation MODIFIED (merge update, UPDATE SET, MOR re-append)
+# write NULL so they inherit the rewrite commit's sequence — the same
+# null-inheritance rule as _row_id, pointing the other way in time.
+LAST_SEQ = "_last_seq"
+_LSQ_COL = "__last_seq"
+
+
+def _carry_lineage(df: DataFrame) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Rename the read-side row-lineage columns (`_row_id`, `_last_seq`) to
+    their physical names for a rewrite that carries both verbatim (compact,
+    MOR fold, DELETE survivors); returns (df, extra_fields for the write)."""
+    df = df.withColumnRenamed(ROW_ID, _RID_COL)
+    extra = [(_RID_COL, "bigint")]
+    if LAST_SEQ in df.columns:
+        df = df.withColumnRenamed(LAST_SEQ, _LSQ_COL)
+        extra.append((_LSQ_COL, "bigint"))
+    return df, extra
 
 
 def _live_data(files: list[dict]) -> list[dict]:
@@ -136,6 +166,9 @@ class Manifest:
     files: list[dict]
     properties: dict = field(default_factory=dict)
     next_field_id: int = 0
+    # row-lineage counter: first unassigned _row_id (monotone per table;
+    # commits stamp added files' "fr" from here, rebase restamps)
+    next_row_id: int = 0
 
     @property
     def schema_version(self) -> SchemaVersion:
@@ -568,7 +601,8 @@ class LakeTable:
 
     def read(self, version: int | None = None, buckets: set[int] | None = None,
              stats_filter: dict | None = None,
-             eq_filter: dict | None = None) -> DataFrame:
+             eq_filter: dict | None = None,
+             with_row_ids: bool = False) -> DataFrame:
         """Current-schema DataFrame over the snapshot, projecting old-schema
         files by field id (rename/widen/add are resolved here, zero rewrite).
         `buckets` prunes the file list before any IO — the merge fast path.
@@ -626,7 +660,8 @@ class LakeTable:
 
         deltas = [f for f in files if f.get("kind") == "delta"]
         if not deltas:
-            return _apply(self._df_for_files(m, _skip(files)))
+            return _apply(self._df_for_files(m, _skip(files),
+                                             with_row_ids=with_row_ids))
         from ..operators.lww import lww_dedup  # lazy: avoids module cycle
 
         keys = [k for k in (m.properties.get("merge_keys") or "").split(",") if k]
@@ -644,18 +679,20 @@ class LakeTable:
         clean, dirty_base = self._mor_split(m, files, deltas)
         clean = _skip(clean)
         base = (
-            self._df_for_files(m, dirty_base)
+            self._df_for_files(m, dirty_base, with_row_ids=with_row_ids)
             .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
             .withColumn(_DOP_COL, F.lit("U"))
         )
-        delta = self._df_for_files(m, deltas, extra_fields=_DELTA_FIELDS)
+        delta = self._df_for_files(m, deltas, extra_fields=_DELTA_FIELDS,
+                                   with_row_ids=with_row_ids)
         winners = lww_dedup(
             base.unionByName(delta), keys=keys, order=[_DSEQ_COL], strategy="maxby"
         )
         resolved = winners.filter(F.col(_DOP_COL) != "D").drop(_DSEQ_COL, _DOP_COL)
         if not clean:
             return _apply(resolved)
-        return _apply(self._df_for_files(m, clean).unionByName(resolved))
+        return _apply(self._df_for_files(m, clean, with_row_ids=with_row_ids)
+                      .unionByName(resolved))
 
     @staticmethod
     def _mor_split(m: Manifest, files: list[dict],
@@ -702,7 +739,8 @@ class LakeTable:
     def _df_for_files(self, m: Manifest, files: list[dict],
                       extra_fields: list[tuple[str, str]] | None = None,
                       apply_posdel: bool = True,
-                      with_lineage: bool = False) -> DataFrame:
+                      with_lineage: bool = False,
+                      with_row_ids: bool = False) -> DataFrame:
         """Current-schema DF over `files`; `extra_fields` (name, type) are
         physical columns beyond the schema version (the MOR delta envelope),
         read and passed through verbatim.
@@ -718,10 +756,12 @@ class LakeTable:
         — legitimately resurrect the key. `apply_posdel=False` reads raw
         physical rows (the posdel WRITE path needs them) and skips both
         delete kinds; `with_lineage=True` appends `_file`/`_pos` lineage
-        columns to the output."""
+        columns to the output; `with_row_ids=True` appends `_row_id` =
+        coalesce(physical __row_id, file first_row_id + position) — the
+        Iceberg v3 row-lineage read rule."""
         cur = m.schema_version
         extra = list(extra_fields or [])
-        need_lineage = with_lineage
+        need_lineage = with_lineage or with_row_ids
         pd_df = None
         eq_hits: list[dict] = []
         if apply_posdel:
@@ -748,6 +788,8 @@ class LakeTable:
                 + [T.StructField(n, _type_of(t)) for n, t in extra]
                 + ([T.StructField(_PDFILE_COL, T.StringType()),
                     T.StructField(_PDPOS_COL, T.LongType())] if with_lineage else [])
+                + ([T.StructField(ROW_ID, T.LongType()),
+                    T.StructField(LAST_SEQ, T.LongType())] if with_row_ids else [])
             )
             return self.spark.createDataFrame([], schema)
         # group by (schema version, entry-level dseq): delta entries written
@@ -756,21 +798,27 @@ class LakeTable:
         # renumbered on optimistic rebase, which is what lets concurrent
         # delta appends commute (legacy entries without "dseq" still read
         # the physical __dseq column)
-        by_grp: dict[tuple[int, int | None], list[str]] = {}
+        by_grp: dict[tuple[int, int | None, bool], list[str]] = {}
         for f in files:
-            by_grp.setdefault((f["sv"], f.get("dseq")), []).append(
+            # files that materialized a physical __row_id (rewrites) read it;
+            # grouping on the flag keeps each group's physical schema uniform
+            ridc = bool(f.get("ridc")) if with_row_ids else False
+            by_grp.setdefault((f["sv"], f.get("dseq"), ridc), []).append(
                 os.path.join(self.root, f["path"]))
         svs = {s.sv: s for s in m.schema_versions}
         parts = []
-        for (sv, dseq), paths in sorted(
+        for (sv, dseq, ridc), paths in sorted(
                 by_grp.items(),
-                key=lambda kv: (kv[0][0], -1 if kv[0][1] is None else kv[0][1])):
+                key=lambda kv: (kv[0][0], -1 if kv[0][1] is None else kv[0][1],
+                                kv[0][2])):
             phys = svs[sv]
             phys_extra = [(n, t) for n, t in extra
                           if not (n == _DSEQ_COL and dseq is not None)]
             read_schema = T.StructType(
                 phys.struct().fields
                 + [T.StructField(n, _type_of(t)) for n, t in phys_extra]
+                + ([T.StructField(_RID_COL, T.LongType()),
+                    T.StructField(_LSQ_COL, T.LongType())] if ridc else [])
             )
             df = self.spark.read.schema(read_schema).parquet(*paths)
             phys_by_id = phys.by_id()
@@ -787,6 +835,11 @@ class LakeTable:
                     cols.append(F.lit(dseq).cast("bigint").alias(n))
                 else:
                     cols.append(F.col(n))
+            if with_row_ids:
+                cols.append(F.col(_RID_COL) if ridc
+                            else F.lit(None).cast("bigint").alias(_RID_COL))
+                cols.append(F.col(_LSQ_COL) if ridc
+                            else F.lit(None).cast("bigint").alias(_LSQ_COL))
             if need_lineage:
                 cols += [
                     F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
@@ -810,6 +863,45 @@ class LakeTable:
                 ~(F.coalesce(F.col(flag), F.lit(False))
                   & F.col(_PDFILE_COL).isin(e["targets"]))
             ).drop(flag)
+        if with_row_ids:
+            # v3 read rule: explicit __row_id (carried by a rewrite) wins;
+            # NULL inherits first_row_id + position. The (file -> fr)
+            # lookup is a MAP LITERAL keyed on basename — measured ~free
+            # vs ~3x scan cost for the equivalent broadcast join (the
+            # merge hot path reads the target slice every batch); very
+            # large file sets fall back to the join to keep the codegen
+            # expression bounded. Files without "fr" (pre-feature) yield
+            # NULL ids either way.
+            stamped = [f for f in files if f.get("fr") is not None]
+            if len(stamped) <= 1024:
+                def _lookup(key):
+                    vals = [f for f in stamped if f.get(key) is not None]
+                    if not vals:
+                        return F.lit(None).cast("bigint")
+                    kv = []
+                    for f in vals:
+                        kv += [F.lit(os.path.basename(f["path"])),
+                               F.lit(f[key])]
+                    return F.element_at(F.create_map(*kv), F.col(_PDFILE_COL))
+                out = (out.withColumn(ROW_ID, F.coalesce(
+                           F.col(_RID_COL), _lookup("fr") + F.col(_PDPOS_COL)))
+                       .withColumn(LAST_SEQ, F.coalesce(
+                           F.col(_LSQ_COL), _lookup("ls")))
+                       .drop(_RID_COL, _LSQ_COL))
+            else:
+                fr_rows = [(os.path.basename(f["path"]), f["fr"], f.get("ls"))
+                           for f in stamped]
+                fr_df = self.spark.createDataFrame(
+                    fr_rows,
+                    T.StructType([T.StructField(_PDFILE_COL, T.StringType()),
+                                  T.StructField("__fr", T.LongType()),
+                                  T.StructField("__ls", T.LongType())]))
+                out = (out.join(F.broadcast(fr_df), on=_PDFILE_COL, how="left")
+                       .withColumn(ROW_ID, F.coalesce(
+                           F.col(_RID_COL), F.col("__fr") + F.col(_PDPOS_COL)))
+                       .withColumn(LAST_SEQ, F.coalesce(
+                           F.col(_LSQ_COL), F.col("__ls")))
+                       .drop(_RID_COL, _LSQ_COL, "__fr", "__ls"))
         if need_lineage and not with_lineage:
             out = out.drop(_PDFILE_COL, _PDPOS_COL)
         return out
@@ -993,6 +1085,29 @@ class LakeTable:
             # wall-clock commit stamp (overwritten every commit): powers
             # read(as_of_us=...) / version_as_of timestamp travel
             props["committed_at_us"] = int(time.time() * 1_000_000)
+            # row lineage: stamp a first_row_id onto every row-holding file
+            # that lacks one (files added by this commit; also the one-time
+            # lazy upgrade of pre-feature files). Stamping happens on COPIES
+            # and re-runs per rebase attempt from the new base's counter, so
+            # a losing race never burns or duplicates id ranges.
+            files = [
+                dict(f) if (f.get("kind") not in ("posdel", "eqdel")
+                            and ("fr" not in f or "__fr_new" in f))
+                else f
+                for f in files
+            ]
+            nid = base.next_row_id
+            for f in files:
+                if f.get("kind") in ("posdel", "eqdel"):
+                    continue
+                if "fr" not in f or "__fr_new" in f:
+                    f["fr"] = nid
+                    f["__fr_new"] = True
+                    nid += f["rows"]
+                    # commit sequence for _last_seq inheritance; strictly
+                    # above every ls already in `base` (versions are
+                    # monotone per head), re-stamped per rebase attempt
+                    f["ls"] = base.version + 1
             m = Manifest(
                 version=base.version + 1,
                 parent=base.version,
@@ -1000,9 +1115,11 @@ class LakeTable:
                 bucket_key=base.bucket_key if bucket_key is None else bucket_key,
                 current_sv=base.current_sv if current_sv is None else current_sv,
                 schema_versions=schema_versions or base.schema_versions,
-                files=files,
+                files=[{k: v for k, v in f.items() if k != "__fr_new"}
+                       for f in files],
                 properties=props,
                 next_field_id=base.next_field_id if next_field_id is None else next_field_id,
+                next_row_id=nid,
             )
             # all heads (CURRENT + branches) share one global version sequence;
             # a vN.json collision therefore means either (a) another HEAD took
@@ -1253,25 +1370,31 @@ class LakeTable:
 
             payload = [f["name"] for f in base.schema_version.fields]
             winners = lww_dedup(
-                self._df_for_files(base, delta_files, extra_fields=_DELTA_FIELDS),
+                self._df_for_files(base, delta_files, extra_fields=_DELTA_FIELDS,
+                                   with_row_ids=True),
                 keys=keys, order=[_DSEQ_COL], strategy="maxby",
-            ).select(*payload, F.col(_DOP_COL).alias("op"))
+            ).select(*payload, ROW_ID, LAST_SEQ, F.col(_DOP_COL).alias("op"))
             df = broadcast_upsert_plan(
-                self._df_for_files(base, dirty_base),
+                self._df_for_files(base, dirty_base, with_row_ids=True),
                 self._df_for_files(base, dirty_base).select(*keys),
                 winners, keys, payload, has_op=True, support_deletes=True,
             )
         else:
             from ..operators.lww import lww_dedup
 
-            b = (self._df_for_files(base, dirty_base)
+            b = (self._df_for_files(base, dirty_base, with_row_ids=True)
                  .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
                  .withColumn(_DOP_COL, F.lit("U")))
-            d = self._df_for_files(base, delta_files, extra_fields=_DELTA_FIELDS)
+            d = self._df_for_files(base, delta_files, extra_fields=_DELTA_FIELDS,
+                                   with_row_ids=True)
             w = lww_dedup(b.unionByName(d), keys=keys,
                           order=[_DSEQ_COL], strategy="maxby")
             df = w.filter(F.col(_DOP_COL) != "D").drop(_DSEQ_COL, _DOP_COL)
-        new = self._write_data_files(df, base)
+        # folded rows keep their lineage (base keeps, delta winner carries its own)
+        df, lineage_extra = _carry_lineage(df)
+        new = self._write_data_files(df, base, extra_fields=lineage_extra)
+        for e in new:
+            e["ridc"] = True
         props = dict(properties or {})
         props.setdefault("operation", "compact_deltas")
         keep += self._prune_posdels(base.files, keep)
@@ -1391,7 +1514,8 @@ class LakeTable:
             new += self._write_posdel_files(matched, targets)
             keep += rewrite  # boundary files keep their exact paths
         elif rewrite:
-            parts.append(self._df_for_files(base, rewrite).filter(survive))
+            parts.append(self._df_for_files(base, rewrite, with_row_ids=True)
+                         .filter(survive))
         if deltas:
             from ..operators.lww import lww_dedup  # lazy: avoids module cycle
 
@@ -1399,10 +1523,11 @@ class LakeTable:
             if not keys:
                 raise ValueError(
                     f"{self.name}: delta files present but no merge_keys property")
-            b = (self._df_for_files(base, dirty)
+            b = (self._df_for_files(base, dirty, with_row_ids=True)
                  .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
                  .withColumn(_DOP_COL, F.lit("U")))
-            d = self._df_for_files(base, deltas, extra_fields=_DELTA_FIELDS)
+            d = self._df_for_files(base, deltas, extra_fields=_DELTA_FIELDS,
+                                   with_row_ids=True)
             w = lww_dedup(b.unionByName(d), keys=keys,
                           order=[_DSEQ_COL], strategy="maxby")
             parts.append(w.filter(F.col(_DOP_COL) != "D")
@@ -1411,7 +1536,12 @@ class LakeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-            new += self._write_data_files(df, base)
+            # surviving rows keep their row lineage through the rewrite
+            df, lineage_extra = _carry_lineage(df)
+            rw = self._write_data_files(df, base, extra_fields=lineage_extra)
+            for e in rw:
+                e["ridc"] = True
+            new += rw
         stats: dict = {"delete_dropped_files": dropped}
         if mode == "mor":
             stats["delete_rewritten_files"] = len(dirty) + len(deltas)
@@ -1642,7 +1772,8 @@ class LakeTable:
             # live boundary rows + (_file,_pos) lineage; apply_posdel=True
             # (the default) means already-deleted rows neither resurrect
             # nor re-enter the sidecar — the pairs are fresh by construction
-            live = self._df_for_files(base, rewrite, with_lineage=True)
+            live = self._df_for_files(base, rewrite, with_lineage=True,
+                                      with_row_ids=True)
             matched = live.filter(hit).persist()
             upd = []
             for fld in cur_fields:
@@ -1655,10 +1786,20 @@ class LakeTable:
             new += self._write_posdel_files(
                 matched.select(_PDFILE_COL, _PDPOS_COL),
                 sorted(os.path.basename(f["path"]) for f in rewrite))
-            new += self._write_data_files(matched.select(*upd), base)
+            # v3 MOR UPDATE carries the row id into the re-appended row:
+            # the posdel kills the old position, the new row keeps identity;
+            # _last_seq is NULL — the update inherits THIS commit's sequence
+            reapp = self._write_data_files(
+                matched.select(*upd, F.col(ROW_ID).alias(_RID_COL),
+                               F.lit(None).cast("bigint").alias(_LSQ_COL)),
+                base, extra_fields=[(_RID_COL, "bigint"),
+                                    (_LSQ_COL, "bigint")])
+            for e in reapp:
+                e["ridc"] = True
+            new += reapp
             keep += rewrite  # boundary files keep their exact paths
         elif rewrite:
-            parts.append(self._df_for_files(base, rewrite))
+            parts.append(self._df_for_files(base, rewrite, with_row_ids=True))
         if deltas:
             from ..operators.lww import lww_dedup  # lazy: avoids module cycle
 
@@ -1666,10 +1807,11 @@ class LakeTable:
             if not keys:
                 raise ValueError(
                     f"{self.name}: delta files present but no merge_keys property")
-            b = (self._df_for_files(base, dirty)
+            b = (self._df_for_files(base, dirty, with_row_ids=True)
                  .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
                  .withColumn(_DOP_COL, F.lit("U")))
-            d = self._df_for_files(base, deltas, extra_fields=_DELTA_FIELDS)
+            d = self._df_for_files(base, deltas, extra_fields=_DELTA_FIELDS,
+                                   with_row_ids=True)
             w = lww_dedup(b.unionByName(d), keys=keys,
                           order=[_DSEQ_COL], strategy="maxby")
             parts.append(w.filter(F.col(_DOP_COL) != "D")
@@ -1687,7 +1829,17 @@ class LakeTable:
                         .otherwise(F.col(name)).alias(name))
                 else:
                     out.append(F.col(name))
-            new += self._write_data_files(df.select(*out), base)
+            # updated rows keep their identity: SQL UPDATE never mints rows;
+            # their _last_seq goes NULL (inherit this commit), kept rows carry
+            rw = self._write_data_files(
+                df.select(*out, F.col(ROW_ID).alias(_RID_COL),
+                          F.when(hit, F.lit(None).cast("bigint"))
+                          .otherwise(F.col(LAST_SEQ)).alias(_LSQ_COL)),
+                base, extra_fields=[(_RID_COL, "bigint"),
+                                    (_LSQ_COL, "bigint")])
+            for e in rw:
+                e["ridc"] = True
+            new += rw
         props = dict(properties or {})
         props.setdefault("operation", "update_where")
         props["update_skipped_files"] = skipped
@@ -1735,10 +1887,13 @@ class LakeTable:
         m = self.manifest(version)
         rows = [(f["path"], f["bucket"], _file_nb(m, f), f["rows"], f["sv"],
                  f.get("kind", "base"),
-                 json.dumps(f["stats"], sort_keys=True) if f.get("stats") else None)
+                 json.dumps(f["stats"], sort_keys=True) if f.get("stats") else None,
+                 f.get("fr"), bool(f.get("ridc")), f.get("ls"))
                 for f in m.files]
         schema = ("path string, bucket int, n_buckets int, rows long, "
-                  "schema_version int, kind string, stats string")
+                  "schema_version int, kind string, stats string, "
+                  "first_row_id long, has_row_id_col boolean, "
+                  "commit_seq long")
         return self.spark.createDataFrame(rows, schema)
 
     def refs(self) -> DataFrame:
@@ -1877,10 +2032,25 @@ class LakeTable:
         {n_buckets: set} map across specs, or None for all files) for the
         freshly-written result of `add_df`, one atomic snapshot. The caller
         must have READ exactly the selected files into add_df — selection
-        here mirrors read()'s pruning bit-for-bit (_split_files)."""
+        here mirrors read()'s pruning bit-for-bit (_split_files).
+
+        If add_df carries a `_row_id` column (caller read the target with
+        with_row_ids=True and threaded it through), the ids are materialized
+        physically so carried rows keep their lineage across the rewrite;
+        NULL ids (e.g. merge inserts) inherit fresh ones at read time."""
         base = self.manifest()
         _sel, keep = _split_files(base, _live_data(base.files), remove_buckets)
-        new = self._write_data_files(add_df, base)
+        extra = None
+        if ROW_ID in add_df.columns:
+            add_df = add_df.withColumnRenamed(ROW_ID, _RID_COL)
+            extra = [(_RID_COL, "bigint")]
+            if LAST_SEQ in add_df.columns:
+                add_df = add_df.withColumnRenamed(LAST_SEQ, _LSQ_COL)
+                extra.append((_LSQ_COL, "bigint"))
+        new = self._write_data_files(add_df, base, extra_fields=extra)
+        if extra:
+            for e in new:
+                e["ridc"] = True
         keep += self._prune_posdels(base.files, keep)
         keep += self._prune_eqdels(base.files, keep)
         return self._commit(base, keep + new, properties)
@@ -2251,7 +2421,9 @@ class LakeTable:
         vmap: dict[int, set] = {_file_nb(base, f): set() for f in _live_data(base.files)}
         for nb, b in victims:
             vmap[nb].add(b)
-        df = self.read(buckets=vmap)
+        # carry row lineage: every rewritten row keeps its _row_id
+        # (materialized physically in the compacted files)
+        df = self.read(buckets=vmap, with_row_ids=True)
         props = dict(properties or {})
         props.setdefault("operation", "compact")
         sort_by: list | None = cluster_by
@@ -2265,8 +2437,12 @@ class LakeTable:
         elif cluster_mode != "sort":
             raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
         _sel, keep = _split_files(base, _live_data(base.files), vmap)
-        new = self._write_data_files(df, base, sort_by=sort_by,
-                                     rows_per_file=rows_per_file)
+        df, lineage_extra = _carry_lineage(df)
+        new = self._write_data_files(
+            df, base, sort_by=sort_by,
+            rows_per_file=rows_per_file, extra_fields=lineage_extra)
+        for e in new:
+            e["ridc"] = True
         keep += self._prune_posdels(base.files, keep)
         keep += self._prune_eqdels(base.files, keep)
         return self._commit(base, keep + new, props)
