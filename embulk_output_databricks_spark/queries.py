@@ -3691,6 +3691,29 @@ def q_cdc_last_updated(spark, sf_dir):
                     .alias("stable_after_compact")))
 
 
+def q_cdc_changed_since(spark, sf_dir):
+    """Row-lineage incremental read (Iceberg v3 incremental scan by
+    sequence number): changed_since(v) returns exactly the rows inserted or
+    modified after snapshot v, with IO O(files committed after v) — older
+    files are pruned from the scan because a carried row's materialized
+    _last_seq can never exceed its file's commit sequence. A COW merge that
+    rewrites whole buckets still yields a ROW-exact feed (added_rows, the
+    file-granularity incremental read, would replay every carried row), and
+    a later compaction must not pollute it. Oracle: the merged batch's LWW
+    state — merge replaces matched rows with staged values, so the changed
+    set IS the staged winners."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "changed_since", n_buckets=4)
+    tbl.append(_lww(t_half))
+    v1 = tbl.current_version()
+    merge_apply(tbl, _lww(s_half), keys=["user_id"])
+    tbl.compact(min_files_per_bucket=1)  # maintenance must not enter the feed
+    return tbl.changed_since(v1).select(
+        "user_id", "ts_us", "event_type", "value", "props")
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality filters per document: top-word
     fraction, top-bigram fraction, distinct-word ratio (Rae et al. 2021,
@@ -3885,6 +3908,7 @@ SPARK_QUERIES = {
     "text_repetition": q_text_repetition,
     "cdc_row_lineage": q_cdc_row_lineage,
     "cdc_last_updated": q_cdc_last_updated,
+    "cdc_changed_since": q_cdc_changed_since,
     "media_frames": q_media_frames,
     "cdc_changelog": q_cdc_changelog,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
@@ -4211,6 +4235,10 @@ def _oracle_sql() -> dict[str, str]:
                    TRUE AS id_preserved,
                    TRUE AS stable_after_compact
             FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+        """,
+        "cdc_changed_since": f"""
+            SELECT user_id, ts_us, event_type, value, props
+            FROM {_sql_lww("event_id % 2 = 1")}
         """,
         "cdc_last_updated": f"""
             WITH t AS (SELECT user_id FROM {_sql_lww("event_id % 2 = 0")}),

@@ -602,7 +602,8 @@ class LakeTable:
     def read(self, version: int | None = None, buckets: set[int] | None = None,
              stats_filter: dict | None = None,
              eq_filter: dict | None = None,
-             with_row_ids: bool = False) -> DataFrame:
+             with_row_ids: bool = False,
+             min_commit_seq: int | None = None) -> DataFrame:
         """Current-schema DataFrame over the snapshot, projecting old-schema
         files by field id (rename/widen/add are resolved here, zero rewrite).
         `buckets` prunes the file list before any IO — the merge fast path.
@@ -637,6 +638,17 @@ class LakeTable:
         """
         m = self.manifest(version)
         files, _ = _split_files(m, _live_data(m.files), buckets)
+        if min_commit_seq is not None:
+            # lineage pruning (changed_since): a non-delta file whose commit
+            # sequence is <= the floor can hold no row with _last_seq above
+            # it (materialized __last_seq values are always <= the file's
+            # own ls), so it is skipped before any IO. Delta files are KEPT
+            # regardless: an old delta can still be the LWW winner over a
+            # newer base append, and dropping it would flip the winner.
+            # Pre-feature files (no "ls") are conservatively read.
+            files = [f for f in files
+                     if f.get("kind") == "delta"
+                     or f.get("ls") is None or f["ls"] > min_commit_seq]
 
         def _apply(df: DataFrame) -> DataFrame:
             if not stats_filter and not eq_filter:
@@ -735,6 +747,27 @@ class LakeTable:
                 "diff(since_version) for the row-level change feed"
             )
         return self._df_for_files(m, new)
+
+    def changed_since(self, since_version: int,
+                      version: int | None = None) -> DataFrame:
+        """Row-lineage incremental read (Iceberg v3 incremental scan by
+        sequence number): every row of snapshot `version` (default current)
+        whose `_last_seq` > `since_version` — i.e. inserted or last
+        MODIFIED after that snapshot. Unlike added_rows (file granularity:
+        a COW rewrite replays every carried row) this is exact at ROW
+        granularity across merges, compactions, and predicate UPDATEs,
+        because rewrites materialize the old `_last_seq` for rows they
+        merely copy. IO is O(files committed after since_version): older
+        non-delta files are pruned from the scan entirely — a carried row's
+        materialized sequence can never exceed its file's own commit
+        sequence, so a file with ls <= floor provably holds no qualifying
+        row. An upsert-only feed: rows deleted since the floor simply
+        don't appear (use changelog()/diff() when the consumer needs
+        explicit deletes)."""
+        df = self.read(version=version, with_row_ids=True,
+                       min_commit_seq=since_version)
+        return df.filter(F.col(LAST_SEQ).isNull()
+                         | (F.col(LAST_SEQ) > since_version))
 
     def _df_for_files(self, m: Manifest, files: list[dict],
                       extra_fields: list[tuple[str, str]] | None = None,

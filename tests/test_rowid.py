@@ -254,6 +254,53 @@ def test_update_where_bumps_matched_rows(spark, warehouse):
         assert all(after[d] == before[d] for d in after if d not in hit), mode
 
 
+def test_changed_since_row_exact_and_file_pruned(spark, warehouse):
+    t = _tbl(spark, warehouse)
+    t.append(seq_rows(spark, range(0, 6)))
+    v1 = t.current_version()
+    t.append(seq_rows(spark, range(6, 9)))
+    # only the second append's rows, and only its FILES are scanned
+    ch = t.changed_since(v1)
+    assert {r["doc_id"] for r in ch.collect()} == {
+        f"doc{i:08d}" for i in range(6, 9)}
+    v1_files = {f["path"] for f in t.manifest(v1).files}
+    scanned = {p.split(t.root + "/")[-1] for p in ch.inputFiles()}
+    assert not scanned & v1_files
+    # a COW merge: the feed is row-exact (added_rows would replay the
+    # whole rewritten bucket), and carried rows stay excluded after compact
+    v2 = t.current_version()
+    merge_apply(t, _staged(spark, [("doc00000001", [9], "U"),
+                                   ("docNEW00001", [1], "U")]),
+                keys=["doc_id"])
+    changed = {r["doc_id"] for r in t.changed_since(v2).collect()}
+    assert changed == {"doc00000001", "docNEW00001"}
+    t.compact(min_files_per_bucket=1)
+    assert {r["doc_id"] for r in t.changed_since(v2).collect()} == changed
+    # floor at the head -> empty; floor 0 -> everything
+    assert t.changed_since(t.current_version()).count() == 0
+    assert t.changed_since(0).count() == 10
+
+
+def test_changed_since_mor_old_delta_still_wins(spark, warehouse):
+    # an OLD delta must not be pruned out of the resolution: it can beat a
+    # newer base append (base rows rank dseq=0), and the feed must agree
+    # with the full read on every emitted row
+    t = _tbl(spark, warehouse, n_buckets=1)
+    t.append(seq_rows(spark, range(0, 3)))
+    merge_apply_mor(t, _staged(spark, [("doc00000001", [7, 7], "U")]),
+                    keys=["doc_id"])
+    v_delta = t.current_version()
+    t.append(seq_rows(spark, range(1, 2)))  # newer base row, same key: loses
+    full = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert full["doc00000001"] == [7, 7]
+    ch = {r["doc_id"]: r["tokens"] for r in t.changed_since(v_delta).collect()}
+    # the re-appended base row is hidden by the older delta winner, whose
+    # own _last_seq <= floor: nothing changed since v_delta
+    assert ch == {}
+    ch0 = {r["doc_id"]: r["tokens"] for r in t.changed_since(0).collect()}
+    assert ch0 == full
+
+
 def test_mor_delta_winner_carries_its_commit_seq(spark, warehouse):
     t = _tbl(spark, warehouse)
     t.append(seq_rows(spark, range(0, 4)))
