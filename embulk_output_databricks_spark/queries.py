@@ -418,6 +418,37 @@ def q_cdc_posdel_delete(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_posdel_compaction(spark, sf_dir):
+    """Sidecar maintenance (Iceberg rewrite_position_deletes analog;
+    LakeTable.compact_posdels): every scan anti-joins the UNION of all
+    outstanding posdel sidecars, so a long MOR delete history taxes every
+    reader with per-sidecar listing + union overhead. Consolidation merges
+    them into ONE deduped sidecar reading only sidecar bytes — asserts two
+    separate band deletes left two sidecars, the merge left exactly one
+    with zero data-file IO (every data file keeps its exact path), and the
+    resolved state is unchanged."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "posdel_compaction", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    for lo8, hi8 in ((2, 3), (5, 6)):
+        tbl.delete_where({"ts_us": (mn + (mx - mn) * lo8 // 8,
+                                    mn + (mx - mn) * hi8 // 8)}, mode="mor")
+    assert tbl.posdel_file_count() == 2, "expected one sidecar per delete"
+    before = {f["path"] for f in tbl.manifest().files
+              if f.get("kind") not in ("posdel", "eqdel")}
+    m = tbl.compact_posdels()
+    assert m is not None and m.properties["posdels_merged"] == 2
+    assert tbl.posdel_file_count() == 1, "sidecars not consolidated"
+    after = {f["path"] for f in m.files
+             if f.get("kind") not in ("posdel", "eqdel")}
+    assert after == before, "data files touched by sidecar maintenance"
+    return tbl.read()
+
+
 def q_cdc_eqdel_delete(spark, sf_dir):
     """Equality-delete by key (Iceberg v2 equality-delete analog;
     LakeTable.delete_keys): the right-to-be-forgotten / purge primitive.
@@ -3808,6 +3839,7 @@ SPARK_QUERIES = {
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
+    "cdc_posdel_compaction": q_cdc_posdel_compaction,
     "cdc_eqdel_delete": q_cdc_eqdel_delete,
     "cdc_predicate_update": q_cdc_predicate_update,
     "cdc_posdel_update": q_cdc_posdel_update,
@@ -3980,6 +4012,16 @@ def _oracle_sql() -> dict[str, str]:
             FROM events, b
             WHERE epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
                                        AND b.mn + (b.mx - b.mn) * 5 // 8
+        """,
+        "cdc_posdel_compaction": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events, b
+            WHERE epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                                       AND b.mn + (b.mx - b.mn) * 3 // 8
+              AND epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 5 // 8
+                                       AND b.mn + (b.mx - b.mn) * 6 // 8
         """,
         "cdc_eqdel_delete": """
             SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props

@@ -1647,6 +1647,38 @@ class LakeTable:
     def posdel_file_count(self) -> int:
         return len(_posdel_entries(self.manifest().files))
 
+    def compact_posdels(self, properties: dict | None = None) -> Manifest | None:
+        """Consolidate outstanding positional-delete sidecars into ONE
+        (Iceberg rewrite_position_deletes procedure analog). Every scan
+        builds its anti-join probe from the UNION of all posdel files, so a
+        long MOR delete/update history — thousands of tiny sidecars at
+        10^10 scale — makes each reader pay file-listing + union overhead
+        proportional to HISTORY length, not outstanding-delete count. The
+        rewrite reads only sidecar bytes (no data file is touched): pairs
+        are deduped and pairs aimed at files no longer live are dropped, so
+        the merged sidecar is also the smallest correct one. Returns None
+        when there is nothing to do (0 or 1 sidecars and no dead pairs).
+        Commutes with concurrent appends under the optimistic rebase (the
+        touched set is sidecars only); a concurrent rewrite of a targeted
+        data file conflicts exactly as a fresh posdel write would."""
+        base = self.manifest()
+        pds = _posdel_entries(base.files)
+        if len(pds) <= 1:
+            return None
+        live = sorted({os.path.basename(f["path"])
+                       for f in _live_data(base.files)})
+        targets = sorted(set().union(*(p["targets"] for p in pds))
+                         & set(live))
+        keep = [f for f in base.files if f.get("kind") != "posdel"]
+        pd_df = (self._posdel_df(pds)
+                 .filter(F.col(_PDFILE_COL).isin(targets))
+                 .distinct())
+        new = self._write_posdel_files(pd_df, targets)
+        props = dict(properties or {})
+        props.setdefault("operation", "compact_posdels")
+        props["posdels_merged"] = len(pds)
+        return self._commit(base, keep + new, props)
+
     def eqdel_file_count(self) -> int:
         return len(_eqdel_entries(self.manifest().files))
 

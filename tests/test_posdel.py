@@ -194,3 +194,52 @@ def test_mor_delete_with_nulls_never_drops_null_rows(spark, warehouse):
     got = t.read().collect()
     assert {r["doc_id"] for r in got} == {f"doc{i:08d}" for i in range(10) if i % 2}
     assert all(r["source"] is None for r in got)
+
+
+def test_compact_posdels_consolidates_sidecars(spark, warehouse):
+    t = _mk(spark, warehouse, n_buckets=1, name="pdc")
+    t.append(seq_rows(spark, range(0, 40)))
+    t.append(seq_rows(spark, range(40, 80)))
+    # three separate MOR deletes -> three sidecars
+    for lo, hi in ((5, 9), (45, 49), (70, 74)):
+        t.delete_where({"doc_id": (f"doc{lo:08d}", f"doc{hi:08d}")},
+                       mode="mor")
+    assert t.posdel_file_count() == 3
+    before_rows = {r["doc_id"] for r in t.read().collect()}
+    before_data = {f["path"] for f in t.manifest().files
+                   if f.get("kind") not in ("posdel", "eqdel")}
+    v_pre = t.current_version()
+    m = t.compact_posdels()
+    assert m is not None and m.properties["posdels_merged"] == 3
+    assert t.posdel_file_count() == 1
+    # zero data IO: every data file kept its exact path
+    after_data = {f["path"] for f in t.manifest().files
+                  if f.get("kind") not in ("posdel", "eqdel")}
+    assert after_data == before_data
+    # reads identical; merged pair count = sum of the three deletes
+    assert {r["doc_id"] for r in t.read().collect()} == before_rows
+    assert t.row_count() == 80 - 15
+    [pd] = [f for f in t.manifest().files if f.get("kind") == "posdel"]
+    assert pd["rows"] == 15
+    # time travel to the pre-consolidation snapshot still resolves
+    assert len(t.read(version=v_pre).collect()) == 65
+    # idempotent: nothing left to merge
+    assert t.compact_posdels() is None
+
+
+def test_compact_posdels_drops_dead_pairs(spark, warehouse):
+    t = _mk(spark, warehouse, n_buckets=1, name="pdd")
+    t.append(seq_rows(spark, range(0, 30)))
+    t.append(seq_rows(spark, range(30, 60)))
+    t.delete_where({"doc_id": ("doc00000005", "doc00000009")}, mode="mor")
+    t.delete_where({"doc_id": ("doc00000035", "doc00000039")}, mode="mor")
+    # COW delete of the whole first slice: its file (and the first
+    # sidecar's pairs) die, but the sidecar survives for the second file
+    t.delete_where({"doc_id": (None, "doc00000029")})
+    assert t.posdel_file_count() >= 1
+    m = t.compact_posdels()
+    if m is not None:  # merged: only still-live pairs must remain
+        [pd] = [f for f in t.manifest().files if f.get("kind") == "posdel"]
+        assert pd["rows"] == 5
+    assert {r["doc_id"] for r in t.read().collect()} == {
+        f"doc{i:08d}" for i in range(30, 60) if not 35 <= i <= 39}
