@@ -282,6 +282,54 @@ def bench_retention(spark, n_rows: int = 4_000_000, slices: int = 16,
     return out
 
 
+def bench_incremental(spark, n_rows: int = 4_000_000, slices: int = 16,
+                      n_buckets: int = 8) -> dict:
+    """Row-lineage incremental-read payoff (changed_since): on a table
+    built by `slices` appends, a consumer that last saw the table one
+    append ago reads ONLY the files committed since (entry commit-seq
+    pruning) and gets exactly the new rows — IO O(new data), while a full
+    scan is O(table). At 100 TB the full scan is off the table entirely;
+    this is the feed a downstream training-data job tails."""
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    work = tempfile.mkdtemp(prefix="bench_incr_")
+    try:
+        cat = LakeCatalog(spark, work)
+        step = n_rows // slices
+        t = None
+        v_floor = None
+        for i in range(slices):
+            sl = synth_binlog(spark, step, n_rows // 4, n_rows,
+                              start=i * step, delete_frac=0.0, partitions=16) \
+                .select("seq_lsn", "doc_id", "n_tok", "source")
+            if t is None:
+                t = cat.create_table("incr", sl.schema, n_buckets=n_buckets,
+                                     bucket_key="doc_id")
+            t.append(sl)
+            if i == slices - 2:
+                v_floor = t.current_version()
+        for _ in range(2):  # warm then timed
+            t0 = time.perf_counter()
+            n_full = t.read().count()
+            full_s = time.perf_counter() - t0
+            ch = t.changed_since(v_floor)
+            t0 = time.perf_counter()
+            n_incr = ch.count()
+            incr_s = time.perf_counter() - t0
+        assert n_incr == step
+        return {
+            "files_total": len(t.manifest().files),
+            "files_read": len(ch.inputFiles()),
+            "rows_total": n_full,
+            "rows_changed": n_incr,
+            "full_scan_s": round(full_s, 3),
+            "incremental_s": round(incr_s, 3),
+            "speedup": round(full_s / incr_s, 2) if incr_s else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from __spark_entry__ import queries
 
@@ -336,6 +384,7 @@ def main() -> None:
         steady = bench_steady_state(spark)
         stats_skip = bench_stats_skip(spark)
         retention = bench_retention(spark)
+        incremental = bench_incremental(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -350,6 +399,7 @@ def main() -> None:
             "steady_state": steady,
             "stats_skip": stats_skip,
             "retention": retention,
+            "incremental": incremental,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))
