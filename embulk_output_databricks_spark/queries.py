@@ -449,6 +449,70 @@ def q_cdc_posdel_compaction(spark, sf_dir):
     return tbl.read()
 
 
+def q_events_json_shred(spark, sf_dir):
+    """JSON shredding: the semi-structured `props` column (the reference
+    passes embulk `json` through as STRING, README.md:41) is path-extracted
+    into a typed column JVM-side (`get_json_object`, whole-stage codegen —
+    no Python, no UDF) and aggregated per event_type: the pattern that
+    turns a 100 TB raw-event lake with nested payloads into typed rollups
+    without a pre-flattening pass. Deciles of k computed with integer
+    arithmetic so the boundary is engine-independent."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    d = ev.select("event_type", k.alias("k"))
+    return (d.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.count("k").alias("n_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.count_distinct(F.col("k")).alias("distinct_k"),
+                 F.sum((F.col("k") / 10).cast("long")).alias("sum_decile")))
+
+
+_SQL_EVENTS_JSON_SHRED = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k,
+       CAST(sum(k // 10) AS BIGINT) AS sum_decile
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q_cdc_auto_maintain(spark, sf_dir):
+    """Policy-driven maintenance pass (LakeTable.maintain — the OPTIMIZE /
+    scheduled-table-maintenance job; Iceberg ships the pieces as separate
+    procedures): per-append slices leave a file backlog and a MOR band
+    delete leaves a posdel sidecar; one maintain() call folds the sidecar
+    into rewritten files, bin-packs every bucket, and trims history —
+    asserting each leg fired and that the resolved state is bit-identical
+    before and after (maintenance must never change data)."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "auto_maintain", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    tbl.delete_where({"ts_us": (mn + (mx - mn) * 2 // 8,
+                                mn + (mx - mn) * 3 // 8)}, mode="mor")
+    assert tbl.posdel_file_count() == 1
+    rep = tbl.maintain(max_files_per_bucket=1, expire_keep_last=1)
+    assert "compact" in rep and "expire" in rep, rep
+    assert tbl.posdel_file_count() == 0, "compact did not fold the posdel"
+    per_bucket = tbl.partitions().agg(F.max("files")).first()[0]
+    assert per_bucket <= 2, f"bin-pack left {per_bucket} files in a bucket"
+    assert rep["expire"]["snapshots_dropped"] >= 1
+    return tbl.read()
+
+
 def q_cdc_eqdel_delete(spark, sf_dir):
     """Equality-delete by key (Iceberg v2 equality-delete analog;
     LakeTable.delete_keys): the right-to-be-forgotten / purge primitive.
@@ -3840,6 +3904,7 @@ SPARK_QUERIES = {
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
     "cdc_posdel_compaction": q_cdc_posdel_compaction,
+    "cdc_auto_maintain": q_cdc_auto_maintain,
     "cdc_eqdel_delete": q_cdc_eqdel_delete,
     "cdc_predicate_update": q_cdc_predicate_update,
     "cdc_posdel_update": q_cdc_posdel_update,
@@ -3938,6 +4003,7 @@ SPARK_QUERIES = {
     "top_revenue_supplier": q_top_revenue_supplier,
     "promo_stock_suppliers": q_promo_stock_suppliers,
     "text_repetition": q_text_repetition,
+    "events_json_shred": q_events_json_shred,
     "cdc_row_lineage": q_cdc_row_lineage,
     "cdc_last_updated": q_cdc_last_updated,
     "cdc_changed_since": q_cdc_changed_since,
@@ -4022,6 +4088,14 @@ def _oracle_sql() -> dict[str, str]:
                                        AND b.mn + (b.mx - b.mn) * 3 // 8
               AND epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 5 // 8
                                        AND b.mn + (b.mx - b.mn) * 6 // 8
+        """,
+        "cdc_auto_maintain": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
+            FROM events, b
+            WHERE epoch_us(ts) NOT BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                                       AND b.mn + (b.mx - b.mn) * 3 // 8
         """,
         "cdc_eqdel_delete": """
             SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props
@@ -4269,6 +4343,7 @@ def _oracle_sql() -> dict[str, str]:
         "top_revenue_supplier": _SQL_TOP_REV_SUPPLIER,
         "promo_stock_suppliers": _SQL_PROMO_STOCK,
         "text_repetition": _SQL_TEXT_REPETITION,
+        "events_json_shred": _SQL_EVENTS_JSON_SHRED,
         "cdc_row_lineage": f"""
             WITH t AS (SELECT user_id FROM {_sql_lww("event_id % 2 = 0")}),
                  s AS (SELECT user_id FROM {_sql_lww("event_id % 2 = 1")})

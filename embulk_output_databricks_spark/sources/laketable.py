@@ -2383,6 +2383,55 @@ class LakeTable:
     def read_tag(self, name: str, **kw) -> DataFrame:
         return self.read(version=self.tag_version(name), **kw)
 
+    def maintain(self, max_files_per_bucket: int = 8,
+                 max_delta_files: int = 8,
+                 max_posdel_files: int = 8,
+                 expire_keep_last: int | None = None,
+                 cluster_by: list[str] | None = None,
+                 rows_per_file: int | None = None) -> dict:
+        """One-call policy-driven maintenance pass (the OPTIMIZE /
+        table-maintenance job a 100 TB CDC sink schedules between batches;
+        Iceberg ships the same set as separate procedures). Reads the
+        manifest dashboard and fires only what thresholds justify, in the
+        order that avoids duplicate IO:
+
+          1. compact_deltas — when the MOR delta backlog exceeds
+             `max_delta_files` (read-side winner resolution cost grows with
+             the backlog, and fold-first means the bin-pack below sees the
+             resolved rows instead of resolving them again);
+          2. compact — buckets holding more than `max_files_per_bucket`
+             files bin-pack (optionally clustered by `cluster_by`);
+          3. compact_posdels — when more than `max_posdel_files` sidecars
+             remain outstanding (a compact may already have folded them);
+          4. expire_snapshots + remove_orphan_files — when
+             `expire_keep_last` is given (metadata/history retention).
+
+        Returns {action: outcome} for the actions taken — the lineage
+        record a scheduler logs. Each action is its own atomic snapshot;
+        a crash between actions leaves a consistent table and the next
+        maintain() resumes where thresholds still fire."""
+        report: dict = {}
+        if self.delta_file_count() > max_delta_files:
+            m = self.compact_deltas()
+            if m is not None:
+                report["compact_deltas"] = {"version": m.version}
+        m = self.compact(min_files_per_bucket=max_files_per_bucket + 1,
+                         cluster_by=cluster_by, rows_per_file=rows_per_file)
+        if m is not None:
+            report["compact"] = {"version": m.version}
+        if self.posdel_file_count() > max_posdel_files:
+            m = self.compact_posdels()
+            if m is not None:
+                report["compact_posdels"] = {
+                    "version": m.version,
+                    "merged": m.properties["posdels_merged"]}
+        if expire_keep_last is not None:
+            dropped = self.expire_snapshots(keep_last=expire_keep_last)
+            removed = self.remove_orphan_files()
+            report["expire"] = {"snapshots_dropped": len(dropped),
+                                "orphans_removed": len(removed)}
+        return report
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop manifests older than the newest `keep_last` snapshots (the
         analog of Iceberg's expire_snapshots procedure; the reference's

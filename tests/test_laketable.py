@@ -357,3 +357,35 @@ def test_partitions_metadata_table(spark, warehouse):
     assert sum(r["rows"] for r in got.values()) == t.row_count()
     assert sum(r["delta_files"] for r in got.values()) == t.delta_file_count()
     assert all(r["n_buckets"] == 4 for r in got.values())
+
+
+def test_maintain_policy_pass(spark, warehouse):
+    from embulk_output_databricks_spark.plans.merge import merge_apply_mor
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("mnt", SEQUENCES_SCHEMA, n_buckets=1,
+                         bucket_key="doc_id",
+                         properties={"merge_keys": "doc_id"})
+    # healthy table: nothing fires
+    t.append(seq_rows(spark, range(0, 10)))
+    assert t.maintain() == {}
+    # file backlog: 5 appends in one bucket crosses max_files_per_bucket=4
+    for i in range(1, 5):
+        t.append(seq_rows(spark, range(i * 10, i * 10 + 10)))
+    state = {r["doc_id"] for r in t.read().collect()}
+    rep = t.maintain(max_files_per_bucket=4)
+    assert "compact" in rep and "compact_deltas" not in rep
+    assert {r["doc_id"] for r in t.read().collect()} == state
+    # MOR delta backlog: threshold 0 folds even one delta, and the fold
+    # runs BEFORE the bin-pack so the report carries both versions ordered
+    merge_apply_mor(t, seq_rows(spark, range(100, 105))
+                    .withColumn("op", F.lit("U")), keys=["doc_id"])
+    assert t.delta_file_count() == 1
+    rep = t.maintain(max_delta_files=0, max_files_per_bucket=1)
+    assert "compact_deltas" in rep
+    assert t.delta_file_count() == 0
+    # retention leg: trim history to the head, reclaim unreferenced files
+    rep = t.maintain(expire_keep_last=1)
+    assert rep["expire"]["snapshots_dropped"] >= 1
+    assert {r["doc_id"] for r in t.read().collect()} == state | {
+        f"doc{i:08d}" for i in range(100, 105)}
