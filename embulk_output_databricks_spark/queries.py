@@ -449,6 +449,43 @@ def q_cdc_posdel_compaction(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_table_follow(spark, sf_dir):
+    """Downstream table-as-stream consumption (TableFollower; the CDF
+    reader analog built on row lineage): a consumer polls the table's
+    committed state OUT through changed_since intervals and rebuilds a
+    replica by keyed upsert — the gate returns the REPLICA, which must
+    equal the table's final merged state even though the consumer never
+    full-scanned it after the first poll. Also pins the resume contract:
+    re-polling the same cursor (crash before advance) re-delivers the
+    identical interval."""
+    import tempfile
+
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.streaming.tail import TableFollower
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "table_follow", n_buckets=4)
+    cursor = tempfile.mktemp(prefix="follow_cursor_")
+    f = TableFollower(tbl, cursor, from_version=0)
+    payload = ["user_id", "ts_us", "event_type", "value", "props"]
+    tbl.append(_lww(t_half))
+    df1, lo1, hi1 = f.poll()
+    replica = df1.select(*payload)
+    f.advance(hi1)
+    merge_apply(tbl, _lww(s_half), keys=["user_id"])
+    df2, lo2, hi2 = f.poll()
+    # crash-resume: a fresh follower on the same cursor sees the interval
+    df2b, lo2b, hi2b = TableFollower(tbl, cursor).poll()
+    assert (lo2b, hi2b) == (lo2, hi2), "cursor resume drifted"
+    changed = df2.select(*payload).persist()
+    # keyed upsert into the replica: changed rows win, others carry
+    replica = changed.unionByName(
+        replica.join(changed.select("user_id"), "user_id", "left_anti"))
+    f.advance(hi2)
+    assert f.poll() is None, "follower not caught up"
+    return replica
+
+
 def q_events_json_shred(spark, sf_dir):
     """JSON shredding: the semi-structured `props` column (the reference
     passes embulk `json` through as STRING, README.md:41) is path-extracted
@@ -4007,6 +4044,7 @@ SPARK_QUERIES = {
     "cdc_row_lineage": q_cdc_row_lineage,
     "cdc_last_updated": q_cdc_last_updated,
     "cdc_changed_since": q_cdc_changed_since,
+    "cdc_table_follow": q_cdc_table_follow,
     "media_frames": q_media_frames,
     "cdc_changelog": q_cdc_changelog,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
@@ -4030,6 +4068,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": lww,
         "cdc_lww_window": lww,
         "cdc_merge_upsert": _sql_merge(_UPSERT_COLS),
+        "cdc_table_follow": _sql_merge(_UPSERT_COLS),
         "cdc_merge_composite": _SQL_MERGE_COMPOSITE,
         "cdc_merge_rules": _sql_merge(_RULES_COLS),
         "cdc_merge_partial": _sql_merge(_PARTIAL_COLS),

@@ -58,3 +58,60 @@ def tail_binlog_dir(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+class TableFollower:
+    """Downstream table-as-stream consumer (change-data-feed reader analog,
+    built on row lineage): the OTHER side of the pipeline from
+    tail_binlog_dir — not events INTO the table but the table's own
+    committed state OUT to a consumer (a training job tailing the corpus).
+
+    poll() returns (df, from_version, to_version) with exactly the rows
+    inserted or modified in the interval (LakeTable.changed_since: IO is
+    O(files committed in the interval), row-exact across COW merges and
+    compactions) or None when the head hasn't moved. The consumer calls
+    advance(to_version) only after it has durably processed the frame —
+    emit-then-advance ordering means a crash can only replay a suffix, and
+    because the feed is keyed upsert rows, downstream re-apply is
+    idempotent (the same at-least-once-plus-idempotence contract the
+    ingest fence provides on the way in). The cursor is one JSON file, so
+    a restarted consumer resumes exactly where it left off.
+
+    Upsert-only: rows deleted in the interval simply don't appear; a
+    consumer that must observe deletes uses diff()/changelog().
+    """
+
+    def __init__(self, table, cursor_path: str, from_version: int | None = None):
+        import json
+        import os
+
+        self.table = table
+        self.cursor_path = cursor_path
+        if not os.path.exists(cursor_path):
+            start = (table.current_version() if from_version is None
+                     else from_version)
+            with open(cursor_path, "w") as f:
+                json.dump({"version": start}, f)
+
+    @property
+    def position(self) -> int:
+        import json
+
+        with open(self.cursor_path) as f:
+            return json.load(f)["version"]
+
+    def poll(self):
+        cur = self.position
+        head = self.table.current_version()
+        if head <= cur:
+            return None
+        return self.table.changed_since(cur, version=head), cur, head
+
+    def advance(self, version: int) -> None:
+        import json
+        import os
+
+        tmp = f"{self.cursor_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self.cursor_path)  # atomic: cursor never torn
