@@ -196,6 +196,8 @@ All runs verify: identical final_rows at every level/repeat, contiguous
 checkpoint offsets, deterministic input (seeded spark.range synth — same
 data at any parallelism).
 
+<!-- PROBES: hand-maintained below; preserved across scaling.py reruns -->
+
 **Broadcast merge plan.** COW merge picks its physical plan by batch size:
 staged batches <= `broadcast_merge_threshold` (default 500k deduped rows)
 use a broadcast plan — the target slice is only SCANNED, never shuffled
@@ -232,7 +234,18 @@ regime. Supplementary MOR scaling pairs: BENCH/results_mor.json
 Raw records: BENCH/results.json (+ per-level spark logs in BENCH/).
 Re-run: `python BENCH/scaling.py`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    marker = ("<!-- PROBES: hand-maintained below; "
+              "preserved across scaling.py reruns -->")
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    try:
+        with open(path) as f:
+            prev = f.read()
+    except FileNotFoundError:
+        prev = ""
+    if marker in prev and marker in md:
+        # keep the hand-maintained probe sections, refresh only the results
+        md = md.split(marker)[0] + marker + prev.split(marker, 1)[1]
+    with open(path, "w") as f:
         f.write(md)
     print(json.dumps({"pairs": pairs, "levels": {str(c): agg[c]["events_per_sec"] for c in levels}}))
 
