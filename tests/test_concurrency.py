@@ -165,3 +165,43 @@ def test_concurrent_schema_change_conflicts(spark, warehouse):
     t2.rename_column("source", "origin")
     with pytest.raises(CommitConflict, match="schema"):
         t1._commit(base, files, {"operation": "append"})
+
+
+def test_posdel_consolidation_commutes_with_append_conflicts_with_rewrite(
+        spark, warehouse):
+    import os
+
+    from embulk_output_databricks_spark.sources.laketable import (
+        _live_data, _posdel_entries)
+
+    for rival_op, expect_conflict in (("append", False), ("compact", True)):
+        t1, t2 = _pair(spark, warehouse, name=f"pdc_{rival_op}", n_buckets=1)
+        t1.append(seq_rows(spark, range(0, 30)))
+        t1.delete_where({"doc_id": ("doc00000002", "doc00000004")}, mode="mor")
+        t1.delete_where({"doc_id": ("doc00000010", "doc00000012")}, mode="mor")
+        assert t1.posdel_file_count() == 2
+        # stage compact_posdels' commit, then let the rival win the head
+        base = t1.manifest()
+        pds = _posdel_entries(base.files)
+        live = sorted({os.path.basename(f["path"])
+                       for f in _live_data(base.files)})
+        targets = sorted(set().union(*(p["targets"] for p in pds)) & set(live))
+        keep = [f for f in base.files if f.get("kind") != "posdel"]
+        pd_df = (t1._posdel_df(pds)
+                 .filter(F.col("_file").isin(targets)).distinct())
+        new = t1._write_posdel_files(pd_df, targets)
+        if rival_op == "append":
+            t2.append(seq_rows(spark, range(30, 35)))
+        else:  # rewrites the targeted data files -> our pairs would dangle
+            t2.compact(min_files_per_bucket=1)
+        if expect_conflict:
+            with pytest.raises(CommitConflict):
+                t1._commit(base, keep + new,
+                           {"operation": "compact_posdels"})
+        else:
+            m = t1._commit(base, keep + new, {"operation": "compact_posdels"})
+            assert m.properties["commit_retries"] == 1
+            assert t1.posdel_file_count() == 1
+            got = {r["doc_id"] for r in t1.read().collect()}
+            assert got == {f"doc{i:08d}" for i in range(35)
+                           if i not in (2, 3, 4, 10, 11, 12)}
