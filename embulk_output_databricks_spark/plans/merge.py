@@ -208,7 +208,11 @@ def merge_apply(
     # buckets are computed under EVERY spec present (one aggregation job)
     # so pruning stays exact per file --
     if m.bucket_key and m.bucket_key in keys:
-        nbs = sorted({_file_nb(m, f) for f in m.files} | {m.n_buckets})
+        # nb=0 is the "unbucketed" marker (add_files imports), not a real
+        # spec: it must stay OUT of the map so _split_files always selects
+        # those files — they can hold any key, and the rewrite migrates them
+        nbs = sorted(({_file_nb(m, f) for f in m.files} | {m.n_buckets})
+                     - {0})
         row = staged.select(*[
             F.collect_set(bucket_expr(m.bucket_key, nb)).alias(f"b{nb}")
             for nb in nbs

@@ -341,6 +341,32 @@ def q_cdc_apply_insert(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_add_files(spark, sf_dir):
+    """Metadata-only parquet import (Iceberg add_files / snapshot-migrate
+    analog; the reference re-loads every byte through COPY INTO,
+    DatabricksOutputConnection.java:85-122). Half the events load through
+    the normal append path; the other half is written as EXTERNAL parquet
+    and registered with add_files — footer reads only, files hardlinked,
+    zero row IO (asserted below by inode identity). Final state must equal
+    the plain bag union."""
+    import os
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "add_files")
+    tbl.append(t_half.select(*_STATE_COLS))
+    ext = f"{WORK_ROOT}/add_files/{uuid.uuid4().hex}_ext"
+    s_half.select(*_STATE_COLS).repartition(4).write.parquet(ext)
+    m = tbl.add_files(ext)
+    imported = [f for f in m.files if f.get("imported")]
+    assert imported and all(f["nb"] == 0 for f in imported)
+    ext_inodes = {os.stat(os.path.join(ext, fn)).st_ino
+                  for fn in os.listdir(ext) if fn.endswith(".parquet")}
+    if not all(os.stat(os.path.join(tbl.root, f["path"])).st_ino in ext_inodes
+               for f in imported):
+        raise RuntimeError("add_files rewrote data instead of linking it")
+    return tbl.read()
+
+
 def q_cdc_stats_skipping(spark, sf_dir):
     """Manifest-level file skipping by per-file column bounds (Iceberg
     data-file min/max stats analog; the reference delegates scan pruning to
@@ -3937,6 +3963,7 @@ SPARK_QUERIES = {
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
+    "cdc_add_files": q_cdc_add_files,
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
@@ -4082,6 +4109,9 @@ def _oracle_sql() -> dict[str, str]:
         ),
         "cdc_nonascii_merge": _SQL_NONASCII,
         "cdc_apply_insert": (
+            "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
+        ),
+        "cdc_add_files": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
         "cdc_zorder_compact": _SQL_ZORDER,

@@ -1265,7 +1265,12 @@ class LakeTable:
                 raise CommitConflict(
                     f"{self.name}: concurrent MOR delta appends with a "
                     "physically-stamped __dseq (tie)")
-            if read_set and (_file_nb(cur, e), e.get("bucket")) in touched_buckets:
+            # imported files (add_files, spec nb=0) carry no bucket proof:
+            # they overlap EVERY bucket, both as the winner's addition and
+            # as a member of our read-set
+            eb = (_file_nb(cur, e), e.get("bucket"))
+            if read_set and (eb in touched_buckets or eb == (0, None)
+                             or (0, None) in touched_buckets):
                 raise CommitConflict(
                     f"{self.name}: concurrent append into a bucket this "
                     "commit rewrote")
@@ -1326,6 +1331,122 @@ class LakeTable:
         props = dict(properties or {})
         props.setdefault("operation", "replace")
         return self._commit(base, new, props)
+
+    def add_files(self, paths, properties: dict | None = None) -> Manifest:
+        """Register EXISTING parquet files with a metadata-only commit — no
+        row is read or rewritten (Iceberg add_files / snapshot-migrate
+        analog; the reference can only onboard data by re-loading every
+        byte through COPY INTO, DatabricksOutputConnection.java:85-122).
+        This is the 100 TB onboarding path: cost is O(files) footer reads;
+        files are hardlinked into the table root where the filesystem
+        allows, copied otherwise (on an object store this degrades to a
+        server-side copy — still no read/decode/shuffle/rewrite).
+
+        Imported files carry no bucket assignment: they are stamped with
+        the reserved spec "nb"=0, which readers treat as unprunable
+        (_split_files always selects it), MOR resolution treats as dirty
+        (_mor_split), the optimistic-concurrency rebase treats as
+        overlapping every bucket, and compact() migrates into the current
+        spec lazily — the same machinery as rebucket(). Footer min/max
+        stats and null-free proofs are harvested at import, so range
+        skipping and predicate DML work on imported files immediately;
+        bloom filters are not (they need a data read) and arrive with
+        compaction, exactly like set_bloom_columns.
+
+        `paths` is a parquet file, a directory of them, or a list of
+        either. Every file must physically contain each current-schema
+        column with the exact type (resolved via Arrow; extra columns are
+        ignored by the projection, but reserved physical names are
+        rejected). Zero-row files are skipped. Row lineage (first_row_id /
+        commit seq) is minted at commit like any other append."""
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        if isinstance(paths, str):
+            paths = [paths]
+        expanded: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                expanded += sorted(
+                    os.path.join(p, fn) for fn in os.listdir(p)
+                    if fn.endswith(".parquet"))
+            elif os.path.isfile(p):
+                expanded.append(p)
+            else:
+                raise ValueError(f"{self.name}: add_files: no such path {p!r}")
+        if not expanded:
+            raise ValueError(f"{self.name}: add_files found no parquet files")
+        base = self.manifest()
+        cur = base.schema_version
+        reserved = {_BUCKET_COL, _DSEQ_COL, _DOP_COL, _RID_COL, _LSQ_COL,
+                    _PDFILE_COL, _PDPOS_COL, ROW_ID, LAST_SEQ}
+        stats_cols = {
+            f["name"] for f in cur.fields
+            if f["type"] in ("tinyint", "smallint", "int", "bigint",
+                             "float", "double", "string")
+        }
+        new: list[dict] = []
+        linked: list[str] = []
+        try:
+            for src in expanded:
+                pf = pq.ParquetFile(src)
+                md = pf.metadata
+                file_types = {}
+                for fld in pf.schema_arrow:
+                    try:
+                        file_types[fld.name] = from_arrow_type(
+                            fld.type).simpleString()
+                    except Exception:
+                        file_types[fld.name] = f"<unmapped:{fld.type}>"
+                bad = reserved & set(file_types)
+                if bad:
+                    raise SchemaEvolutionError(
+                        f"{self.name}: {src} carries reserved physical "
+                        f"column(s) {sorted(bad)}")
+                for cf in cur.fields:
+                    got = file_types.get(cf["name"])
+                    if got is None:
+                        raise SchemaEvolutionError(
+                            f"{self.name}: {src} lacks column {cf['name']!r}")
+                    if got != cf["type"]:
+                        raise SchemaEvolutionError(
+                            f"{self.name}: {src} column {cf['name']!r} is "
+                            f"{got}, table needs {cf['type']} (add_files is "
+                            "metadata-only: no cast/rewrite — load it "
+                            "through append() instead)")
+                if md.num_rows == 0:
+                    continue
+                entry = {"path": None, "bucket": None, "nb": 0,
+                         "rows": md.num_rows, "sv": base.current_sv,
+                         "imported": True}
+                stats = _footer_stats(md, stats_cols)
+                if stats:
+                    entry["stats"] = stats
+                nn = _footer_nullfree(md, stats_cols)
+                if nn:
+                    entry["nn"] = nn
+                rel = f"data/{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(self.root, rel)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+                linked.append(dst)
+                entry["path"] = rel
+                new.append(entry)
+            if not new:
+                return base
+            props = dict(properties or {})
+            props.setdefault("operation", "add_files")
+            return self._commit(base, base.files + new, props)
+        except BaseException:
+            for dst in linked:  # imported files are ours to clean; the
+                try:            # sources are untouched either way
+                    os.unlink(dst)
+                except OSError:
+                    pass
+            raise
 
     def append_delta(self, df: DataFrame, merge_keys: list[str],
                      properties: dict | None = None) -> Manifest:
