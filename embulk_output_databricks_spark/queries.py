@@ -367,6 +367,31 @@ def q_cdc_add_files(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_constraints(spark, sf_dir):
+    """CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog; the
+    reference validates config shape only, DatabricksOutputPlugin.java:
+    135-148). Enforcement rides the write job via the Observation API —
+    zero extra pass per batch; a violating batch is rejected WHOLE with no
+    snapshot commit. Final state must equal the two clean appends."""
+    from .sources.laketable import ConstraintViolation
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "constraints")
+    tbl.add_check("ts_positive", "ts_us > 0")
+    tbl.append(t_half.select(*_STATE_COLS))
+    v = tbl.current_version()
+    try:
+        tbl.append(s_half.select(*_STATE_COLS)
+                   .withColumn("ts_us", -F.col("ts_us")))
+        raise RuntimeError("constraint not enforced")
+    except ConstraintViolation:
+        pass
+    if tbl.current_version() != v or tbl.checks() != {"ts_positive": "ts_us > 0"}:
+        raise RuntimeError("violating batch left a snapshot behind")
+    tbl.append(s_half.select(*_STATE_COLS))
+    return tbl.read()
+
+
 def q_cdc_stats_skipping(spark, sf_dir):
     """Manifest-level file skipping by per-file column bounds (Iceberg
     data-file min/max stats analog; the reference delegates scan pruning to
@@ -3964,6 +3989,7 @@ SPARK_QUERIES = {
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_add_files": q_cdc_add_files,
+    "cdc_constraints": q_cdc_constraints,
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
@@ -4112,6 +4138,9 @@ def _oracle_sql() -> dict[str, str]:
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
         "cdc_add_files": (
+            "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
+        ),
+        "cdc_constraints": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
         "cdc_zorder_compact": _SQL_ZORDER,

@@ -116,6 +116,11 @@ class CommitConflict(RuntimeError):
     """Another writer committed the same version first."""
 
 
+class ConstraintViolation(ValueError):
+    """A write whose rows break a table CHECK constraint (add_check). The
+    write is rejected whole — no partial apply, no snapshot commit."""
+
+
 class SchemaEvolutionError(ValueError):
     """Illegal schema change (e.g. narrowing widen, unknown column)."""
 
@@ -390,6 +395,25 @@ def _bloom_keep(m: "Manifest", files: list[dict], eq_filter: dict) -> list[dict]
         if keep:
             out.append(f)
     return out
+
+
+def _table_checks(m: "Manifest") -> dict[str, str]:
+    """CHECK constraints of the snapshot ({name: sql_expr}; Delta ADD
+    CONSTRAINT analog), stored as one JSON table property so add/drop is
+    a plain property overwrite (commit properties merge key-by-key)."""
+    raw = m.properties.get("checks")
+    return json.loads(raw) if raw else {}
+
+
+def _violation_count(e: str, guard=None):
+    """Aggregate counting rows that VIOLATE check expr `e` — SQL CHECK
+    semantics: NULL (unknown) passes, only a definite FALSE violates.
+    `guard` (a boolean Column) limits which rows are subject to the check
+    (MOR delete markers carry no meaningful payload)."""
+    viol = ~F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
+    if guard is not None:
+        viol = guard & viol
+    return F.sum(F.when(viol, 1).otherwise(0))
 
 
 def _file_nb(m: "Manifest", f: dict) -> int:
@@ -1028,6 +1052,23 @@ class LakeTable:
                                        T.StringType))
         }
         df = df.select(*cols)
+        checks = _table_checks(m)
+        obs = check_names = None
+        if checks:
+            from pyspark.sql import Observation
+
+            # CHECK-constraint enforcement rides the write job itself
+            # (Observation API — zero extra pass over the batch, same trick
+            # as the replay driver's per-batch metrics). MOR delete markers
+            # ('D' rows) skip the payload checks: a delete only carries its
+            # key, the rest of the row is not data.
+            guard = ((F.col(_DOP_COL) != "D")
+                     if _DOP_COL in df.columns else None)
+            check_names = sorted(checks)
+            obs = Observation()
+            df = df.observe(obs, *[
+                _violation_count(checks[n], guard).alias(f"c{i}")
+                for i, n in enumerate(check_names)])
         tmp = os.path.join(self.root, f"data/.tmp-{uuid.uuid4().hex}")
         if m.bucket_key:
             df = df.withColumn(_BUCKET_COL, bucket_expr(m.bucket_key, m.n_buckets))
@@ -1047,6 +1088,15 @@ class LakeTable:
             if rows_per_file:
                 w = w.option("maxRecordsPerFile", rows_per_file)
             w.parquet(tmp, mode="overwrite")
+        if obs is not None:
+            got = obs.get  # metrics of the finished write job
+            for i, n in enumerate(check_names):
+                bad = got.get(f"c{i}") or 0
+                if bad:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise ConstraintViolation(
+                        f"{self.name}: check {n!r} ({checks[n]}) violated by "
+                        f"{bad} row(s); write rejected, no snapshot committed")
         bloom_cols = {
             c for c in (m.properties.get("bloom_columns") or "").split(",") if c
         } & {f.name for f in cur.fields}
@@ -1221,6 +1271,12 @@ class LakeTable:
                 or len(cur.schema_versions) != len(base.schema_versions)):
             raise CommitConflict(
                 f"{self.name}: concurrent schema/bucket-spec change")
+        if _table_checks(cur) != _table_checks(base):
+            # our data files were written (and Observation-validated)
+            # against base's constraint set; rebasing past a check change
+            # would commit rows the new check never saw
+            raise CommitConflict(
+                f"{self.name}: concurrent check-constraint change")
         base_by = {f["path"]: f for f in base.files}
         ours_by = {f["path"]: f for f in files}
         added = [f for f in files if base_by.get(f["path"]) != f]
@@ -2303,6 +2359,11 @@ class LakeTable:
             raise SchemaEvolutionError(
                 f"cannot drop {name!r}: outstanding equality-delete files "
                 "key on it; compact() to fold them first")
+        refs = self._check_refs(base, name)
+        if refs:
+            raise SchemaEvolutionError(
+                f"cannot drop {name!r}: referenced by check(s) {refs}; "
+                "drop_check first")
         fields = [dict(f) for f in cur.fields if f["name"] != name]
         return self._evolved(base, fields, 0, properties)
 
@@ -2313,6 +2374,12 @@ class LakeTable:
             raise SchemaEvolutionError(f"no such column {old!r}")
         if any(f["name"] == new for f in cur.fields):
             raise SchemaEvolutionError(f"column {new!r} already exists")
+        refs = self._check_refs(base, old)
+        if refs:
+            raise SchemaEvolutionError(
+                f"cannot rename {old!r}: referenced by check(s) {refs}; "
+                "drop_check first (a check is a raw SQL string — it cannot "
+                "follow a rename by field id)")
         fields = [{**f, "name": new} if f["name"] == old else dict(f) for f in cur.fields]
         # renaming the bucket-key column must carry the key along, or every
         # later write fails routing rows by the retired name; same for the
@@ -2323,6 +2390,68 @@ class LakeTable:
             props["merge_keys"] = ",".join(new if k == old else k for k in mk)
         return self._evolved(base, fields, 0, props,
                              bucket_key=new if old == base.bucket_key else None)
+
+    def _check_refs(self, m: Manifest, col: str) -> list[str]:
+        """Names of CHECK constraints whose expression mentions `col` (word
+        match on the raw SQL — conservative: a false positive only forces an
+        explicit drop_check, never a wrong pass)."""
+        import re
+
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])")
+        return sorted(n for n, e in _table_checks(m).items() if pat.search(e))
+
+    def add_check(self, name: str, expr: str,
+                  properties: dict | None = None) -> Manifest:
+        """CHECK constraint (Delta ALTER TABLE ADD CONSTRAINT analog; the
+        reference validates only config shape, never data —
+        DatabricksOutputPlugin.java:135-148). `expr` is a SQL boolean over
+        the current schema; NULL passes, a definite FALSE violates.
+
+        Existing rows are validated NOW (one scan, like Delta — adding a
+        constraint a 100 TB table already breaks must fail here, not on the
+        next write). From then on every write funnels the check through the
+        write job itself via the Observation API (_write_data_files): zero
+        extra pass per batch, a violating batch is rejected whole with no
+        snapshot commit. Caveats: add_files imports are not data-checked
+        (metadata-only by contract — the check catches their rows at first
+        rewrite); MOR delete markers skip payload checks."""
+        base = self.manifest()
+        checks = _table_checks(base)
+        if name in checks:
+            raise ValueError(f"{self.name}: check {name!r} already exists")
+        # analysis-validates the expression against the current schema
+        # (unknown column / syntax errors surface here, driver-side)
+        probe = self.spark.createDataFrame([], base.schema())
+        probe.filter(F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+        bad = (self.read()
+               .agg(_violation_count(expr).alias("n")).first()["n"]) or 0
+        if bad:
+            raise ConstraintViolation(
+                f"{self.name}: cannot add check {name!r} ({expr}): "
+                f"{bad} existing row(s) violate it")
+        props = dict(properties or {})
+        props["checks"] = json.dumps({**checks, name: expr}, sort_keys=True)
+        props.setdefault("operation", "add_check")
+        # next_field_id passed (same value) to flag a metadata change:
+        # a check commit must never silently rebase over a concurrent
+        # write — that write was validated against the OLD constraint set
+        return self._commit(base, base.files, props,
+                            next_field_id=base.next_field_id)
+
+    def drop_check(self, name: str, properties: dict | None = None) -> Manifest:
+        base = self.manifest()
+        checks = _table_checks(base)
+        if name not in checks:
+            raise ValueError(f"{self.name}: no such check {name!r}")
+        del checks[name]
+        props = dict(properties or {})
+        props["checks"] = json.dumps(checks, sort_keys=True)
+        props.setdefault("operation", "drop_check")
+        return self._commit(base, base.files, props,
+                            next_field_id=base.next_field_id)
+
+    def checks(self) -> dict[str, str]:
+        return _table_checks(self.manifest())
 
     def rebucket(self, n_buckets: int, properties: dict | None = None) -> Manifest:
         """Bucket-spec evolution (Iceberg partition-spec evolution analog):
