@@ -484,7 +484,10 @@ class LakeCatalog:
             current_sv=0,
             schema_versions=[SchemaVersion(0, fields)],
             files=[],
-            properties=properties or {},
+            # stamped like every _commit: age-based retention and
+            # timestamp travel see the create snapshot too
+            properties={"committed_at_us": int(time.time() * 1_000_000),
+                        **(properties or {})},
             next_field_id=len(fields),
         )
         t = LakeTable(self.spark, root, name)
@@ -500,6 +503,25 @@ class LakeCatalog:
         root = self._root(name)
         if os.path.exists(root):
             shutil.rmtree(root)
+
+    def list_tables(self) -> list[str]:
+        """Names of all tables in the warehouse (the reference probes this
+        via JDBC DatabaseMetaData.getTables — SURVEY B10)."""
+        return sorted(n for n in os.listdir(self.warehouse)
+                      if self.table_exists(n))
+
+    def rename_table(self, old: str, new: str) -> "LakeTable":
+        """Atomic table rename (ALTER TABLE RENAME analog — the very
+        primitive the reference's replace mode is built on, README.md:62-65).
+        Manifests reference data by table-relative paths, so a rename is one
+        directory move: no file, manifest, or snapshot is touched. Existing
+        LakeTable handles for the old name are stale after this."""
+        if not self.table_exists(old):
+            raise ValueError(f"no such table: {old!r}")
+        if os.path.exists(self._root(new)):
+            raise ValueError(f"table {new!r} already exists")
+        os.rename(self._root(old), self._root(new))
+        return self.load(new)
 
 
 class LakeTable:
@@ -2113,13 +2135,14 @@ class LakeTable:
                 m = self.manifest(int(fn[1:-5]))
                 p = m.properties
                 rows.append((m.version, m.parent, p.get("operation"),
-                             p.get("batch_id"),
+                             p.get("batch_id"), p.get("committed_at_us"),
                              json.dumps(p, sort_keys=True, default=str),
                              len(m.files), sum(f["rows"] for f in m.files),
                              m.n_buckets, m.current_sv))
         schema = ("version long, parent long, operation string, "
-                  "batch_id long, properties string, n_files long, "
-                  "n_rows long, n_buckets int, schema_version int")
+                  "batch_id long, committed_at_us long, properties string, "
+                  "n_files long, n_rows long, n_buckets int, "
+                  "schema_version int")
         return self.spark.createDataFrame(rows, schema)
 
     def files(self, version: int | None = None) -> DataFrame:
@@ -2637,6 +2660,7 @@ class LakeTable:
                  max_delta_files: int = 8,
                  max_posdel_files: int = 8,
                  expire_keep_last: int | None = None,
+                 expire_older_than_us: int | None = None,
                  cluster_by: list[str] | None = None,
                  rows_per_file: int | None = None) -> dict:
         """One-call policy-driven maintenance pass (the OPTIMIZE /
@@ -2654,7 +2678,8 @@ class LakeTable:
           3. compact_posdels — when more than `max_posdel_files` sidecars
              remain outstanding (a compact may already have folded them);
           4. expire_snapshots + remove_orphan_files — when
-             `expire_keep_last` is given (metadata/history retention).
+             `expire_keep_last` is given (metadata/history retention;
+             `expire_older_than_us` adds the wall-clock age bound).
 
         Returns {action: outcome} for the actions taken — the lineage
         record a scheduler logs. Each action is its own atomic snapshot;
@@ -2676,20 +2701,29 @@ class LakeTable:
                     "version": m.version,
                     "merged": m.properties["posdels_merged"]}
         if expire_keep_last is not None:
-            dropped = self.expire_snapshots(keep_last=expire_keep_last)
+            dropped = self.expire_snapshots(keep_last=expire_keep_last,
+                                            older_than_us=expire_older_than_us)
             removed = self.remove_orphan_files()
             report["expire"] = {"snapshots_dropped": len(dropped),
                                 "orphans_removed": len(removed)}
         return report
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(self, keep_last: int = 1,
+                         older_than_us: int | None = None) -> list[int]:
         """Drop manifests older than the newest `keep_last` snapshots (the
         analog of Iceberg's expire_snapshots procedure; the reference's
         staging cleanup is DatabricksOutputPlugin.java:176-183). Time travel
         to expired versions becomes unavailable; data files they referenced
         are reclaimed by remove_orphan_files(). At 10^10 scale this bounds
         metadata growth: one manifest per batch would otherwise accumulate
-        forever."""
+        forever.
+
+        `older_than_us` (epoch microseconds) adds Iceberg's age retention:
+        only snapshots COMMITTED before that instant expire — `keep_last`
+        still always retains the newest N regardless of age, exactly the
+        expire_snapshots(older_than, retain_last) contract. Wall-clock
+        policies ('keep 7 days') need this form: batch counts drift with
+        traffic, age does not."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         current = self.current_version()
@@ -2710,9 +2744,16 @@ class LakeTable:
         for fn in sorted(os.listdir(self._meta())):
             if fn.startswith("v") and fn.endswith(".json"):
                 v = int(fn[1:-5])
-                if v < cutoff and v not in protected:
-                    os.unlink(self._meta(fn))
-                    expired.append(v)
+                if v >= cutoff or v in protected:
+                    continue
+                if older_than_us is not None:
+                    at = self.manifest(v).properties.get("committed_at_us")
+                    # pre-stamp snapshots (no committed_at_us) are treated
+                    # as infinitely old, matching version_as_of
+                    if at is not None and at >= older_than_us:
+                        continue
+                os.unlink(self._meta(fn))
+                expired.append(v)
         return expired
 
     def update_properties(self, props: dict) -> Manifest:
