@@ -330,6 +330,53 @@ def bench_incremental(spark, n_rows: int = 4_000_000, slices: int = 16,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_constraints(spark, n_events: int = 6_000_000,
+                      n_batches: int = 3) -> dict:
+    """CHECK-constraint cost on the ingest path: the identical MERGE replay
+    with zero checks vs two (a range check and the size(tokens)=n_tok
+    token-array invariant). Enforcement rides the write job via the
+    Observation API — no extra pass over the batch — so the measured
+    throughput ratio IS the full price of a data contract at replay rate;
+    expected ~1.0 (expression evaluation inside the write stage)."""
+    epb = n_events // n_batches
+    n_docs = max(1000, n_events // 20)
+    configs = (("off", {}),
+               ("on", {"tok_range": "n_tok BETWEEN 1 AND 64",
+                       "tok_len": "size(tokens) = n_tok"}))
+    timed: dict[str, list[float]] = {tag: [] for tag, _ in configs}
+    # two interleaved rounds + fastest-batch estimator (the scaling.py
+    # methodology): JVM/codegen warmup and VM noise hit both configs alike
+    for _round in range(2):
+        for tag, checks in configs:
+            work = tempfile.mkdtemp(prefix=f"bench_chk_{tag}_")
+            try:
+                cat = LakeCatalog(spark, work)
+                drv = ReplayDriver(cat, JobConfig(
+                    table="sequences", mode="merge",
+                    merge_keys=["doc_id"], n_buckets=32))
+                for name, expr in checks.items():
+                    drv.table.add_check(name, expr)
+                for b in range(n_batches):
+                    ev = synth_binlog(spark, epb, n_docs, epb,
+                                      start=b * epb, partitions=32)
+                    t0 = time.perf_counter()
+                    drv.run_batch(ev, b, collect_metrics=False)
+                    dt = round(time.perf_counter() - t0, 3)
+                    if b > 0:  # first batch pays table/plan warmup
+                        timed[tag].append(dt)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    res: dict = {
+        tag: {"timed_batch_sec": timed[tag],
+              "events_per_sec": round(epb / min(timed[tag]), 1)}
+        for tag, _ in configs
+    }
+    res["checks"] = 2
+    res["tput_ratio_on_vs_off"] = round(
+        res["on"]["events_per_sec"] / res["off"]["events_per_sec"], 3)
+    return res
+
+
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from __spark_entry__ import queries
 
@@ -385,6 +432,7 @@ def main() -> None:
         stats_skip = bench_stats_skip(spark)
         retention = bench_retention(spark)
         incremental = bench_incremental(spark)
+        constraints = bench_constraints(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -400,6 +448,7 @@ def main() -> None:
             "stats_skip": stats_skip,
             "retention": retention,
             "incremental": incremental,
+            "constraints": constraints,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))
