@@ -367,6 +367,40 @@ def q_cdc_add_files(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_token_lookup(spark, sf_dir):
+    """Token point lookup over array-element bloom filters: "which
+    sequences contain token X" at 100 TB must prune files BEFORE IO, and
+    min/max bounds cannot serve it (every file spans the vocab). Per-file
+    blooms are built over distinct array ELEMENTS at write (bloom_bits
+    sized for vocabularies); read(eq_filter={"tokens": v}) means
+    array-contains. Four appends with disjoint token ranges prove real
+    skipping; the result must equal the full-scan list_contains oracle."""
+    from .sources.laketable import _bloom_keep
+
+    ev = _lww(_events(spark, sf_dir))
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ])
+    tbl = _new_table(spark, "token_lookup", schema=schema, n_buckets=2,
+                     properties={"bloom_columns": "tokens",
+                                 "bloom_bits": "65536"})
+    slice_col = F.pmod(F.col("user_id"), F.lit(4))
+    toks = F.array(*[
+        (slice_col * 1000 + F.lit(off) + F.pmod(F.col("user_id"), F.lit(k)))
+        .cast("int") for off, k in ((0, 2), (100, 17), (200, 19))
+    ])
+    df = ev.select("user_id", "ts_us", toks.alias("tokens"))
+    for s in range(4):  # disjoint per-slice token ranges -> skippable files
+        tbl.append(df.filter(slice_col == s))
+    probe = 2 * 1000  # slice 2's range (uid%4==2 implies uid%2==0)
+    m = tbl.manifest()
+    kept = _bloom_keep(m, m.files, {"tokens": probe})
+    assert 0 < len(kept) < len(m.files), "token bloom skipped no files"
+    return tbl.read(eq_filter={"tokens": probe})
+
+
 def q_cdc_constraints(spark, sf_dir):
     """CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog; the
     reference validates config shape only, DatabricksOutputPlugin.java:
@@ -3990,6 +4024,7 @@ SPARK_QUERIES = {
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_add_files": q_cdc_add_files,
     "cdc_constraints": q_cdc_constraints,
+    "cdc_token_lookup": q_cdc_token_lookup,
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
@@ -4143,6 +4178,18 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_constraints": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
+        "cdc_token_lookup": f"""
+            SELECT user_id, ts_us,
+                   [CAST((user_id % 4) * 1000 + user_id % 2 AS INTEGER),
+                    CAST((user_id % 4) * 1000 + 100 + user_id % 17 AS INTEGER),
+                    CAST((user_id % 4) * 1000 + 200 + user_id % 19 AS INTEGER)
+                   ] AS tokens
+            FROM {_sql_lww()}
+            WHERE list_contains(
+                [(user_id % 4) * 1000 + user_id % 2,
+                 (user_id % 4) * 1000 + 100 + user_id % 17,
+                 (user_id % 4) * 1000 + 200 + user_id % 19], 2000)
+        """,
         "cdc_zorder_compact": _SQL_ZORDER,
         "cdc_bloom_lookup": _SQL_BLOOM,
         "cdc_cluster_compact": """

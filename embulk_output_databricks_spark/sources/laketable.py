@@ -705,8 +705,14 @@ class LakeTable:
                     cond = cond & (F.col(c) >= F.lit(lo))
                 if hi is not None:
                     cond = cond & (F.col(c) <= F.lit(hi))
+            types = {f["name"]: f["type"] for f in m.schema_version.fields}
             for c, v in (eq_filter or {}).items():
-                cond = cond & (F.col(c) == F.lit(v))
+                if types.get(c, "").startswith("array<"):
+                    # array column: eq_filter means CONTAINS — the bloom
+                    # was built over distinct elements (token point lookup)
+                    cond = cond & F.array_contains(F.col(c), F.lit(v))
+                else:
+                    cond = cond & (F.col(c) == F.lit(v))
             return df.filter(cond)
 
         def _skip(fs: list[dict]) -> list[dict]:
@@ -1146,12 +1152,17 @@ class LakeTable:
                 if bloom_cols:
                     # equality-skip index: one small bloom per column over
                     # the file's DISTINCT values (read back from the file
-                    # just written — local column IO, rows ~ rows_per_file)
+                    # just written — local column IO, rows ~ rows_per_file).
+                    # Array columns hash distinct ELEMENTS (contains-skip);
+                    # `bloom_bits` sizes the filter for high-distinct cases
+                    # like token vocabularies.
+                    bm = int(m.properties.get("bloom_bits")
+                             or 0) or bloom.BLOOM_M
                     blooms = {}
                     for c in bloom_cols:
                         try:
                             blooms[c] = bloom.build(
-                                bloom.distinct_column_values(pf, c))
+                                bloom.distinct_column_values(pf, c), bm)
                         except TypeError:
                             pass  # unsupported type: no bloom = no skipping
                     if blooms:
@@ -2767,11 +2778,16 @@ class LakeTable:
         return self._commit(base, base.files, p)
 
     def set_bloom_columns(self, cols: list[str],
-                          properties: dict | None = None) -> Manifest:
+                          properties: dict | None = None,
+                          bits: int | None = None) -> Manifest:
         """Enable per-file bloom harvesting for `cols` on FUTURE writes
         (metadata-only commit). Existing files keep no bloom (= never
         skipped, always correct); compact() rewrites them and picks the
-        index up lazily — the same migration pattern as rebucket()."""
+        index up lazily — the same migration pattern as rebucket().
+        `bits` overrides the per-file filter size (table property
+        bloom_bits; probe side is self-describing, so resizing later only
+        affects new files) — size ~10x the expected distinct values (or
+        distinct array ELEMENTS) per file."""
         base = self.manifest()
         names = {f["name"] for f in base.schema_version.fields}
         unknown = set(cols) - names
@@ -2779,6 +2795,10 @@ class LakeTable:
             raise ValueError(f"bloom_columns not in schema: {sorted(unknown)}")
         props = dict(properties or {})
         props["bloom_columns"] = ",".join(cols)
+        if bits is not None:
+            if bits % 8 or bits < 64:
+                raise ValueError(f"bloom bits must be a multiple of 8 >= 64, got {bits}")
+            props["bloom_bits"] = str(bits)
         props.setdefault("operation", "set-bloom-columns")
         return self._commit(base, base.files, props)
 

@@ -126,3 +126,59 @@ def test_eq_filter_mor_conservative_and_exact(spark, warehouse):
     assert t.read(eq_filter={"tag": rows[5][1]}).count() == 0
     got = t.read(eq_filter={"tag": new_tag}).collect()
     assert [(r["k"], r["v"]) for r in got] == [("k5", 5)]
+
+
+TOK_SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+])
+
+
+def test_array_bloom_token_contains_skip(spark, warehouse):
+    """Array columns bloom their distinct ELEMENTS: read(eq_filter=
+    {"tokens": v}) is the token point lookup — files provably missing the
+    token skip pre-IO, results equal the full-scan array_contains."""
+    import base64
+
+    cat = LakeCatalog(spark, f"{warehouse}/tok")
+    t = cat.create_table("t", TOK_SCHEMA, n_buckets=1, bucket_key="k",
+                         properties={"bloom_columns": "tokens",
+                                     "bloom_bits": "32768"})
+    for s in range(4):  # disjoint token ranges -> one file per slice
+        rows = [(f"k{s}_{i}",
+                 [s * 1000 + (i * 7) % 500, s * 1000 + 500 + i % 400])
+                for i in range(300)]
+        t.append(spark.createDataFrame(rows, TOK_SCHEMA))
+    m = t.manifest()
+    assert all(len(base64.b64decode(f["bloom"]["tokens"])) * 8 == 32768
+               for f in m.files)  # bloom_bits honored, self-describing
+
+    probe = 2 * 1000 + 14  # lives only in slice 2
+    kept = _bloom_keep(m, m.files, {"tokens": probe})
+    assert 0 < len(kept) < len(m.files)
+    got = {r["k"] for r in t.read(eq_filter={"tokens": probe}).collect()}
+    full = {r["k"] for r in
+            t.read().filter(F.array_contains("tokens", probe)).collect()}
+    assert got and got == full
+    # a token in NO slice: every file provably skipped, result exactly empty
+    assert _bloom_keep(m, m.files, {"tokens": 999_983}) == []
+    assert t.read(eq_filter={"tokens": 999_983}).count() == 0
+
+
+def test_bloom_bits_resize_mixed_blobs_coexist(spark, warehouse):
+    cat = LakeCatalog(spark, f"{warehouse}/resize")
+    t = cat.create_table("t", TOK_SCHEMA, n_buckets=1, bucket_key="k",
+                         properties={"bloom_columns": "tokens"})
+    t.append(spark.createDataFrame([("a", [1, 2, 3])], TOK_SCHEMA))
+    t.set_bloom_columns(["tokens"], bits=65536)
+    t.append(spark.createDataFrame([("b", [7, 8, 9])], TOK_SCHEMA))
+    m = t.manifest()
+    import base64
+    sizes = sorted(len(base64.b64decode(f["bloom"]["tokens"])) * 8
+                   for f in m.files)
+    assert sizes == [8192, 65536]
+    # probes resolve each blob by its own size
+    assert {r["k"] for r in t.read(eq_filter={"tokens": 2}).collect()} == {"a"}
+    assert {r["k"] for r in t.read(eq_filter={"tokens": 8}).collect()} == {"b"}
+    with pytest.raises(ValueError, match="multiple of 8"):
+        t.set_bloom_columns(["tokens"], bits=100)
