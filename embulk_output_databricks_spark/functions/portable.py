@@ -70,12 +70,18 @@ def sql_fingerprint(e: str) -> str:
 # ---------- shingles / n-grams ----------
 
 def f_shingles(c: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (space-joined); empty array if < n words."""
+    """Array of n-word shingles (space-joined); empty array if < n words.
+    The short-doc case needs an explicit guard: Spark's sequence(1, 0) is
+    the DESCENDING [1, 0] (slice then rejects start=0), while DuckDB's
+    range(1, 1) is already empty."""
     w = f_words(c)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    return F.when(
+        F.size(w) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def sql_shingles(e: str, n: int = 3) -> str:

@@ -401,6 +401,32 @@ def q_cdc_token_lookup(spark, sf_dir):
     return tbl.read(eq_filter={"tokens": probe})
 
 
+def q_cdc_neardup_index(spark, sf_dir):
+    """Incrementally-maintained MinHash/LSH near-dup index
+    (streaming/neardup.py): the signature table (key, band, bh) is seeded
+    once, then advanced per batch from base.diff(watermark) — recompute
+    touches ONLY changed keys, deletes drop their band rows, and the
+    consumed-version watermark rides the MERGE commit (exactly-once). The
+    oracle recomputes every signature from the FINAL base state: matching
+    it proves the incremental path converges to the full recompute."""
+    from .streaming.neardup import NearDupIndex
+
+    t_half, s_half = _halves(spark, sf_dir)
+    cat = _fresh_catalog(spark, "neardup")
+    base = cat.create_table("base", STATE_SCHEMA, n_buckets=8,
+                            bucket_key="user_id")
+    base.append(_lww(t_half))
+    idx = NearDupIndex(cat, base, "sigs", "user_id", "props")
+    s = s_half.withColumn(
+        "op", F.when(F.col("event_type") == "error",
+                     F.lit("D")).otherwise(F.lit("U")))
+    merge_apply(base, _lww(s, extra=["op"]), keys=["user_id"],
+                support_deletes=True)
+    if idx.sync() is None or idx.watermark() != base.current_version():
+        raise RuntimeError("near-dup index failed to advance")
+    return idx.sigs.read()
+
+
 def q_cdc_constraints(spark, sf_dir):
     """CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog; the
     reference validates config shape only, DatabricksOutputPlugin.java:
@@ -4025,6 +4051,7 @@ SPARK_QUERIES = {
     "cdc_add_files": q_cdc_add_files,
     "cdc_constraints": q_cdc_constraints,
     "cdc_token_lookup": q_cdc_token_lookup,
+    "cdc_neardup_index": q_cdc_neardup_index,
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
@@ -4178,6 +4205,20 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_constraints": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"
         ),
+        "cdc_neardup_index": f"""
+            WITH final AS ({_sql_merge(
+                _UPSERT_COLS,
+                where=("WHERE NOT (s.user_id IS NOT NULL "
+                       "AND s.event_type = 'error')"))}),
+                 sg AS (SELECT user_id,
+                               {P.sql_minhash('props', 16, 3)} AS sig
+                        FROM final)
+            SELECT user_id, CAST(b AS INTEGER) AS band,
+                   md5(b::VARCHAR || '#' ||
+                       array_to_string(list_slice(sig, b*4 + 1, b*4 + 4),
+                                       '|')) AS bh
+            FROM sg, range(0, 4) t(b)
+        """,
         "cdc_token_lookup": f"""
             SELECT user_id, ts_us,
                    [CAST((user_id % 4) * 1000 + user_id % 2 AS INTEGER),
