@@ -29,6 +29,9 @@ import sys
 import tempfile
 import time
 
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
 from embulk_output_databricks_spark.config import JobConfig
 from embulk_output_databricks_spark.session import build_session
 from embulk_output_databricks_spark.sources.laketable import LakeCatalog
@@ -330,6 +333,54 @@ def bench_incremental(spark, n_rows: int = 4_000_000, slices: int = 16,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_neardup(spark, n_docs: int = 200_000,
+                  change_every: int = 100) -> dict:
+    """Incremental near-dup index maintenance payoff: after a batch
+    touching n_docs/change_every docs, idx.sync() (diff -> minhash over
+    changed keys -> keyed MERGE) vs re-deriving the full signature table.
+    The md5-per-shingle digest dominates, so the win ~ the change ratio."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.streaming.neardup import (
+        NearDupIndex, signature_rows)
+
+    i = F.col("id")
+    words = [F.format_string(
+        "w%04d", F.pmod(i * 2654435761 + F.lit(j * 7919), F.lit(5000)))
+        for j in range(12)]
+    docs = (spark.range(n_docs)
+            .select(i.alias("user_id"),
+                    F.concat_ws(" ", *words).alias("props")))
+    work = tempfile.mkdtemp(prefix="bench_ndup_")
+    try:
+        cat = LakeCatalog(spark, work)
+        base = cat.create_table(
+            "base", T.StructType([T.StructField("user_id", T.LongType()),
+                                  T.StructField("props", T.StringType())]),
+            n_buckets=32, bucket_key="user_id")
+        base.append(docs)
+        t0 = time.perf_counter()
+        idx = NearDupIndex(cat, base, "sigs", "user_id", "props")
+        seed_s = round(time.perf_counter() - t0, 3)
+        upd = (docs.filter(F.pmod(F.col("user_id"),
+                                  F.lit(change_every)) == 0)
+               .withColumn("props", F.concat(F.col("props"),
+                                             F.lit(" changed batch"))))
+        merge_apply(base, upd, keys=["user_id"])
+        t0 = time.perf_counter()
+        idx.sync()
+        sync_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        (signature_rows(base.read(), "user_id", "props")
+         .write.format("noop").mode("overwrite").save())
+        full_s = round(time.perf_counter() - t0, 3)
+        return {"n_docs": n_docs, "changed": n_docs // change_every,
+                "seed_sec": seed_s, "sync_sec": sync_s,
+                "full_recompute_sec": full_s,
+                "speedup_vs_recompute": round(full_s / sync_s, 2)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_constraints(spark, n_events: int = 6_000_000,
                       n_batches: int = 3) -> dict:
     """CHECK-constraint cost on the ingest path: the identical MERGE replay
@@ -433,6 +484,7 @@ def main() -> None:
         retention = bench_retention(spark)
         incremental = bench_incremental(spark)
         constraints = bench_constraints(spark)
+        neardup = bench_neardup(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -449,6 +501,7 @@ def main() -> None:
             "retention": retention,
             "incremental": incremental,
             "constraints": constraints,
+            "neardup": neardup,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))

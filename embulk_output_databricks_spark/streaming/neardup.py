@@ -8,10 +8,17 @@ has no incremental story at all: README.md:50-69 "Resumable: No"). This
 module keeps a derived SIGNATURE table `(key, band, bh)` exactly in sync
 with its base table:
 
-    base.diff(watermark)             # I/U/D of changed keys ONLY
+    base.diff(watermark)             # I/U/D rows of changed keys
       -> signature_rows(I/U rows)    # recompute bands, O(changed)
        + one delete row per (D key, band)
       -> keyed MERGE into sigs       # (key, band) upserts / deletes
+
+Cost shape, honestly: diff() is a state compare (two snapshot reads +
+a bucket-co-partitioned join — narrow columns, no digests), while the
+EXPENSIVE stage — one md5 per shingle, k permutations per doc — runs
+only over the changed keys. Measured (bench.py `neardup` probe): the
+digest work dominates end-to-end, so sync() beats a from-scratch
+signature recompute by ~the change ratio.
 
 The consumed-version watermark rides the SAME snapshot commit as the
 MERGE (snapshot properties are atomic with the snapshot), so a crash
@@ -97,9 +104,10 @@ class NearDupIndex:
 
     def sync(self):
         """Advance the index to the base's current version; returns the new
-        sigs manifest, or None when already current. Cost O(changed keys):
-        the diff prunes IO by row lineage, the recompute touches only
-        changed rows, and the MERGE broadcast-plans small batches."""
+        sigs manifest, or None when already current. The shingle/minhash
+        digest work — the dominant cost — runs only over changed rows; the
+        diff itself is a narrow-column state compare, and the MERGE
+        broadcast-plans small batches."""
         upto, cur = self.watermark(), self.base.current_version()
         if cur <= upto:
             return None
