@@ -1358,6 +1358,36 @@ def q_cdc_kafka_roundtrip(spark, sf_dir):
     return _lww(parsed)
 
 
+def q_cdc_debezium_replay(spark, sf_dir):
+    """Debezium-envelope ingestion (sources/debezium.py): events encoded as
+    standard Debezium envelopes — 'd' records carry the BEFORE image,
+    upserts the AFTER image, JSON null-field elision exercised on both —
+    decoded back with one pure-JVM from_json projection, LWW-deduped, and
+    delete-winners dropped (the engine's merge-delete semantics). Oracle =
+    LWW over the raw events minus users whose winning event is an 'error'
+    (the rows encoded as deletes): equality proves the envelope round-trip
+    and the op mapping (c/r/u -> upsert, d -> delete) are lossless."""
+    from .operators.lww import lww_dedup
+    from .sources.debezium import encode_debezium, parse_debezium
+
+    ev = _events(spark, sf_dir).withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U"))
+    payload_cols = ["user_id", "ts_us", "event_id", "event_type", "value",
+                    "props"]
+    framed = encode_debezium(ev, payload_cols, op_col="op", lsn_col="ts_us")
+    parsed = parse_debezium(
+        framed, T.StructType([f for f in ev.schema.fields
+                              if f.name in payload_cols]))
+    winners = lww_dedup(parsed, keys=["user_id"], order=["ts_us", "event_id"])
+    return winners.filter(F.col("op") != "D").select(*_STATE_COLS)
+
+
+_SQL_DEBEZIUM = f"""
+SELECT user_id, ts_us, event_type, value, props FROM {_sql_lww()}
+WHERE event_type <> 'error'
+"""
+
+
 def q_cdc_tsv_ingest(spark, sf_dir):
     """Staged-TSV leg (ref B1/A4): events written in the reference's exact
     TSV dialect (\\N nulls, tab, quoted empty), scanned back as raw _cN
@@ -4081,6 +4111,7 @@ SPARK_QUERIES = {
     "cdc_default_values": q_cdc_default_values,
     "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_kafka_roundtrip": q_cdc_kafka_roundtrip,
+    "cdc_debezium_replay": q_cdc_debezium_replay,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_stateful_stream": q_cdc_stateful_stream,
     "cdc_tsv_ingest": q_cdc_tsv_ingest,
@@ -4175,6 +4206,7 @@ def _oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_latest": lww,
         "cdc_kafka_roundtrip": lww,
+        "cdc_debezium_replay": _SQL_DEBEZIUM,
         "cdc_multi_table": _SQL_MULTI_TABLE,
         "cdc_stateful_stream": f"SELECT user_id, ts_us, event_type FROM {_sql_lww()}",
         "cdc_tsv_ingest": _SQL_TSV_INGEST,
