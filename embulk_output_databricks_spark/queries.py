@@ -1358,6 +1358,60 @@ def q_cdc_kafka_roundtrip(spark, sf_dir):
     return _lww(parsed)
 
 
+def q_cdc_export_snapshot(spark, sf_dir):
+    """Plain-parquet snapshot export (LakeTable.export_snapshot — the
+    outbound twin of add_files): after a merge + MOR predicate delete, the
+    snapshot is materialized into a bare directory (clean files hardlinked,
+    delete-targeted files resolved and rewritten) and read back with
+    spark.read.parquet — no engine in the read path. Oracle = the merged
+    LWW state minus the deleted band: equality proves the export is a
+    faithful materialization including outstanding positional deletes."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "export_snap")
+    tbl.append(_lww(t_half))
+    # clean snapshot (plain appends, no lineage materialized): links only
+    clean = tbl.export_snapshot(f"{WORK_ROOT}/export_snap/{uuid.uuid4().hex}")
+    assert clean["rewritten_files"] == 0 and clean["linked"] > 0, clean
+    merge_apply(tbl, _lww(s_half), keys=["user_id"])
+    tbl.delete_where({"value": (150.0, None)}, mode="mor")
+    dest = f"{WORK_ROOT}/export_snap/{uuid.uuid4().hex}"
+    rec = tbl.export_snapshot(dest)
+    assert rec["rewritten_files"] > 0, rec  # posdel-targeted files resolved
+    return spark.read.parquet(dest).select(*_STATE_COLS)
+
+
+def q_cdc_export_sync(spark, sf_dir):
+    """Incremental export mirror (LakeTable.sync_export — the outbound twin
+    of changed_since): an export_snapshot directory is advanced across a
+    merge + MOR predicate delete by diffing export plans — links kept/added/
+    removed, rewrite artifacts re-resolved only when their fingerprint
+    (rest-file entries + delete sidecars + schema + keys) changed. Oracle =
+    same final state as cdc_export_snapshot: proves the SYNCED mirror equals
+    a from-scratch materialization, i.e. the diff path loses nothing."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "export_sync")
+    tbl.append(_lww(t_half))
+    dest = f"{WORK_ROOT}/export_sync/{uuid.uuid4().hex}"
+    rec0 = tbl.export_snapshot(dest)
+    assert rec0["linked"] > 0 and rec0["rewritten_files"] == 0, rec0
+    merge_apply(tbl, _lww(s_half), keys=["user_id"])
+    tbl.delete_where({"value": (150.0, None)}, mode="mor")
+    rec = tbl.sync_export(dest)
+    # merge rewrote the touched buckets and the posdel invalidated the rest
+    assert rec["rewritten_files"] > 0 and not rec["rewrite_reused"], rec
+    rec2 = tbl.sync_export(dest)  # idempotent: same version, nothing moves
+    assert rec2["rewrite_reused"] and rec2["linked_added"] == 0, rec2
+    return spark.read.parquet(dest).select(*_STATE_COLS)
+
+
+_EXPORT_FINAL_VALUE = (
+    "CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END")
+_SQL_EXPORT = _sql_merge(
+    _UPSERT_COLS,
+    where=f"WHERE NOT coalesce(({_EXPORT_FINAL_VALUE}) >= 150.0, false)",
+)
+
+
 def q_cdc_debezium_replay(spark, sf_dir):
     """Debezium-envelope ingestion (sources/debezium.py): events encoded as
     standard Debezium envelopes — 'd' records carry the BEFORE image,
@@ -4112,6 +4166,8 @@ SPARK_QUERIES = {
     "cdc_lineage_stats": q_cdc_lineage_stats,
     "cdc_kafka_roundtrip": q_cdc_kafka_roundtrip,
     "cdc_debezium_replay": q_cdc_debezium_replay,
+    "cdc_export_snapshot": q_cdc_export_snapshot,
+    "cdc_export_sync": q_cdc_export_sync,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_stateful_stream": q_cdc_stateful_stream,
     "cdc_tsv_ingest": q_cdc_tsv_ingest,
@@ -4207,6 +4263,8 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": lww,
         "cdc_kafka_roundtrip": lww,
         "cdc_debezium_replay": _SQL_DEBEZIUM,
+        "cdc_export_snapshot": _SQL_EXPORT,
+        "cdc_export_sync": _SQL_EXPORT,
         "cdc_multi_table": _SQL_MULTI_TABLE,
         "cdc_stateful_stream": f"SELECT user_id, ts_us, event_type FROM {_sql_lww()}",
         "cdc_tsv_ingest": _SQL_TSV_INGEST,

@@ -40,6 +40,7 @@ corrupting state.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -722,10 +723,22 @@ class LakeTable:
                 fs = _bloom_keep(m, fs, eq_filter)
             return fs
 
+        return _apply(self._resolve_files(m, files, with_row_ids=with_row_ids,
+                                          skip=_skip))
+
+    def _resolve_files(self, m: "Manifest", files: list[dict],
+                       with_row_ids: bool = False,
+                       skip=None) -> DataFrame:
+        """Resolved rows of an arbitrary live-data-file subset: applies the
+        MOR winner rule when `files` holds delta files, reads directly
+        otherwise. `skip` (optional) is a manifest-level pruner applied to
+        files the resolution provably does not need to join (the read()
+        stats/bloom skip hook). Shared by read() and export_snapshot()."""
+        if skip is None:
+            skip = lambda fs: fs  # noqa: E731
         deltas = [f for f in files if f.get("kind") == "delta"]
         if not deltas:
-            return _apply(self._df_for_files(m, _skip(files),
-                                             with_row_ids=with_row_ids))
+            return self._df_for_files(m, skip(files), with_row_ids=with_row_ids)
         from ..operators.lww import lww_dedup  # lazy: avoids module cycle
 
         keys = [k for k in (m.properties.get("merge_keys") or "").split(",") if k]
@@ -741,7 +754,7 @@ class LakeTable:
         # the same key hashes to different ids, so cross-spec base files are
         # conservatively dirty until compaction migrates them.
         clean, dirty_base = self._mor_split(m, files, deltas)
-        clean = _skip(clean)
+        clean = skip(clean)
         base = (
             self._df_for_files(m, dirty_base, with_row_ids=with_row_ids)
             .withColumn(_DSEQ_COL, F.lit(0).cast("bigint"))
@@ -754,9 +767,9 @@ class LakeTable:
         )
         resolved = winners.filter(F.col(_DOP_COL) != "D").drop(_DSEQ_COL, _DOP_COL)
         if not clean:
-            return _apply(resolved)
-        return _apply(self._df_for_files(m, clean, with_row_ids=with_row_ids)
-                      .unionByName(resolved))
+            return resolved
+        return (self._df_for_files(m, clean, with_row_ids=with_row_ids)
+                .unionByName(resolved))
 
     @staticmethod
     def _mor_split(m: Manifest, files: list[dict],
@@ -1420,6 +1433,191 @@ class LakeTable:
         props = dict(properties or {})
         props.setdefault("operation", "replace")
         return self._commit(base, new, props)
+
+    def export_snapshot(self, dest: str, version: int | None = None) -> dict:
+        """Materialize one snapshot as PLAIN parquet under `dest` — the
+        outbound twin of add_files, for consumers that speak parquet but not
+        this table format (training jobs read file lists, not catalogs; the
+        reference has no read/export story at all — it is a write-only
+        sink). Zero-copy where provably safe:
+
+          * a data file is HARDLINKED verbatim (copy fallback across
+            filesystems) iff its physical bytes already equal the resolved
+            current-schema rows: written at the CURRENT schema version (no
+            rename/widen/default projection pending), no materialized
+            lineage columns ("ridc"), not targeted by any outstanding
+            positional/equality delete, and not in a MOR-delta-dirty bucket;
+          * everything else — delta-dirty buckets, delete-targeted files,
+            old-schema files — is RESOLVED through the normal read path and
+            rewritten into `dest`.
+
+        At 10^10 scale a maintained table (compacted, deltas folded) exports
+        almost entirely by link: cost O(files) inode ops + O(dirty bytes),
+        never O(table bytes). Readers get `spark.read.parquet(dest)` ==
+        `table.read(version)` (checked by tests/test_export.py), plus an
+        `_export_manifest.json` recording provenance {table, version,
+        schema, linked, rewritten} for reproducible-training-run audits.
+        Returns {"linked": n, "rewritten_files": n, "rows": n, "dest": dest}.
+        """
+        m = self.manifest(version)
+        os.makedirs(dest, exist_ok=True)
+        if os.listdir(dest):
+            raise ValueError(f"export dest not empty: {dest}")
+        linked, rest, fp = self._export_plan(m)
+        for f in linked:
+            self._link_or_copy(os.path.join(self.root, f["path"]),
+                               os.path.join(dest, os.path.basename(f["path"])))
+        rewritten = self._export_rewrite(m, rest, dest)
+        return self._write_export_manifest(m, dest, linked, rewritten, fp,
+                                           version)
+
+    def _export_plan(self, m: "Manifest"):
+        """Split one snapshot's live files into (linked, rest, fingerprint):
+        `linked` export verbatim, `rest` must resolve through the read path.
+        The fingerprint hashes everything the REWRITTEN output depends on —
+        the full manifest entries of `rest` (incl. delta commit seq / spec),
+        every delete sidecar entry, the projected schema and merge keys — so
+        sync_export can prove the previous rewrite artifacts are still
+        byte-valid and skip re-resolving them."""
+        live = _live_data(m.files)
+        deltas = [f for f in live if f.get("kind") == "delta"]
+        clean, _dirty = (self._mor_split(m, live, deltas) if deltas
+                         else (live, []))
+        posdel_targets = set().union(
+            *(p["targets"] for p in _posdel_entries(m.files))) \
+            if _posdel_entries(m.files) else set()
+        eqdel_targets = set().union(
+            *(e["targets"] for e in _eqdel_entries(m.files))) \
+            if _eqdel_entries(m.files) else set()
+
+        def _linkable(f: dict) -> bool:
+            return (f.get("kind") != "delta"
+                    and f["sv"] == m.current_sv
+                    and not f.get("ridc")
+                    and os.path.basename(f["path"]) not in posdel_targets
+                    and os.path.basename(f["path"]) not in eqdel_targets)
+
+        linked = [f for f in clean if _linkable(f)]
+        linked_set = {f["path"] for f in linked}
+        rest = [f for f in live if f["path"] not in linked_set]
+        basis = {
+            "rest": sorted((json.dumps(f, sort_keys=True) for f in rest)),
+            "sidecars": sorted(
+                json.dumps(f, sort_keys=True)
+                for f in _posdel_entries(m.files) + _eqdel_entries(m.files)),
+            "schema": m.schema().simpleString(),
+            "merge_keys": m.properties.get("merge_keys", ""),
+        }
+        fp = hashlib.sha256(
+            json.dumps(basis, sort_keys=True).encode()).hexdigest()
+        return linked, rest, fp
+
+    @staticmethod
+    def _link_or_copy(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    def _export_rewrite(self, m: "Manifest", rest: list[dict],
+                        dest: str) -> int:
+        """Resolve `rest` through the read path and land the rows in `dest`
+        as `rewrite-*.parquet`; returns the file count."""
+        if not rest:
+            return 0
+        rewritten = 0
+        tmp = os.path.join(dest, "_rewrite")
+        self._resolve_files(m, rest).write.parquet(tmp)
+        for fn in os.listdir(tmp):
+            if fn.endswith(".parquet"):
+                os.replace(os.path.join(tmp, fn),
+                           os.path.join(dest, f"rewrite-{fn}"))
+                rewritten += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        return rewritten
+
+    def _write_export_manifest(self, m: "Manifest", dest: str,
+                               linked: list[dict], rewritten: int,
+                               fp: str, version: int | None) -> dict:
+        rec = {
+            "table": self.name,
+            "version": m.version,
+            "schema": m.schema().simpleString(),
+            "linked": len(linked),
+            "rewritten_files": rewritten,
+            "rows": self.row_count(version),
+            "dest": dest,
+            "linked_files": sorted(os.path.basename(f["path"])
+                                   for f in linked),
+            "rewrite_fp": fp,
+        }
+        with open(os.path.join(dest, "_export_manifest.json"), "w") as fh:
+            json.dump(rec, fh, indent=1)
+        return rec
+
+    def sync_export(self, dest: str, version: int | None = None) -> dict:
+        """Advance an existing export_snapshot directory to a newer snapshot
+        at O(changed files) cost — the outbound twin of changed_since, and
+        the mirror-maintenance story export_snapshot alone lacks (a nightly
+        full re-export of a 100 TB corpus is the anti-pattern; the reference
+        can only ever reload everything, README.md:58-61). Diff-driven:
+
+          * linked files present in both plans are KEPT (no inode op);
+          * linked files the new snapshot dropped (compacted, deleted,
+            rewritten) are UNLINKED from `dest`;
+          * newly linkable files are hardlinked in;
+          * the rewrite artifacts (resolved MOR/delete/old-schema rows) are
+            reused verbatim iff the recorded rewrite fingerprint — a hash
+            over the rest-file manifest entries, delete sidecars, projected
+            schema, and merge keys — is unchanged; otherwise they are
+            deleted and re-resolved.
+
+        On an append-mostly maintained table a sync is pure links of the
+        new files: zero data IO. Readers of `dest` between syncs see the
+        previous consistent snapshot (files are replaced, never mutated
+        in place). Returns {"kept","linked_added","removed",
+        "rewritten_files","rows","version",...} and refreshes
+        `_export_manifest.json`.
+        """
+        mf_path = os.path.join(dest, "_export_manifest.json")
+        if not os.path.exists(mf_path):
+            raise ValueError(
+                f"no _export_manifest.json in {dest}: run export_snapshot")
+        with open(mf_path) as fh:
+            prev = json.load(fh)
+        if prev.get("table") != self.name:
+            raise ValueError(
+                f"export dir belongs to table {prev.get('table')!r}, "
+                f"not {self.name!r}")
+        if "linked_files" not in prev or "rewrite_fp" not in prev:
+            raise ValueError("export manifest predates sync support: "
+                             "re-run export_snapshot")
+        m = self.manifest(version)
+        linked, rest, fp = self._export_plan(m)
+        new_names = {os.path.basename(f["path"]): f for f in linked}
+        old_names = set(prev["linked_files"])
+        removed = sorted(old_names - set(new_names))
+        added = sorted(set(new_names) - old_names)
+        for name in removed:
+            os.remove(os.path.join(dest, name))
+        for name in added:
+            self._link_or_copy(
+                os.path.join(self.root, new_names[name]["path"]),
+                os.path.join(dest, name))
+        rewrite_reused = (fp == prev["rewrite_fp"])
+        if rewrite_reused:
+            rewritten = prev["rewritten_files"]
+        else:
+            for fn in os.listdir(dest):
+                if fn.startswith("rewrite-") and fn.endswith(".parquet"):
+                    os.remove(os.path.join(dest, fn))
+            rewritten = self._export_rewrite(m, rest, dest)
+        rec = self._write_export_manifest(m, dest, linked, rewritten, fp,
+                                          version)
+        rec.update({"kept": len(old_names & set(new_names)),
+                    "linked_added": len(added), "removed": len(removed),
+                    "rewrite_reused": rewrite_reused})
+        return rec
 
     def add_files(self, paths, properties: dict | None = None) -> Manifest:
         """Register EXISTING parquet files with a metadata-only commit — no
