@@ -333,6 +333,67 @@ def bench_incremental(spark, n_rows: int = 4_000_000, slices: int = 16,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_export(spark, n_rows: int = 4_000_000, slices: int = 16,
+                 n_buckets: int = 8) -> dict:
+    """Export-mirror maintenance payoff (sync_export vs re-export): a
+    consumer keeps a plain-parquet mirror of a table with MOR position
+    deletes outstanding (every file posdel-targeted, so the export's
+    rewrite leg must resolve the whole table). After one more clean
+    append, advancing the mirror is a plan diff — hardlink the new files,
+    prove via the rewrite fingerprint that the resolved artifacts are
+    still byte-valid, touch no data — while a naive re-export re-resolves
+    every dirty byte again. Ratio = O(changed files) vs O(dirty bytes);
+    on a 100 TB unmaintained table the latter is a full read+write pass."""
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    work = tempfile.mkdtemp(prefix="bench_exp_")
+    try:
+        cat = LakeCatalog(spark, work)
+        step = n_rows // slices
+        t = None
+        for i in range(slices - 1):
+            sl = synth_binlog(spark, step, n_rows // 4, n_rows,
+                              start=i * step, delete_frac=0.0, partitions=16) \
+                .select("seq_lsn", "doc_id", "n_tok", "source")
+            if t is None:
+                t = cat.create_table("exp", sl.schema, n_buckets=n_buckets,
+                                     bucket_key="doc_id",
+                                     properties={"merge_keys": "doc_id"})
+            t.append(sl)
+        # posdel a thin doc_id band: ~0.4% of rows, but every file's bounds
+        # straddle it, so ALL existing files become rewrite-leg dirty
+        t.delete_where({"doc_id": ("doc00000000", "doc00000999")}, mode="mor")
+        mirror = os.path.join(work, "mirror")
+        t0 = time.perf_counter()
+        seeded = t.export_snapshot(mirror)
+        seed_s = time.perf_counter() - t0
+        assert seeded["rewritten_files"] > 0 and seeded["linked"] == 0, seeded
+        t.append(synth_binlog(spark, step, n_rows // 4, n_rows,
+                              start=(slices - 1) * step, delete_frac=0.0,
+                              partitions=16)
+                 .select("seq_lsn", "doc_id", "n_tok", "source"))
+        t0 = time.perf_counter()
+        rec = t.sync_export(mirror)
+        sync_s = time.perf_counter() - t0
+        assert rec["rewrite_reused"] and rec["linked_added"] > 0, rec
+        t0 = time.perf_counter()
+        full = t.export_snapshot(os.path.join(work, "mirror_full"))
+        full_s = time.perf_counter() - t0
+        n_mirror = spark.read.parquet(mirror).count()
+        assert n_mirror == full["rows"], (n_mirror, full["rows"])
+        return {
+            "dirty_rows_resolved_by_full": n_rows - step,
+            "files_linked_by_sync": rec["linked_added"],
+            "seed_export_s": round(seed_s, 3),
+            "sync_s": round(sync_s, 3),
+            "full_reexport_s": round(full_s, 3),
+            "speedup": round(full_s / sync_s, 2) if sync_s else None,
+            "rows": n_mirror,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_neardup(spark, n_docs: int = 200_000,
                   change_every: int = 100) -> dict:
     """Incremental near-dup index maintenance payoff: after a batch
@@ -485,6 +546,7 @@ def main() -> None:
         incremental = bench_incremental(spark)
         constraints = bench_constraints(spark)
         neardup = bench_neardup(spark)
+        export = bench_export(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -502,6 +564,7 @@ def main() -> None:
             "incremental": incremental,
             "constraints": constraints,
             "neardup": neardup,
+            "export": export,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))
