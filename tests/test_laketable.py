@@ -389,3 +389,33 @@ def test_maintain_policy_pass(spark, warehouse):
     assert rep["expire"]["snapshots_dropped"] >= 1
     assert {r["doc_id"] for r in t.read().collect()} == state | {
         f"doc{i:08d}" for i in range(100, 105)}
+
+
+def test_write_compression_property(spark, warehouse):
+    import pyarrow.parquet as pq
+    import os
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("sequences", SEQUENCES_SCHEMA, n_buckets=2,
+                         bucket_key="doc_id")
+    t.append(seq_rows(spark, range(500)))
+    with pytest.raises(ValueError, match="unknown codec"):
+        t.set_write_compression("brotli9000")
+    files_before = {f["path"] for f in t.manifest().files}
+    t.set_write_compression("snappy")  # metadata-only: no file touched
+    assert {f["path"] for f in t.manifest().files} == files_before
+    t.append(seq_rows(spark, range(500, 1000)))
+
+    def codec_of(path):
+        md = pq.ParquetFile(os.path.join(t.root, path)).metadata
+        return md.row_group(0).column(0).compression
+
+    codecs = {f["path"]: codec_of(f["path"]) for f in t.manifest().files}
+    assert {codecs[p] for p in files_before} == {"ZSTD"}  # zstd default
+    assert {c for p, c in codecs.items() if p not in files_before} == {"SNAPPY"}
+    # readers are codec-agnostic across the mixed table
+    assert t.row_count() == 1000
+    # compaction migrates the old zstd files to the current codec
+    assert t.compact(min_files_per_bucket=1) is not None
+    assert {codec_of(f["path"]) for f in t.manifest().files} == {"SNAPPY"}
+    assert t.row_count() == 1000
