@@ -394,6 +394,80 @@ def bench_export(spark, n_rows: int = 4_000_000, slices: int = 16,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_spj(spark, n_rows: int = 3_000_000, n_buckets: int = 32) -> dict:
+    """Storage-partitioned join payoff (operators/spj.py): fact-JOIN-fact
+    over two LakeTables co-bucketed on doc_id, token-array payloads on
+    BOTH sides. The ordinary plan shuffles both payloads across the
+    cluster (at 100 TB the shuffle bytes ARE the corpus); the SPJ plan
+    exchanges only n_buckets metadata rows — one Arrow task per bucket
+    reads its bucket's parquet and joins locally in Acero, payloads
+    gathered by index after the key join. Same rows out, zero data
+    shuffle; parallelism == n_buckets."""
+    from embulk_output_databricks_spark.operators.spj import (
+        bucket_join,
+        spj_eligibility,
+    )
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    work = tempfile.mkdtemp(prefix="bench_spj_")
+    try:
+        cat = LakeCatalog(spark, work)
+
+        def corpus(lo: int, hi: int):
+            return spark.range(lo, hi, 1, 32).select(
+                F.format_string("doc%011d", F.col("id")).alias("doc_id"),
+                F.sequence(
+                    F.lit(0), (F.pmod(F.col("id"), F.lit(57)) + F.lit(8))
+                    .cast("int")).alias("tokens"),
+                (F.pmod(F.col("id"), F.lit(57)) + F.lit(9))
+                .cast("int").alias("n_tok"),
+                F.lit("synth:spj").alias("source"))
+
+        schema = corpus(0, 1).schema
+        lt = cat.create_table("l", schema, n_buckets=n_buckets,
+                              bucket_key="doc_id")
+        rt = cat.create_table("r", schema, n_buckets=n_buckets,
+                              bucket_key="doc_id")
+        lt.append(corpus(0, n_rows))  # right overlaps the upper half
+        rt.append(corpus(n_rows // 2, n_rows // 2 + n_rows))
+        assert spj_eligibility(lt, "doc_id") is None
+        assert spj_eligibility(rt, "doc_id") is None
+
+        def spj_df():
+            return bucket_join(lt, rt, on="doc_id", fallback=False,
+                               left_columns=["tokens", "n_tok"],
+                               right_columns=["tokens", "n_tok"])
+
+        def shuffled_df():
+            lf = lt.read().select("doc_id", "tokens", "n_tok")
+            rf = rt.read().select(
+                "doc_id", F.col("tokens").alias("tokens_r"),
+                F.col("n_tok").alias("n_tok_r"))
+            return lf.join(rf, on="doc_id", how="inner")
+
+        # warm both paths (python workers, page cache) + row-count parity
+        n_spj, n_shuf = spj_df().count(), shuffled_df().count()
+        assert n_spj == n_shuf == n_rows // 2, (n_spj, n_shuf)
+        t0 = time.perf_counter()
+        spj_df().write.format("noop").mode("overwrite").save()
+        spj_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        shuffled_df().write.format("noop").mode("overwrite").save()
+        shuf_s = time.perf_counter() - t0
+        plan = spj_df()._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        return {
+            "rows_per_side": n_rows,
+            "rows_joined": n_spj,
+            "n_buckets": n_buckets,
+            "shuffled_join_s": round(shuf_s, 3),
+            "spj_s": round(spj_s, 3),
+            "speedup": round(shuf_s / spj_s, 2) if spj_s else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_neardup(spark, n_docs: int = 200_000,
                   change_every: int = 100) -> dict:
     """Incremental near-dup index maintenance payoff: after a batch
@@ -547,6 +621,7 @@ def main() -> None:
         constraints = bench_constraints(spark)
         neardup = bench_neardup(spark)
         export = bench_export(spark)
+        spj = bench_spj(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -565,6 +640,7 @@ def main() -> None:
             "constraints": constraints,
             "neardup": neardup,
             "export": export,
+            "spj": spj,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))

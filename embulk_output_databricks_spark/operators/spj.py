@@ -1,0 +1,248 @@
+"""Storage-partitioned join: join two co-bucketed LakeTables with ZERO
+data shuffle (Iceberg storage-partitioned-join / Spark SPJ analog).
+
+The reference's only join is the MERGE equi-join it ships to Databricks
+(DatabricksOutputConnection.java:180-232); it has no table-to-table read
+story at all. At 100 TB the dominant cost of `fact JOIN fact ON key` is
+shuffling BOTH payloads across the cluster — for token-array payloads the
+shuffle bytes are the corpus itself. But both LakeTables already persist
+their rows hash-bucketed on the key (bucket_expr: pmod(xxhash64(key), n)),
+so equal keys provably live in the same bucket id on both sides: the join
+decomposes into n_buckets independent bucket-local joins with no exchange
+of data at all.
+
+Vanilla open-source Spark can only exploit this through catalog bucketed
+tables (DSv1 `bucketBy`) or a DSv2 connector that reports its output
+partitioning — neither is reachable for our manifest-managed parquet from
+Python. So the operator builds the physical SPJ plan itself:
+
+  * driver: pair up each bucket's file groups from the two manifests —
+    a metadata-only plan of n_buckets rows (bucket, left paths, right
+    paths), pruning buckets the join type makes irrelevant (inner: either
+    side empty; left: left empty);
+  * executors: `mapInArrow` over the plan, one task per bucket — each
+    task reads ONLY its bucket's parquet (column-pruned at the footer)
+    and joins locally with Acero's C++ hash join (pa.Table.join, SQL
+    null-key semantics: NULL matches nothing, exactly like Spark's
+    equi-join).
+
+Acero refuses nested payload columns (list/struct/map) inside a join, and
+token arrays are our core payload — so the join itself only ever sees
+(keys, row_index) per side, and every payload column (nested or scalar)
+is gathered afterwards with one vectorized `take` per column. That also
+means join memory is O(bucket keys), not O(bucket bytes).
+
+The only Exchange in the physical plan is the round-robin of the
+n_buckets PLAN rows (pure metadata); tests/test_spj.py asserts exactly
+that. Shuffle bytes for the data: zero. Scale: parallelism == n_buckets
+(rebucket() the tables to re-size it), per-task memory == one bucket of
+each side — the same contract Spark's own SPJ imposes.
+
+Fast-path eligibility (checked per side; `fallback=True` degrades to the
+ordinary shuffled `read().join(read())` so callers are never wrong,
+`fallback=False` raises with the reason):
+  * the table is bucketed on the join key, with the SAME key column
+    name, Spark type, and n_buckets on both sides (same hash => same
+    bucket id for equal keys);
+  * every live file sits under the current bucket spec (no pending
+    rebucket migration, no unbucketed add_files imports);
+  * no outstanding merge-on-read state: delta files, positional- or
+    equality-delete sidecars (their resolution is a keyed shuffle by
+    design — `maintain()` folds them away, restoring the fast path);
+  * every live file is at the current schema version (compact() migrates
+    stragglers; renames/widens would otherwise need per-file projection
+    inside the task).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.laketable import (
+    LakeTable,
+    _eqdel_entries,
+    _file_nb,
+    _live_data,
+    _posdel_entries,
+)
+
+_JOIN_TYPES = {"inner": "inner", "left": "left outer", "full": "full outer"}
+
+
+def spj_eligibility(table: LakeTable, key: str) -> str | None:
+    """None if `table` qualifies for the zero-shuffle fast path on `key`,
+    else a human-readable disqualification reason."""
+    m = table.manifest()
+    if m.bucket_key != key:
+        return f"{table.name}: bucketed on {m.bucket_key!r}, join key {key!r}"
+    if _posdel_entries(m.files) or _eqdel_entries(m.files):
+        return f"{table.name}: outstanding delete sidecars (run maintain())"
+    live = _live_data(m.files)
+    if any(f.get("kind") == "delta" for f in live):
+        return f"{table.name}: outstanding MOR delta files (run maintain())"
+    if any(_file_nb(m, f) != m.n_buckets for f in live):
+        return f"{table.name}: files under an old bucket spec (run compact())"
+    if any(f["sv"] != m.current_sv for f in live):
+        return f"{table.name}: files at old schema versions (run compact())"
+    return None
+
+
+def bucket_join(
+    left: LakeTable,
+    right: LakeTable,
+    on: str,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    suffix: str = "_r",
+    fallback: bool = True,
+    batch_rows: int = 1 << 16,
+) -> DataFrame:
+    """Equi-join two LakeTables on their shared bucket key without
+    shuffling a byte of data (see module docstring). `left_columns` /
+    `right_columns` project payloads (the key is always included) —
+    pruned at the parquet footer, never read. Right payload columns whose
+    name collides with a left output column get `suffix`."""
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how={how!r}; one of {sorted(_JOIN_TYPES)}")
+    spark = left.spark
+
+    reason = spj_eligibility(left, on) or spj_eligibility(right, on)
+    if reason is not None:
+        if not fallback:
+            raise ValueError(f"bucket_join fast path unavailable: {reason}")
+        lf = left.read().select(on, *_payload(left, on, left_columns))
+        rf = right.read().select(on, *_payload(right, on, right_columns))
+        for c in rf.columns:
+            if c != on and c in lf.columns:
+                rf = rf.withColumnRenamed(c, c + suffix)
+        return lf.join(rf, on=on, how=how)
+
+    ml, mr = left.manifest(), right.manifest()
+    ltype = next(f["type"] for f in ml.schema_version.fields if f["name"] == on)
+    rtype = next(f["type"] for f in mr.schema_version.fields if f["name"] == on)
+    if ltype != rtype:
+        raise ValueError(
+            f"join key type mismatch: {left.name}.{on}:{ltype} vs "
+            f"{right.name}.{on}:{rtype} (xxhash64 buckets differ by type)")
+    if ml.n_buckets != mr.n_buckets:
+        raise ValueError(
+            f"bucket count mismatch: {left.name}={ml.n_buckets} vs "
+            f"{right.name}={mr.n_buckets} (rebucket() one side)")
+
+    lpay = _payload(left, on, left_columns)
+    rpay = _payload(right, on, right_columns)
+
+    # output schema: key, left payload, right payload (suffix collisions)
+    lfields = {f["name"]: f for f in ml.schema_version.fields}
+    rfields = {f["name"]: f for f in mr.schema_version.fields}
+    taken = {on, *lpay}
+    rout = []
+    for c in rpay:
+        name = c + suffix if c in taken else c
+        taken.add(name)
+        rout.append((c, name))
+    out_schema = T.StructType(
+        [_sfield(lfields[on])]
+        + [_sfield(lfields[c]) for c in lpay]
+        + [_sfield(rfields[c], rename=name) for c, name in rout]
+    )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    out_arrow = to_arrow_schema(out_schema)
+    l_arrow = to_arrow_schema(T.StructType(
+        [_sfield(lfields[c]) for c in [on, *lpay]]))
+    r_arrow = to_arrow_schema(T.StructType(
+        [_sfield(rfields[c]) for c in [on, *rpay]]))
+
+    lgroups = _by_bucket(left, ml)
+    rgroups = _by_bucket(right, mr)
+    plan_rows = []
+    for b in sorted(set(lgroups) | set(rgroups)):
+        lp, rp = lgroups.get(b, []), rgroups.get(b, [])
+        if how == "inner" and (not lp or not rp):
+            continue
+        if how == "left" and not lp:
+            continue
+        plan_rows.append((b, lp, rp))
+    plan_schema = T.StructType([
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("lpaths", T.ArrayType(T.StringType())),
+        T.StructField("rpaths", T.ArrayType(T.StringType())),
+    ])
+    if not plan_rows:
+        return spark.createDataFrame([], out_schema)
+
+    join_type = _JOIN_TYPES[how]
+    rrenames = dict(rout)
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        def side(paths, schema, cols):
+            if not paths:
+                return schema.empty_table()
+            t = pq.read_table(list(paths), columns=[on, *cols])
+            return t.select([on, *cols]).cast(schema)
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                lt = side(row["lpaths"], l_arrow, lpay)
+                rt = side(row["rpaths"], r_arrow, rpay)
+                # join sees only (key, row index): Acero rejects nested
+                # payloads, and this keeps join memory O(keys) anyway
+                li = pa.table({on: lt[on],
+                               "__li": pa.array(range(len(lt)), pa.int64())})
+                ri = pa.table({on: rt[on],
+                               "__ri": pa.array(range(len(rt)), pa.int64())})
+                j = li.join(ri, keys=on, join_type=join_type,
+                            coalesce_keys=True)
+                cols = {out_arrow.field(0).name: j[on].combine_chunks()}
+                liv = j["__li"].combine_chunks()
+                riv = j["__ri"].combine_chunks()
+                for c in lpay:
+                    cols[c] = pc.take(lt[c].combine_chunks(), liv)
+                for c in rpay:
+                    cols[rrenames[c]] = pc.take(rt[c].combine_chunks(), riv)
+                out = pa.table(cols).cast(out_arrow)
+                yield from out.to_batches(max_chunksize=batch_rows)
+
+    plan = spark.createDataFrame(plan_rows, plan_schema)
+    # one bucket per task: the repartition moves n_buckets METADATA rows —
+    # the only Exchange in the whole plan
+    return plan.repartition(len(plan_rows)).mapInArrow(run, out_schema)
+
+
+def _payload(table: LakeTable, on: str, columns: list[str] | None) -> list[str]:
+    names = [f["name"] for f in table.manifest().schema_version.fields]
+    if columns is None:
+        return [c for c in names if c != on]
+    missing = set(columns) - set(names)
+    if missing:
+        raise ValueError(f"{table.name}: unknown columns {sorted(missing)}")
+    return [c for c in columns if c != on]
+
+
+def _sfield(f: dict, rename: str | None = None) -> T.StructField:
+    return T.StructField(rename or f["name"],
+                         _parse_type(f["type"]), nullable=True)
+
+
+def _parse_type(s: str) -> T.DataType:
+    from embulk_output_databricks_spark.sources.laketable import _type_of
+
+    return _type_of(s)
+
+
+def _by_bucket(table: LakeTable, m) -> dict[int, list[str]]:
+    groups: dict[int, list[str]] = defaultdict(list)
+    for f in _live_data(m.files):
+        groups[f["bucket"]].append(os.path.join(table.root, f["path"]))
+    return dict(groups)

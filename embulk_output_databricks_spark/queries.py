@@ -3075,6 +3075,48 @@ def _sql_text_pipeline() -> str:
     """
 
 
+def q_cdc_bucket_join(spark, sf_dir):
+    """Storage-partitioned join (operators/spj.py; Iceberg SPJ / Spark
+    bucketed-join analog — the reference's only join is the MERGE equi-join
+    it ships to Databricks, DatabricksOutputConnection.java:180-232): two
+    LakeTables co-bucketed on user_id join with ZERO data shuffle. The
+    driver pairs each bucket's file groups (a metadata-only plan of
+    n_buckets rows) and one Arrow task per bucket reads only its bucket's
+    parquet and joins locally. At 100 TB the shuffle bytes of
+    `fact JOIN fact` are the corpus itself; co-located layout makes them
+    zero. Both the fast-path eligibility and the shuffle-free plan (the
+    only Exchange moves the metadata rows) are asserted below; values must
+    equal the plain SQL join of the two LWW halves."""
+    from .operators.spj import bucket_join, spj_eligibility
+
+    t_half, s_half = _halves(spark, sf_dir)
+    cat = _fresh_catalog(spark, "bucket_join")
+    lt = cat.create_table("t", STATE_SCHEMA, n_buckets=8,
+                          bucket_key="user_id")
+    rt = cat.create_table("s", STATE_SCHEMA, n_buckets=8,
+                          bucket_key="user_id")
+    lt.append(_lww(t_half))
+    rt.append(_lww(s_half))
+    assert spj_eligibility(lt, "user_id") is None
+    assert spj_eligibility(rt, "user_id") is None
+    out = bucket_join(
+        lt, rt, on="user_id", how="inner", fallback=False,
+        left_columns=["ts_us", "event_type", "value", "props"],
+        right_columns=["ts_us", "event_type"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if plan.count("Exchange") != 1 or "Join" in plan:
+        raise RuntimeError(f"bucket join shuffled data:\n{plan}")
+    return out
+
+
+_SQL_BUCKET_JOIN = f"""
+SELECT t.user_id, t.ts_us, t.event_type, t.value, t.props,
+       s.ts_us AS ts_us_r, s.event_type AS event_type_r
+FROM {_sql_lww("event_id % 2 = 0")} t
+JOIN {_sql_lww("event_id % 2 = 1")} s ON t.user_id = s.user_id
+"""
+
+
 def q_cdc_snapshot_diff(spark, sf_dir):
     """Strategy-agnostic snapshot diff (CDC *out*): resolved state at v1 vs
     v2 full-outer-joined on the merge key, classified I/U/D — works across
@@ -4226,6 +4268,7 @@ SPARK_QUERIES = {
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_chunked_batch": q_cdc_chunked_batch,
     "cdc_rebucket": q_cdc_rebucket,
+    "cdc_bucket_join": q_cdc_bucket_join,
     "cdc_fence_antijoin": q_cdc_fence_antijoin,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_read": q_cdc_incremental_read,
@@ -4670,6 +4713,7 @@ def _oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "cdc_bucket_join": _SQL_BUCKET_JOIN,
         "events_sliding": _SQL_SLIDING,
         "events_quantiles": _SQL_QUANTILES,
         "regional_revenue": _SQL_REGIONAL,

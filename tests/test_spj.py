@@ -1,0 +1,167 @@
+"""Storage-partitioned join (operators/spj.py): correctness vs the plain
+shuffled join, zero-shuffle plan shape, nested payloads through the
+Acero-side key/index join, and every eligibility gate falling back (or
+raising) exactly when the manifest says the fast path is unsound.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_databricks_spark.operators.spj import (
+    bucket_join,
+    spj_eligibility,
+)
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+L_SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+])
+R_SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("v", T.DoubleType()),
+])
+
+
+def _pair(spark, warehouse, n_buckets=4, rn_buckets=None, lrows=None,
+          rrows=None):
+    cat = LakeCatalog(spark, warehouse)
+    left = cat.create_table("l", L_SCHEMA, n_buckets=n_buckets,
+                            bucket_key="k")
+    right = cat.create_table("r", R_SCHEMA,
+                             n_buckets=rn_buckets or n_buckets,
+                             bucket_key="k")
+    if lrows is None:
+        lrows = [(i, f"l{i}", [i, i + 1, i + 2]) for i in range(40)] + \
+                [(None, "lnull", [0])]
+    if rrows is None:
+        # keys 20..59: half overlap; tags deliberately collide with left's
+        rrows = [(i + 20, f"l{i}", float(i)) for i in range(40)] + \
+                [(None, "rnull", -1.0)]
+    left.append(spark.createDataFrame(lrows, L_SCHEMA))
+    right.append(spark.createDataFrame(rrows, R_SCHEMA))
+    return left, right
+
+
+def _reference(left, right, how):
+    lf = left.read()
+    rf = right.read().withColumnRenamed("tag", "tag_r")
+    return lf.join(rf, on="k", how=how)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r[c] if not isinstance(r[c], list) else tuple(r[c])
+               for c in sorted(df.columns)) for r in df.collect()),
+        key=repr)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_matches_shuffled_join(spark, warehouse, how):
+    left, right = _pair(spark, warehouse)
+    assert spj_eligibility(left, "k") is None
+    assert spj_eligibility(right, "k") is None
+    got = bucket_join(left, right, on="k", how=how, fallback=False)
+    want = _reference(left, right, how)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got) == _rows(want)
+
+
+def test_null_keys_match_nothing(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    inner = bucket_join(left, right, on="k", fallback=False)
+    assert inner.filter(F.col("k").isNull()).count() == 0
+    full = bucket_join(left, right, on="k", how="full", fallback=False)
+    # both null rows survive a full join, unmatched
+    assert full.filter(F.col("k").isNull()).count() == 2
+
+
+def test_nested_payload_survives(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    got = bucket_join(left, right, on="k", fallback=False,
+                      left_columns=["tokens"], right_columns=["v"])
+    want = {(r["k"], r["v"]): r["tokens"] for r in
+            _reference(left, right, "inner")
+            .select("k", "v", "tokens").collect()}
+    out = {(r["k"], r["v"]): r["tokens"] for r in got.collect()}
+    assert out == want and any(len(t) == 3 for t in out.values())
+
+
+def test_single_metadata_exchange_no_join_node(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    out = bucket_join(left, right, on="k", fallback=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"{bad} leaked into SPJ plan:\n{plan}"
+    # the only Exchange is the round-robin of n_buckets metadata rows
+    assert plan.count("Exchange") == 1, plan
+    assert "roundrobin" in plan.lower(), plan
+
+
+def test_projection_and_suffix(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    got = bucket_join(left, right, on="k", fallback=False,
+                      left_columns=["tag"], right_columns=["tag", "v"])
+    assert got.columns == ["k", "tag", "tag_r", "v"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        bucket_join(left, right, on="k", left_columns=["nope"])
+
+
+def test_bucket_count_mismatch_raises(spark, warehouse):
+    left, right = _pair(spark, warehouse, rn_buckets=8)
+    with pytest.raises(ValueError, match="bucket count mismatch"):
+        bucket_join(left, right, on="k", fallback=False)
+
+
+def test_wrong_key_falls_back_correctly(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    assert "bucketed on" in spj_eligibility(left, "tag")
+    with pytest.raises(ValueError, match="fast path unavailable"):
+        bucket_join(left, right, on="tag", fallback=False)
+    got = bucket_join(left, right, on="tag")  # fallback path
+    assert got.count() == 40  # right tags l0..l39 all hit left's
+    assert "k_r" in got.columns  # collision suffix applied in fallback too
+
+
+def test_mor_and_sidecar_state_disqualify(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    right.append_delta(
+        spark.createDataFrame([(20, "upd", 99.0)], R_SCHEMA),
+        merge_keys=["k"])
+    assert "MOR delta" in spj_eligibility(right, "k")
+    # fallback resolves the delta winner like any read
+    got = bucket_join(left, right, on="k")
+    r20 = got.filter(F.col("k") == 20).select("tag_r", "v").collect()
+    assert {(r["tag_r"], r["v"]) for r in r20} == {("upd", 99.0)}
+
+    left.delete_where({"k": (20, 25)}, mode="mor")
+    assert "delete sidecars" in spj_eligibility(left, "k")
+    # force every maintenance action so both fast paths are restored
+    left.maintain(max_files_per_bucket=0, max_delta_files=0,
+                  max_posdel_files=0)
+    right.maintain(max_files_per_bucket=0, max_delta_files=0,
+                   max_posdel_files=0)
+    assert spj_eligibility(left, "k") is None
+    assert spj_eligibility(right, "k") is None
+    fast = bucket_join(left, right, on="k", fallback=False)
+    assert fast.filter(F.col("k").between(20, 25)).count() == 0
+    assert {(r["tag_r"], r["v"]) for r in
+            fast.filter(F.col("k") == 26).select("tag_r", "v").collect()
+            } == {("l6", 6.0)}
+
+
+def test_schema_evolution_disqualifies_until_compact(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    left.add_column("extra", "int", default=7)
+    assert "old schema versions" in spj_eligibility(left, "k")
+    got = bucket_join(left, right, on="k")  # fallback, default visible
+    assert got.filter(F.col("extra") != 7).count() == 0
+    left.compact(min_files_per_bucket=1)
+    assert spj_eligibility(left, "k") is None
+    fast = bucket_join(left, right, on="k", fallback=False)
+    assert fast.filter(F.col("extra") != 7).count() == 0
+    assert _rows(fast) == _rows(got)
