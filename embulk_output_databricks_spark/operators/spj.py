@@ -18,8 +18,8 @@ Python. So the operator builds the physical SPJ plan itself:
 
   * driver: pair up each bucket's file groups from the two manifests —
     a metadata-only plan of n_buckets rows (bucket, left paths, right
-    paths), pruning buckets the join type makes irrelevant (inner: either
-    side empty; left: left empty);
+    paths), pruning buckets the join type makes irrelevant (inner/semi:
+    either side empty; left/anti: left empty);
   * executors: `mapInArrow` over the plan, one task per bucket — each
     task reads ONLY its bucket's parquet (column-pruned at the footer)
     and joins locally with Acero's C++ hash join (pa.Table.join, SQL
@@ -71,7 +71,13 @@ from ..sources.laketable import (
     _posdel_entries,
 )
 
-_JOIN_TYPES = {"inner": "inner", "left": "left outer", "full": "full outer"}
+_JOIN_TYPES = {"inner": "inner", "left": "left outer", "full": "full outer",
+               "semi": "left semi", "anti": "left anti"}
+# semi/anti emit left rows only; the right side contributes its KEY column
+# alone, so the per-bucket read prunes every right payload byte at the
+# footer — the scale case is the fence/existence probe (which staged keys
+# already live in the target), where the ordinary plan shuffles the corpus
+_EXISTENCE = {"semi", "anti"}
 
 
 def spj_eligibility(table: LakeTable, key: str) -> str | None:
@@ -107,9 +113,17 @@ def bucket_join(
     shuffling a byte of data (see module docstring). `left_columns` /
     `right_columns` project payloads (the key is always included) —
     pruned at the parquet footer, never read. Right payload columns whose
-    name collides with a left output column get `suffix`."""
+    name collides with a left output column get `suffix`. `how='semi'` /
+    `'anti'` are existence probes emitting left rows only: the right side
+    reads nothing but its key column, so "which staged keys already exist
+    in the target" costs the key bytes of each co-bucket, not a shuffle
+    of either payload."""
     if how not in _JOIN_TYPES:
         raise ValueError(f"how={how!r}; one of {sorted(_JOIN_TYPES)}")
+    existence = how in _EXISTENCE
+    if existence and right_columns:
+        raise ValueError(f"how={how!r} emits left rows only; "
+                         "right_columns cannot be projected")
     spark = left.spark
 
     reason = spj_eligibility(left, on) or spj_eligibility(right, on)
@@ -117,6 +131,8 @@ def bucket_join(
         if not fallback:
             raise ValueError(f"bucket_join fast path unavailable: {reason}")
         lf = left.read().select(on, *_payload(left, on, left_columns))
+        if existence:
+            return lf.join(right.read().select(on), on=on, how="left_" + how)
         rf = right.read().select(on, *_payload(right, on, right_columns))
         for c in rf.columns:
             if c != on and c in lf.columns:
@@ -136,7 +152,7 @@ def bucket_join(
             f"{right.name}={mr.n_buckets} (rebucket() one side)")
 
     lpay = _payload(left, on, left_columns)
-    rpay = _payload(right, on, right_columns)
+    rpay = [] if existence else _payload(right, on, right_columns)
 
     # output schema: key, left payload, right payload (suffix collisions)
     lfields = {f["name"]: f for f in ml.schema_version.fields}
@@ -165,9 +181,9 @@ def bucket_join(
     plan_rows = []
     for b in sorted(set(lgroups) | set(rgroups)):
         lp, rp = lgroups.get(b, []), rgroups.get(b, [])
-        if how == "inner" and (not lp or not rp):
+        if how in ("inner", "semi") and (not lp or not rp):
             continue
-        if how == "left" and not lp:
+        if how in ("left", "anti") and not lp:
             continue
         plan_rows.append((b, lp, rp))
     plan_schema = T.StructType([
@@ -200,17 +216,24 @@ def bucket_join(
                 # payloads, and this keeps join memory O(keys) anyway
                 li = pa.table({on: lt[on],
                                "__li": pa.array(range(len(lt)), pa.int64())})
-                ri = pa.table({on: rt[on],
-                               "__ri": pa.array(range(len(rt)), pa.int64())})
-                j = li.join(ri, keys=on, join_type=join_type,
-                            coalesce_keys=True)
+                if existence:
+                    j = li.join(rt.select([on]), keys=on,
+                                join_type=join_type)
+                else:
+                    ri = pa.table(
+                        {on: rt[on],
+                         "__ri": pa.array(range(len(rt)), pa.int64())})
+                    j = li.join(ri, keys=on, join_type=join_type,
+                                coalesce_keys=True)
                 cols = {out_arrow.field(0).name: j[on].combine_chunks()}
                 liv = j["__li"].combine_chunks()
-                riv = j["__ri"].combine_chunks()
                 for c in lpay:
                     cols[c] = pc.take(lt[c].combine_chunks(), liv)
-                for c in rpay:
-                    cols[rrenames[c]] = pc.take(rt[c].combine_chunks(), riv)
+                if not existence:
+                    riv = j["__ri"].combine_chunks()
+                    for c in rpay:
+                        cols[rrenames[c]] = pc.take(
+                            rt[c].combine_chunks(), riv)
                 out = pa.table(cols).cast(out_arrow)
                 yield from out.to_batches(max_chunksize=batch_rows)
 

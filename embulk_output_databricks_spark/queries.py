@@ -3117,6 +3117,41 @@ JOIN {_sql_lww("event_id % 2 = 1")} s ON t.user_id = s.user_id
 """
 
 
+def q_cdc_bucket_anti(spark, sf_dir):
+    """Zero-shuffle existence probe (operators/spj.py how='anti'): which
+    keys of one co-bucketed LakeTable are absent from another — the fence
+    / "which staged keys are new" question at table-vs-table scale. The
+    ordinary plan shuffles the probing side's payload; the bucket plan
+    reads each co-bucket pair locally, and the right side contributes
+    nothing but its KEY column (every payload byte pruned at the parquet
+    footer). Plan shape asserted: no join node, one metadata Exchange."""
+    from .operators.spj import bucket_join
+
+    t_half, s_half = _halves(spark, sf_dir)
+    cat = _fresh_catalog(spark, "bucket_anti")
+    lt = cat.create_table("t", STATE_SCHEMA, n_buckets=8,
+                          bucket_key="user_id")
+    rt = cat.create_table("s", STATE_SCHEMA, n_buckets=8,
+                          bucket_key="user_id")
+    lt.append(_lww(t_half))
+    # right keeps a strict user subset so the anti result is non-empty
+    rt.append(_lww(s_half.filter(s_half.user_id % 5 < 2)))
+    out = bucket_join(lt, rt, on="user_id", how="anti", fallback=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if plan.count("Exchange") != 1 or "Join" in plan:
+        raise RuntimeError(f"bucket anti-join shuffled data:\n{plan}")
+    return out
+
+
+_SQL_BUCKET_ANTI = f"""
+SELECT t.user_id, t.ts_us, t.event_type, t.value, t.props
+FROM {_sql_lww("event_id % 2 = 0")} t
+WHERE NOT EXISTS (
+  SELECT 1 FROM {_sql_lww("event_id % 2 = 1 AND user_id % 5 < 2")} s
+  WHERE s.user_id = t.user_id)
+"""
+
+
 def q_cdc_snapshot_diff(spark, sf_dir):
     """Strategy-agnostic snapshot diff (CDC *out*): resolved state at v1 vs
     v2 full-outer-joined on the merge key, classified I/U/D — works across
@@ -4269,6 +4304,7 @@ SPARK_QUERIES = {
     "cdc_chunked_batch": q_cdc_chunked_batch,
     "cdc_rebucket": q_cdc_rebucket,
     "cdc_bucket_join": q_cdc_bucket_join,
+    "cdc_bucket_anti": q_cdc_bucket_anti,
     "cdc_fence_antijoin": q_cdc_fence_antijoin,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_read": q_cdc_incremental_read,
@@ -4714,6 +4750,7 @@ def _oracle_sql() -> dict[str, str]:
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "cdc_bucket_join": _SQL_BUCKET_JOIN,
+        "cdc_bucket_anti": _SQL_BUCKET_ANTI,
         "events_sliding": _SQL_SLIDING,
         "events_quantiles": _SQL_QUANTILES,
         "regional_revenue": _SQL_REGIONAL,

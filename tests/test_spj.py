@@ -70,6 +70,38 @@ def test_matches_shuffled_join(spark, warehouse, how):
     assert _rows(got) == _rows(want)
 
 
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_existence_joins_match_shuffled(spark, warehouse, how):
+    left, right = _pair(spark, warehouse)
+    got = bucket_join(left, right, on="k", how=how, fallback=False)
+    want = left.read().join(right.read().select("k"), on="k",
+                            how="left_" + how)
+    assert got.columns == left.read().columns
+    assert _rows(got) == _rows(want)
+    # anti keeps the null-key left row (matches nothing); semi drops it
+    nulls = got.filter(F.col("k").isNull()).count()
+    assert nulls == (1 if how == "anti" else 0)
+    fresh = bucket_join(left, right, on="k", how=how, fallback=False)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") == 1, plan
+
+
+def test_existence_rejects_right_projection(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    with pytest.raises(ValueError, match="left rows only"):
+        bucket_join(left, right, on="k", how="semi", right_columns=["v"])
+
+
+def test_anti_passes_through_right_empty_bucket(spark, warehouse):
+    # right holds a single key -> most buckets have no right files; anti
+    # must still emit those buckets' left rows (rpaths == [])
+    rrows = [(7, "only", 7.0)]
+    left, right = _pair(spark, warehouse, rrows=rrows)
+    got = bucket_join(left, right, on="k", how="anti", fallback=False)
+    assert got.count() == 40  # 41 left rows minus the k=7 match
+    assert got.filter(F.col("k") == 7).count() == 0
+
+
 def test_null_keys_match_nothing(spark, warehouse):
     left, right = _pair(spark, warehouse)
     inner = bucket_join(left, right, on="k", fallback=False)
