@@ -456,6 +456,24 @@ def bench_spj(spark, n_rows: int = 3_000_000, n_buckets: int = 32) -> dict:
         shuf_s = time.perf_counter() - t0
         plan = spj_df()._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+        # zero-shuffle GROUP BY on the bucket key: #groups == #rows, the
+        # worst case for the shuffled plan (partials ~ the whole table)
+        from embulk_output_databricks_spark.operators.spj import bucket_agg
+
+        aggs = {"n": ("*", "count"), "tok_sum": ("n_tok", "sum")}
+        def agg_fast():
+            return bucket_agg(lt, ["doc_id"], aggs, fallback=False)
+        def agg_shuffled():
+            return lt.read().groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok_sum"))
+        assert agg_fast().count() == agg_shuffled().count() == n_rows
+        t0 = time.perf_counter()
+        agg_fast().write.format("noop").mode("overwrite").save()
+        agg_fast_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        agg_shuffled().write.format("noop").mode("overwrite").save()
+        agg_shuf_s = time.perf_counter() - t0
         return {
             "rows_per_side": n_rows,
             "rows_joined": n_spj,
@@ -463,6 +481,10 @@ def bench_spj(spark, n_rows: int = 3_000_000, n_buckets: int = 32) -> dict:
             "shuffled_join_s": round(shuf_s, 3),
             "spj_s": round(spj_s, 3),
             "speedup": round(shuf_s / spj_s, 2) if spj_s else None,
+            "shuffled_agg_s": round(agg_shuf_s, 3),
+            "bucket_agg_s": round(agg_fast_s, 3),
+            "agg_speedup": (round(agg_shuf_s / agg_fast_s, 2)
+                            if agg_fast_s else None),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

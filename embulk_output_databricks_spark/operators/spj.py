@@ -243,6 +243,122 @@ def bucket_join(
     return plan.repartition(len(plan_rows)).mapInArrow(run, out_schema)
 
 
+# fn name -> (arrow aggregate, spark fallback builder)
+_AGG_FNS = {
+    "sum": ("sum", F.sum),
+    "count": ("count", F.count),
+    "count_distinct": ("count_distinct", F.countDistinct),
+    "min": ("min", F.min),
+    "max": ("max", F.max),
+    "mean": ("mean", F.avg),
+}
+
+
+def bucket_agg(
+    table: LakeTable,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    fallback: bool = True,
+    batch_rows: int = 1 << 16,
+) -> DataFrame:
+    """GROUP BY over a LakeTable with ZERO shuffle of the data. When the
+    grouping keys include the bucket key, every group lives wholly inside
+    one bucket, so the aggregation decomposes into n_buckets independent
+    local group-bys — one Arrow task per bucket, Acero's hash aggregate.
+    The shuffled plan's cost at high key cardinality (per-doc / per-user
+    aggregates, where #groups ~ #rows) is a full exchange of the partial
+    aggregates, i.e. roughly the projected table; here the only Exchange
+    moves n_buckets metadata rows.
+
+    `aggs`: {out_name: (column, fn)} with fn in sum / count /
+    count_distinct / min / max / mean; `("*", "count")` counts rows.
+    Null grouping keys form a group and null inputs are skipped by
+    count/count_distinct — identical to Spark SQL. Ineligible layouts
+    (`fallback=True`) degrade to the ordinary shuffled groupBy."""
+    m = table.manifest()
+    bad = [k for k in keys if k not in
+           {f["name"] for f in m.schema_version.fields}]
+    if bad:
+        raise ValueError(f"{table.name}: unknown key columns {bad}")
+    names = {f["name"] for f in m.schema_version.fields}
+    specs = []
+    for out, (c, fn) in aggs.items():
+        if out in keys:
+            raise ValueError(f"output name {out!r} collides with a key")
+        if fn not in _AGG_FNS:
+            raise ValueError(f"{out}: fn {fn!r}; one of {sorted(_AGG_FNS)}")
+        if c == "*" and fn != "count":
+            raise ValueError(f"{out}: '*' only combines with 'count'")
+        if c != "*" and c not in names:
+            raise ValueError(f"{out}: unknown column {c!r}")
+        specs.append((out, c, fn))
+
+    reason = (spj_eligibility(table, m.bucket_key)
+              or (None if m.bucket_key in keys else
+                  f"{table.name}: grouping keys {keys} do not include "
+                  f"bucket key {m.bucket_key!r}"))
+    if reason is not None:
+        if not fallback:
+            raise ValueError(f"bucket_agg fast path unavailable: {reason}")
+        exprs = [
+            (F.count(F.lit(1)) if c == "*" else _AGG_FNS[fn][1](c))
+            .alias(out) for out, c, fn in specs]
+        return table.read().groupBy(*keys).agg(*exprs)
+
+    in_cols = sorted({c for _, c, _ in specs if c != "*"} - set(keys))
+    fields = {f["name"]: f for f in m.schema_version.fields}
+    from pyspark.sql.pandas.types import from_arrow_type, to_arrow_schema
+
+    side_arrow = to_arrow_schema(T.StructType(
+        [_sfield(fields[c]) for c in [*keys, *in_cols]]))
+
+    # arrow names the outputs <col>_<fn> / count_all; derive the result
+    # schema (incl. arrow's sum/count upcasts) by aggregating zero rows
+    arrow_spec, arrow_names, seen = [], [], set()
+    for out, c, fn in specs:
+        spec, nm = ((([], "count_all"), "count_all") if c == "*" else
+                    ((c, _AGG_FNS[fn][0]), f"{c}_{_AGG_FNS[fn][0]}"))
+        if nm not in seen:  # two outputs may share one arrow aggregate
+            seen.add(nm)
+            arrow_spec.append(spec)
+        arrow_names.append(nm)
+    probe = side_arrow.empty_table().group_by(keys).aggregate(arrow_spec)
+    out_schema = T.StructType(
+        [_sfield(fields[k]) for k in keys]
+        + [T.StructField(out, from_arrow_type(probe.schema.field(nm).type),
+                         nullable=True)
+           for (out, _, _), nm in zip(specs, arrow_names)])
+    out_arrow = to_arrow_schema(out_schema)
+    groups = _by_bucket(table, m)
+    if not groups:
+        return table.spark.createDataFrame([], out_schema)
+    plan_schema = T.StructType([
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("paths", T.ArrayType(T.StringType())),
+    ])
+    plan_rows = sorted(groups.items())
+    outs = [s[0] for s in specs]
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                t = pq.read_table(list(row["paths"]),
+                                  columns=[*keys, *in_cols])
+                t = t.select([*keys, *in_cols]).cast(side_arrow)
+                g = t.group_by(keys).aggregate(arrow_spec)
+                cols = {k: g[k] for k in keys}
+                for out, nm in zip(outs, arrow_names):
+                    cols[out] = g[nm]
+                yield from (pa.table(cols).cast(out_arrow)
+                            .to_batches(max_chunksize=batch_rows))
+
+    plan = table.spark.createDataFrame(plan_rows, plan_schema)
+    return plan.repartition(len(plan_rows)).mapInArrow(run, out_schema)
+
+
 def _payload(table: LakeTable, on: str, columns: list[str] | None) -> list[str]:
     names = [f["name"] for f in table.manifest().schema_version.fields]
     if columns is None:

@@ -3152,6 +3152,48 @@ WHERE NOT EXISTS (
 """
 
 
+def q_cdc_bucket_agg(spark, sf_dir):
+    """Zero-shuffle GROUP BY on the bucket key (operators/spj.py
+    bucket_agg): per-user history rollup over the full event log stored
+    bucketed by user_id. At #groups ~ #rows (per-user / per-doc
+    aggregates) the shuffled plan's partial aggregates ARE roughly the
+    projected table; here each bucket aggregates locally in Acero and the
+    only Exchange moves n_buckets metadata rows (asserted). Sums ride an
+    integer cents column per the oracle portability rules."""
+    from .operators.spj import bucket_agg
+
+    ev = _events(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("cents", T.LongType()),
+    ])
+    tbl = _fresh_catalog(spark, "bucket_agg").create_table(
+        "t", schema, n_buckets=8, bucket_key="user_id")
+    tbl.append(ev.select("user_id", "ts_us", "event_type",
+                         _CENTS_S(F.col("value")).alias("cents")))
+    out = bucket_agg(
+        tbl, ["user_id"],
+        {"n": ("*", "count"), "total_cents": ("cents", "sum"),
+         "first_ts": ("ts_us", "min"), "last_ts": ("ts_us", "max"),
+         "n_types": ("event_type", "count_distinct")},
+        fallback=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if plan.count("Exchange") != 1 or "HashAggregate" in plan:
+        raise RuntimeError(f"bucket agg shuffled data:\n{plan}")
+    return out
+
+
+_SQL_BUCKET_AGG = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       MIN(epoch_us(ts)) AS first_ts, MAX(epoch_us(ts)) AS last_ts,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def q_cdc_snapshot_diff(spark, sf_dir):
     """Strategy-agnostic snapshot diff (CDC *out*): resolved state at v1 vs
     v2 full-outer-joined on the merge key, classified I/U/D — works across
@@ -4305,6 +4347,7 @@ SPARK_QUERIES = {
     "cdc_rebucket": q_cdc_rebucket,
     "cdc_bucket_join": q_cdc_bucket_join,
     "cdc_bucket_anti": q_cdc_bucket_anti,
+    "cdc_bucket_agg": q_cdc_bucket_agg,
     "cdc_fence_antijoin": q_cdc_fence_antijoin,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_read": q_cdc_incremental_read,
@@ -4751,6 +4794,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "cdc_bucket_join": _SQL_BUCKET_JOIN,
         "cdc_bucket_anti": _SQL_BUCKET_ANTI,
+        "cdc_bucket_agg": _SQL_BUCKET_AGG,
         "events_sliding": _SQL_SLIDING,
         "events_quantiles": _SQL_QUANTILES,
         "regional_revenue": _SQL_REGIONAL,

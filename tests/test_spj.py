@@ -197,3 +197,103 @@ def test_schema_evolution_disqualifies_until_compact(spark, warehouse):
     fast = bucket_join(left, right, on="k", fallback=False)
     assert fast.filter(F.col("extra") != 7).count() == 0
     assert _rows(fast) == _rows(got)
+
+
+# ---------------------------------------------------------------- bucket_agg
+
+def _agg_pair(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("a", L_SCHEMA, n_buckets=4, bucket_key="k")
+    rows = [(i % 13, f"t{i % 3}", [i]) for i in range(60)] + \
+           [(None, "tnull", [0]), (None, None, [1])]
+    t.append(spark.createDataFrame(rows, L_SCHEMA))
+    return t
+
+
+AGGS = {
+    "n": ("*", "count"),
+    "n_tags": ("tag", "count"),
+    "d_tags": ("tag", "count_distinct"),
+    "min_tag": ("tag", "min"),
+    "max_tag": ("tag", "max"),
+}
+
+
+def test_bucket_agg_matches_shuffled(spark, warehouse):
+    from embulk_output_databricks_spark.operators.spj import bucket_agg
+
+    t = _agg_pair(spark, warehouse)
+    got = bucket_agg(t, ["k"], AGGS, fallback=False)
+    want = t.read().groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.count("tag").alias("n_tags"),
+        F.countDistinct("tag").alias("d_tags"),
+        F.min("tag").alias("min_tag"), F.max("tag").alias("max_tag"))
+    assert got.columns == ["k", "n", "n_tags", "d_tags", "min_tag",
+                           "max_tag"]
+    assert dict(zip(got.columns, [f.dataType for f in got.schema])) == \
+        dict(zip(want.columns, [f.dataType for f in want.schema]))
+    assert _rows(got) == _rows(want)
+    # null key forms a group; count skips its null tag, count(*) doesn't
+    nk = got.filter(F.col("k").isNull()).collect()
+    assert len(nk) == 1 and nk[0]["n"] == 2 and nk[0]["n_tags"] == 1
+    fresh = bucket_agg(t, ["k"], AGGS, fallback=False)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan and plan.count("Exchange") == 1, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_bucket_agg_composite_keys_and_sum_types(spark, warehouse):
+    from embulk_output_databricks_spark.operators.spj import bucket_agg
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+    ])
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("c", schema, n_buckets=4, bucket_key="k")
+    rows = [(i % 7, f"g{i % 2}", i, i / 4) for i in range(40)]
+    t.append(spark.createDataFrame(rows, schema))
+    aggs = {"si": ("i", "sum"), "sx": ("x", "sum"), "mx": ("x", "mean"),
+            "mi": ("i", "min")}
+    got = bucket_agg(t, ["k", "grp"], aggs, fallback=False)
+    want = t.read().groupBy("k", "grp").agg(
+        F.sum("i").alias("si"), F.sum("x").alias("sx"),
+        F.avg("x").alias("mx"), F.min("i").alias("mi"))
+    # sum(int)->long, mean->double, min(int)->int: identical to Spark
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+
+
+def test_bucket_agg_fallback_and_validation(spark, warehouse):
+    from embulk_output_databricks_spark.operators.spj import bucket_agg
+
+    t = _agg_pair(spark, warehouse)
+    # grouping keys without the bucket key -> not bucket-local
+    with pytest.raises(ValueError, match="do not include bucket key"):
+        bucket_agg(t, ["tag"], {"n": ("*", "count")}, fallback=False)
+    got = bucket_agg(t, ["tag"], {"n": ("*", "count")})  # shuffled fallback
+    want = t.read().groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(got) == _rows(want)
+    with pytest.raises(ValueError, match="unknown column"):
+        bucket_agg(t, ["k"], {"n": ("nope", "sum")})
+    with pytest.raises(ValueError, match="collides with a key"):
+        bucket_agg(t, ["k"], {"k": ("tag", "count")})
+    with pytest.raises(ValueError, match="'\\*' only combines"):
+        bucket_agg(t, ["k"], {"n": ("*", "sum")})
+
+
+def test_bucket_agg_mor_state_falls_back_correctly(spark, warehouse):
+    from embulk_output_databricks_spark.operators.spj import bucket_agg
+
+    t = _agg_pair(spark, warehouse)
+    t.delete_where({"k": (0, 5)}, mode="mor")
+    got = bucket_agg(t, ["k"], {"n": ("*", "count")})
+    assert got.filter(F.col("k") <= 5).count() == 0
+    with pytest.raises(ValueError, match="fast path unavailable"):
+        bucket_agg(t, ["k"], {"n": ("*", "count")}, fallback=False)
+    t.maintain(max_files_per_bucket=0, max_delta_files=0,
+               max_posdel_files=0)
+    fast = bucket_agg(t, ["k"], {"n": ("*", "count")}, fallback=False)
+    assert _rows(fast) == _rows(got)
