@@ -108,6 +108,7 @@ def bucket_join(
     suffix: str = "_r",
     fallback: bool = True,
     batch_rows: int = 1 << 16,
+    split_rows: int | None = None,
 ) -> DataFrame:
     """Equi-join two LakeTables on their shared bucket key without
     shuffling a byte of data (see module docstring). `left_columns` /
@@ -117,7 +118,11 @@ def bucket_join(
     `'anti'` are existence probes emitting left rows only: the right side
     reads nothing but its key column, so "which staged keys already exist
     in the target" costs the key bytes of each co-bucket, not a shuffle
-    of either payload."""
+    of either payload. `split_rows` is the skew valve: a bucket whose
+    LEFT side exceeds it becomes ceil(rows/split_rows) tasks (manifest
+    row counts, no IO) instead of one straggler — any join type except
+    full, whose right-unmatched rows must be emitted exactly once per
+    bucket."""
     if how not in _JOIN_TYPES:
         raise ValueError(f"how={how!r}; one of {sorted(_JOIN_TYPES)}")
     existence = how in _EXISTENCE
@@ -185,7 +190,17 @@ def bucket_join(
             continue
         if how in ("left", "anti") and not lp:
             continue
-        plan_rows.append((b, lp, rp))
+        rpaths = _paths(rp)
+        if how == "full":
+            # right-unmatched rows must be emitted exactly once per
+            # bucket -> a full join never splits
+            plan_rows.append((b, _paths(lp), rpaths))
+        else:
+            # left rows partition across chunks, so the output is a
+            # disjoint union; each chunk re-reads its right bucket group
+            # (keys only for semi/anti)
+            for chunk in _chunks(lp, split_rows):
+                plan_rows.append((b, chunk, rpaths))
     plan_schema = T.StructType([
         T.StructField("bucket", T.IntegerType()),
         T.StructField("lpaths", T.ArrayType(T.StringType())),
@@ -336,7 +351,7 @@ def bucket_agg(
         T.StructField("bucket", T.IntegerType()),
         T.StructField("paths", T.ArrayType(T.StringType())),
     ])
-    plan_rows = sorted(groups.items())
+    plan_rows = [(b, _paths(g)) for b, g in sorted(groups.items())]
     outs = [s[0] for s in specs]
 
     def run(batches):
@@ -380,8 +395,32 @@ def _parse_type(s: str) -> T.DataType:
     return _type_of(s)
 
 
-def _by_bucket(table: LakeTable, m) -> dict[int, list[str]]:
-    groups: dict[int, list[str]] = defaultdict(list)
+def _by_bucket(table: LakeTable, m) -> dict[int, list[tuple[str, int]]]:
+    groups: dict[int, list[tuple[str, int]]] = defaultdict(list)
     for f in _live_data(m.files):
-        groups[f["bucket"]].append(os.path.join(table.root, f["path"]))
+        groups[f["bucket"]].append(
+            (os.path.join(table.root, f["path"]), f["rows"]))
     return dict(groups)
+
+
+def _paths(group: list[tuple[str, int]]) -> list[str]:
+    return [p for p, _ in group]
+
+
+def _chunks(group: list[tuple[str, int]],
+            split_rows: int | None) -> list[list[str]]:
+    """Split one bucket's file list into chunks of <= split_rows manifest
+    rows (each chunk at least one file) — the skew valve: a hot bucket
+    becomes several tasks instead of one straggler."""
+    if not split_rows:
+        return [_paths(group)]
+    out, cur, cur_rows = [], [], 0
+    for p, r in group:
+        if cur and cur_rows + r > split_rows:
+            out.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(p)
+        cur_rows += r
+    if cur:
+        out.append(cur)
+    return out

@@ -297,3 +297,35 @@ def test_bucket_agg_mor_state_falls_back_correctly(spark, warehouse):
                max_posdel_files=0)
     fast = bucket_agg(t, ["k"], {"n": ("*", "count")}, fallback=False)
     assert _rows(fast) == _rows(got)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_split_rows_skew_valve(spark, warehouse, how):
+    # one bucket, two left files: the hot-bucket split must fan the join
+    # out to one task per chunk while emitting the identical disjoint
+    # union of rows
+    cat = LakeCatalog(spark, warehouse)
+    left = cat.create_table("l", L_SCHEMA, n_buckets=1, bucket_key="k")
+    right = cat.create_table("r", R_SCHEMA, n_buckets=1, bucket_key="k")
+    left.append(spark.createDataFrame(
+        [(i, f"l{i}", [i]) for i in range(20)], L_SCHEMA))
+    left.append(spark.createDataFrame(
+        [(i, f"l{i}", [i]) for i in range(20, 40)], L_SCHEMA))
+    right.append(spark.createDataFrame(
+        [(i * 2, "r", float(i)) for i in range(15)], R_SCHEMA))
+    kw = dict(on="k", how=how, fallback=False)
+    split = bucket_join(left, right, split_rows=1, **kw)
+    whole = bucket_join(left, right, **kw)
+    assert split.rdd.getNumPartitions() == 2  # one task per left file
+    assert whole.rdd.getNumPartitions() == 1
+    assert _rows(split) == _rows(whole)
+
+
+def test_full_join_never_splits(spark, warehouse):
+    left, right = _pair(spark, warehouse)
+    left.append(spark.createDataFrame([(100, "x", [1])], L_SCHEMA))
+    split = bucket_join(left, right, on="k", how="full", fallback=False,
+                        split_rows=1)
+    whole = bucket_join(left, right, on="k", how="full", fallback=False)
+    assert split.rdd.getNumPartitions() == whole.rdd.getNumPartitions()
+    assert _rows(split) == _rows(whole)
