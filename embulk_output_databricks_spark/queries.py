@@ -3211,6 +3211,51 @@ def q_cdc_snapshot_diff(spark, sf_dir):
     return tbl.diff(from_version=v1, keys=["user_id"])
 
 
+def q_cdc_debezium_out(spark, sf_dir):
+    """CDC round trip OUT of the lake (sources/debezium.py
+    diff_to_debezium): the resolved-state diff of a table interval emitted
+    as standard Debezium envelopes (true before/after images, key = merge
+    key JSON, lsn = snapshot version), then consumed back through this
+    engine's own parse_debezium exactly as a real connector topic would
+    be — proving the feed is wire-complete. All JVM-side to_json/from_json;
+    result = the interval's upsert/delete stream."""
+    from .sources.debezium import diff_to_debezium, parse_debezium
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "debezium_out")
+    tbl.append(_lww(t_half))
+    v1 = tbl.current_version()
+    s_half = s_half.withColumn(
+        "op", F.when(F.col("event_type") == "error",
+                     F.lit("D")).otherwise(F.lit("U")))
+    merge_apply(tbl, _lww(s_half, extra=["op"]), keys=["user_id"],
+                support_deletes=True)
+    events = parse_debezium(
+        diff_to_debezium(tbl, v1, keys=["user_id"]), STATE_SCHEMA)
+    return events.select("op", "user_id", "ts_us", "event_type",
+                         "value", "props")
+
+
+_SQL_DEBEZIUM_OUT = f"""
+WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
+     s AS (SELECT * FROM {_sql_lww("event_id % 2 = 1", ", event_type = 'error' AS del")})
+SELECT CASE WHEN s.del THEN 'D' ELSE 'U' END AS op,
+       coalesce(s.user_id, t.user_id) AS user_id,
+       CASE WHEN s.del THEN t.ts_us ELSE s.ts_us END AS ts_us,
+       CASE WHEN s.del THEN t.event_type ELSE s.event_type END AS event_type,
+       CASE WHEN s.del THEN t.value ELSE s.value END AS value,
+       CASE WHEN s.del THEN t.props ELSE s.props END AS props
+FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+WHERE s.user_id IS NOT NULL
+  AND NOT (s.del AND t.user_id IS NULL)
+  AND (s.del OR t.user_id IS NULL
+       OR t.ts_us IS DISTINCT FROM s.ts_us
+       OR t.event_type IS DISTINCT FROM s.event_type
+       OR t.value IS DISTINCT FROM s.value
+       OR t.props IS DISTINCT FROM s.props)
+"""
+
+
 _SQL_SNAPSHOT_DIFF = f"""
 WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
      s AS (SELECT * FROM {_sql_lww("event_id % 2 = 1", ", event_type = 'error' AS del")})
@@ -4348,6 +4393,7 @@ SPARK_QUERIES = {
     "cdc_bucket_join": q_cdc_bucket_join,
     "cdc_bucket_anti": q_cdc_bucket_anti,
     "cdc_bucket_agg": q_cdc_bucket_agg,
+    "cdc_debezium_out": q_cdc_debezium_out,
     "cdc_fence_antijoin": q_cdc_fence_antijoin,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_read": q_cdc_incremental_read,
@@ -4795,6 +4841,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_bucket_join": _SQL_BUCKET_JOIN,
         "cdc_bucket_anti": _SQL_BUCKET_ANTI,
         "cdc_bucket_agg": _SQL_BUCKET_AGG,
+        "cdc_debezium_out": _SQL_DEBEZIUM_OUT,
         "events_sliding": _SQL_SLIDING,
         "events_quantiles": _SQL_QUANTILES,
         "regional_revenue": _SQL_REGIONAL,

@@ -143,6 +143,64 @@ def encode_debezium(
         F.to_json(F.struct(payload.alias("payload"))).alias("value"))
 
 
+def diff_to_debezium(
+    table,
+    from_version: int,
+    keys: list[str],
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC *out* in the standard wire format: the resolved-state diff of a
+    LakeTable interval (LakeTable.diff — strategy-agnostic across COW /
+    MOR / compaction / evolution commits) re-emitted as Debezium envelope
+    JSON, one record per changed key, with TRUE before/after images:
+
+      * I -> op 'c', after = new row, before = null;
+      * U -> op 'u', after = new row, before = the from_version row
+        (diff's __old_* retract columns);
+      * D -> op 'd', before = last-seen row, after = null.
+
+    `key` is the JSON of the merge-key struct (Debezium's Kafka message
+    key, what log compaction compacts on); `source.lsn` carries the target
+    snapshot version (monotone per table), `ts_ms` its commit stamp. The
+    output round-trips through parse_debezium, so a downstream engine —
+    including this one — can consume the feed exactly as it consumes a
+    real connector topic. All JVM-side (to_json over structs); cost is the
+    diff itself.
+    """
+    m = table.manifest(to_version)
+    val_cols = [f["name"] for f in m.schema_version.fields
+                if f["name"] not in keys]
+    d = table.diff(from_version, keys, to_version, include_old=True)
+    op = F.col("__op")
+    # diff contract: D rows carry the old values in the MAIN columns,
+    # I/U rows the new values; __old_* holds the from_version state
+    img = F.struct(*[F.col(c) for c in [*keys, *val_cols]])
+    old_img = F.struct(
+        *[F.col(k) for k in keys],
+        *[F.col(f"__old_{c}").alias(c) for c in val_cols])
+    ts_ms = int(m.properties.get(
+        "committed_at_us", 0)) // 1000 or None
+    src = F.struct(
+        F.lit(ts_ms).cast("long").alias("ts_ms"),
+        F.lit(m.version).cast("long").alias("lsn"),
+        F.lit(None).cast("long").alias("pos"),
+        F.lit(None).cast("string").alias("txId"),
+        F.lit(table.name).alias("table"),
+    )
+    payload = F.struct(
+        F.when(op == "D", img).when(op == "U", old_img).alias("before"),
+        F.when(op != "D", img).alias("after"),
+        src.alias("source"),
+        F.when(op == "D", F.lit("d")).when(op == "I", F.lit("c"))
+        .otherwise(F.lit("u")).alias("op"),
+        F.lit(ts_ms).cast("long").alias("ts_ms"),
+        F.lit(None).cast(_TXN_SCHEMA).alias("transaction"),
+    )
+    return d.select(
+        F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key"),
+        F.to_json(F.struct(payload.alias("payload"))).alias("value"))
+
+
 def parse_debezium(
     raw: DataFrame,
     payload_schema: T.StructType,

@@ -126,3 +126,53 @@ def test_driver_query_matches_duckdb_oracle(spark):
     want = [(u, t, e, round(v, 6), p) for u, t, e, v, p in con.execute(
         ORACLE_SQL["cdc_debezium_replay"] + " ORDER BY user_id").fetchall()]
     assert rows == want
+
+
+def test_diff_to_debezium_roundtrip(spark, warehouse):
+    """CDC out: a LakeTable interval diff re-emitted as envelopes must
+    round-trip through parse_debezium with true before/after images."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.sources.debezium import (
+        diff_to_debezium,
+    )
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    cat = LakeCatalog(spark, warehouse)
+    tbl = cat.create_table("t", schema, n_buckets=2, bucket_key="doc_id")
+    tbl.append(spark.createDataFrame(
+        [("a", 1, "s0"), ("b", 2, "s0"), ("c", 3, "s0")], schema))
+    v1 = tbl.current_version()
+    staged = spark.createDataFrame(
+        [("b", 20, "s1", "U"), ("c", 3, "s1", "D"), ("d", 4, "s1", "U")],
+        T.StructType([*schema.fields, T.StructField("op", T.StringType())]))
+    merge_apply(tbl, staged, keys=["doc_id"], support_deletes=True)
+
+    feed = diff_to_debezium(tbl, v1, keys=["doc_id"]).collect()
+    by_key = {json.loads(r["key"])["doc_id"]: json.loads(r["value"])
+              for r in feed}
+    assert set(by_key) == {"b", "c", "d"}  # 'a' untouched -> no record
+    b, c, d = by_key["b"], by_key["c"], by_key["d"]
+    assert b["payload"]["op"] == "u"
+    assert b["payload"]["before"] == {"doc_id": "b", "n_tok": 2,
+                                      "source": "s0"}
+    assert b["payload"]["after"] == {"doc_id": "b", "n_tok": 20,
+                                     "source": "s1"}
+    assert c["payload"]["op"] == "d" and "after" not in c["payload"]
+    assert c["payload"]["before"]["n_tok"] == 3
+    assert d["payload"]["op"] == "c" and "before" not in d["payload"]
+    assert d["payload"]["source"]["lsn"] == tbl.current_version()
+    assert d["payload"]["source"]["table"] == "t"
+
+    # a downstream engine consumes the feed exactly like a connector topic
+    events = parse_debezium(
+        diff_to_debezium(tbl, v1, keys=["doc_id"]), schema)
+    got = {(r["doc_id"], r["op"], r["n_tok"], r["seq_lsn"])
+           for r in events.collect()}
+    assert got == {("b", "U", 20, tbl.current_version()),
+                   ("d", "U", 4, tbl.current_version()),
+                   ("c", "D", 3, tbl.current_version())}
