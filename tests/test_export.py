@@ -171,3 +171,21 @@ def test_refuses_nonempty_dest(spark, warehouse, tmp_path):
     (dest / "junk").write_text("x")
     with pytest.raises(ValueError, match="not empty"):
         tbl.export_snapshot(str(dest))
+
+
+def test_export_reads_in_external_engines(spark, warehouse, tmp_path):
+    """The mirror is PLAIN parquet: any engine must read it with no
+    knowledge of this engine — proven with DuckDB over a dirty table
+    (MOR delete outstanding at export time, so some files are rewritten
+    artifacts, some hardlinks)."""
+    import duckdb
+
+    tbl = _mk(spark, warehouse)
+    tbl.delete_where({"doc_id": (0, 49)}, mode="mor")
+    dest = str(tmp_path / "exp")
+    tbl.export_snapshot(dest)
+    got = duckdb.sql(
+        f"SELECT doc_id, n_tok, source FROM read_parquet('{dest}/*.parquet')"
+    ).fetchall()
+    assert sorted(got) == _rows(tbl.read())
+    assert len(got) == 350
