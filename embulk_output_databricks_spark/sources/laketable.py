@@ -1080,7 +1080,8 @@ class LakeTable:
     def _write_data_files(self, df: DataFrame, m: Manifest,
                           extra_fields: list[tuple[str, str]] | None = None,
                           sort_by: list | None = None,
-                          rows_per_file: int | None = None) -> list[dict]:
+                          rows_per_file: int | None = None,
+                          shuffle: bool = True) -> list[dict]:
         """Write df (current schema) as new immutable data files; returns file
         entries. If the table is bucketed, rows are routed to one file set per
         bucket via partitionBy so bucket pruning stays exact. `extra_fields`
@@ -1126,7 +1127,12 @@ class LakeTable:
             df = df.withColumn(_BUCKET_COL, bucket_expr(m.bucket_key, m.n_buckets))
             # one shuffle keyed by bucket: co-locates each bucket's rows so the
             # write emits few files per bucket instead of n_partitions each.
-            df = df.repartition(_BUCKET_COL)
+            # Callers whose partitions are already bucket-pure (the SPJ
+            # operators emit one bucket per task) skip it — routing is by
+            # VALUE (partitionBy), so a wrong hint only costs extra files,
+            # never correctness.
+            if shuffle:
+                df = df.repartition(_BUCKET_COL)
             if sort_by:
                 df = df.sortWithinPartitions(_BUCKET_COL, *sort_by)
             w = df.write.option("compression", _compression_of(m))
@@ -1398,11 +1404,19 @@ class LakeTable:
 
     # ---------- load modes (SURVEY §2.B) ----------
 
-    def append(self, df: DataFrame, properties: dict | None = None) -> Manifest:
+    def append(self, df: DataFrame, properties: dict | None = None,
+               bucket_local: bool = False) -> Manifest:
         """Bag-semantics append — UNION ALL insert (ref B2/B3,
-        DatabricksOutputConnection.java:234-248)."""
+        DatabricksOutputConnection.java:234-248). `bucket_local=True`
+        declares the input's partitions bucket-pure for THIS table's
+        bucket spec (one bucket per task — what operators/spj.py emits
+        when source and target share key + n_buckets), skipping the
+        write-side co-locating shuffle: a derived-table pipeline
+        read -> bucket_join/bucket_agg -> append then moves no data at
+        all. The hint is safe: rows route to buckets by value either way,
+        a wrong hint only costs extra files per bucket."""
         base = self.manifest()
-        new = self._write_data_files(df, base)
+        new = self._write_data_files(df, base, shuffle=not bucket_local)
         props = dict(properties or {})
         props.setdefault("operation", "append")
         return self._commit(base, base.files + new, props)

@@ -329,3 +329,37 @@ def test_full_join_never_splits(spark, warehouse):
     whole = bucket_join(left, right, on="k", how="full", fallback=False)
     assert split.rdd.getNumPartitions() == whole.rdd.getNumPartitions()
     assert _rows(split) == _rows(whole)
+
+
+def test_zero_shuffle_derived_pipeline_write_back(spark, warehouse):
+    """read -> bucket_agg -> append(bucket_local=True): the rollup lands
+    in a co-bucketed derived table with ONE file per bucket and no
+    write-side shuffle — the end-to-end derived-table maintenance path
+    moves no data at any stage."""
+    from embulk_output_databricks_spark.operators.spj import bucket_agg
+    from embulk_output_databricks_spark.sources.laketable import _live_data
+
+    t = _agg_pair(spark, warehouse)
+    rollup = bucket_agg(t, ["k"], AGGS, fallback=False)
+    dst_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        *[T.StructField(n, d, True) for n, d in
+          zip(rollup.columns[1:], [f.dataType for f in rollup.schema][1:])],
+    ])
+    cat = LakeCatalog(spark, warehouse + "/derived")
+    dst = cat.create_table("rollup", dst_schema, n_buckets=4,
+                           bucket_key="k")
+    dst.append(rollup, bucket_local=True)
+    got = dst.read()
+    want = bucket_agg(t, ["k"], AGGS, fallback=False)
+    assert _rows(got) == _rows(want)
+    files = _live_data(dst.manifest().files)
+    # bucket-pure tasks -> exactly one file per non-empty bucket (a
+    # shuffle-skipping write from impure partitions would fan out to
+    # up to tasks x buckets files)
+    per_bucket = {}
+    for f in files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert per_bucket and all(n == 1 for n in per_bucket.values()), per_bucket
+    # null grouping key hashes into some bucket like any value; spot-check
+    assert got.filter(F.col("k").isNull()).count() == 1
