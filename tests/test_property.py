@@ -171,3 +171,55 @@ def test_word_ids_always_in_vocab(spark, docs):
     rows = df.select(P.f_word_ids(F.col("text")).alias("toks")).collect()
     for r in rows:
         assert all(0 <= t < P.VOCAB for t in r["toks"])
+
+
+joinsides = st.tuples(
+    st.lists(st.tuples(st.one_of(st.none(),
+                                 st.integers(min_value=0, max_value=6)),
+                       st.integers(min_value=-9, max_value=9)),
+             max_size=14),
+    st.lists(st.tuples(st.one_of(st.none(),
+                                 st.integers(min_value=0, max_value=6)),
+                       st.integers(min_value=-9, max_value=9)),
+             max_size=14),
+    st.sampled_from(["inner", "left", "full", "semi", "anti"]),
+    st.integers(min_value=1, max_value=4),   # n_buckets
+    st.one_of(st.none(), st.just(1)),        # split_rows (skew valve)
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(joinsides)
+def test_bucket_join_matches_spark_join(spark, tmp_path_factory, case):
+    """Storage-partitioned join == Spark's shuffled join for any bag of
+    rows: null keys, duplicate keys (bag-semantics fan-out), empty sides,
+    every join type, with and without the hot-bucket split."""
+    from embulk_output_databricks_spark.operators.spj import bucket_join
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+    lrows, rrows, how, n_buckets, split = case
+    root = str(tmp_path_factory.mktemp("spjprop"))
+    cat = LakeCatalog(spark, root)
+    schema = "k bigint, v int"
+    lt = cat.create_table("l", spark.createDataFrame([], schema).schema,
+                          n_buckets=n_buckets, bucket_key="k")
+    rt = cat.create_table("r", spark.createDataFrame([], schema).schema,
+                          n_buckets=n_buckets, bucket_key="k")
+    if lrows:
+        lt.append(spark.createDataFrame(lrows, schema))
+    if rrows:
+        rt.append(spark.createDataFrame(rrows, schema))
+    got = bucket_join(lt, rt, on="k", how=how, fallback=False,
+                      split_rows=split)
+    if how in ("semi", "anti"):
+        want = lt.read().join(rt.read().select("k"), on="k",
+                              how="left_" + how)
+    else:
+        want = lt.read().join(
+            rt.read().withColumnRenamed("v", "v_r"), on="k", how=how)
+    assert sorted(got.columns) == sorted(want.columns)
+    canon = lambda df: sorted(  # noqa: E731
+        (tuple(r[c] for c in sorted(df.columns)) for r in df.collect()),
+        key=repr)
+    assert canon(got) == canon(want)
