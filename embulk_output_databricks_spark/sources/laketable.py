@@ -456,6 +456,48 @@ def _split_files(m: "Manifest", files: list[dict],
     return sel, rest
 
 
+def _diff_changed_buckets(old_m: "Manifest",
+                          new_m: "Manifest") -> set[int] | None:
+    """Current-spec bucket ids whose resolved rows can differ between two
+    snapshots, judged purely from manifest entries (no IO): files are
+    immutable and paths never reused, so an entry identical in both
+    manifests contributes identical rows. Returns None when pruning is
+    unsound (see diff() docstring) — the caller then reads everything.
+    """
+    if (old_m.current_sv != new_m.current_sv
+            or old_m.n_buckets != new_m.n_buckets):
+        return None
+
+    def keyed(m):
+        return {json.dumps(f, sort_keys=True) for f in m.files}
+
+    ok, nk = keyed(old_m), keyed(new_m)
+    delta_keys = (ok - nk) | (nk - ok)
+    if not delta_keys:
+        return set()
+    # basename -> current-spec bucket, for mapping sidecar targets
+    base_bucket: dict[str, int] = {}
+    for m in (old_m, new_m):
+        for f in _live_data(m.files):
+            if _file_nb(m, f) == m.n_buckets and f.get("bucket") is not None:
+                base_bucket[os.path.basename(f["path"])] = f["bucket"]
+    changed: set[int] = set()
+    for k in delta_keys:
+        f = json.loads(k)
+        if f.get("kind") in ("posdel", "eqdel"):
+            for t in f.get("targets", []):
+                b = base_bucket.get(t)
+                if b is None:
+                    return None  # target not mapped to a current-spec bucket
+                changed.add(b)
+        else:
+            if (f.get("nb", old_m.n_buckets) != old_m.n_buckets
+                    or f.get("bucket") is None):
+                return None  # old-spec / unbucketed entry changed
+            changed.add(f["bucket"])
+    return changed
+
+
 class LakeCatalog:
     """Directory-of-tables catalog (analog of the reference's Unity Catalog
     schema namespace; tableExists/metadata probes map to SURVEY B10)."""
@@ -2474,23 +2516,33 @@ class LakeTable:
         works for MOR intervals), diff() compares RESOLVED states via
         read(version=...), so it is strategy-agnostic — any mix of COW
         merges, overwrites, compactions, and evolution commits in the
-        interval yields the same logical answer. Cost is a full-outer join
-        of the two snapshots co-partitioned on the merge keys — at scale
-        both sides share the table's bucket layout, so the join shuffles
-        nothing that isn't already bucket-local, and buckets whose files
-        are byte-identical between the snapshots could be pruned entirely
-        (future work; file paths are content-addressed per commit).
+        interval yields the same logical answer.
+
+        Cost is bucket-pruned: a bucket whose manifest entries (data,
+        delta, and the delete sidecars targeting its files) are IDENTICAL
+        in both snapshots provably resolves to identical rows — files are
+        immutable and never reused across commits — so only CHANGED
+        buckets are read and full-outer-joined on the merge keys. After a
+        small batch into a 10^10-row table that is O(touched buckets), not
+        O(table), for every consumer built on diff (aggmaint, the near-dup
+        index, export sync, CDC-out). Pruning disables itself — falling
+        back to the full two-snapshot diff — whenever identical entries
+        can stop implying identical rows: a schema change in the interval
+        (projection differs), a bucket-count change, changed entries under
+        an old bucket spec or unbucketed imports (no current-spec id to
+        prune by), or a changed sidecar targeting an untracked file.
         """
         from pyspark.sql import functions as F
 
         old_m = self.manifest(from_version)
         new_m = self.manifest(to_version)
+        changed = _diff_changed_buckets(old_m, new_m)
         # compare over the NEW schema: evolution renames/widens resolve
         # old rows forward by field id exactly as read() does
         val_cols = [f["name"] for f in new_m.schema_version.fields
                     if f["name"] not in keys]
-        old = self.read(version=from_version)
-        new = self.read(version=to_version)
+        old = self.read(version=from_version, buckets=changed)
+        new = self.read(version=to_version, buckets=changed)
         # field-id evolution: columns added after from_version read as NULL
         for c in val_cols:
             if c not in old.columns:
