@@ -490,6 +490,62 @@ def bench_spj(spark, n_rows: int = 3_000_000, n_buckets: int = 32) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_diff_prune(spark, n_rows: int = 2_000_000,
+                     n_buckets: int = 64) -> dict:
+    """Snapshot-diff bucket pruning payoff: after a batch confined to ONE
+    bucket of a 64-bucket table, diff() proves the other 63 unchanged from
+    manifest entries alone (immutable files) and reads only the touched
+    bucket — vs the naive two-full-snapshot outer join every diff-based
+    consumer (aggmaint, near-dup index, export sync, CDC-out) would
+    otherwise pay per interval. At 10^10 rows the naive join IS a table
+    scan; the pruned diff stays O(batch buckets)."""
+    from embulk_output_databricks_spark.sources.laketable import (
+        LakeCatalog,
+        bucket_expr,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_diffprune_")
+    try:
+        cat = LakeCatalog(spark, work)
+        df = spark.range(n_rows, numPartitions=32).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1000).cast("int").alias("v"))
+        tbl = cat.create_table("t", df.schema, n_buckets=n_buckets,
+                               bucket_key="k")
+        tbl.append(df)
+        v1 = tbl.current_version()
+        # a batch of keys that all hash into bucket 0
+        batch = (df.filter(bucket_expr("k", n_buckets) == 0).limit(5000)
+                 .select("k", (F.col("v") + 1).alias("v")))
+        tbl.append(batch)
+
+        def naive():
+            o = tbl.read(version=v1).alias("o")
+            n = tbl.read().alias("n")
+            j = o.join(n, o["k"].eqNullSafe(n["k"]), "full_outer")
+            return j.filter(~o["v"].eqNullSafe(n["v"]))
+
+        n_pruned = tbl.diff(v1, keys=["k"]).count()  # warm + row parity
+        n_naive = naive().count()
+        assert n_pruned >= 5000 and n_naive >= 5000, (n_pruned, n_naive)
+        t0 = time.perf_counter()
+        tbl.diff(v1, keys=["k"]).write.format("noop").mode("overwrite").save()
+        pruned_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        naive().write.format("noop").mode("overwrite").save()
+        naive_s = time.perf_counter() - t0
+        return {
+            "rows": n_rows,
+            "n_buckets": n_buckets,
+            "changed_rows": 5000,
+            "pruned_diff_s": round(pruned_s, 3),
+            "naive_diff_s": round(naive_s, 3),
+            "speedup": round(naive_s / pruned_s, 2) if pruned_s else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_neardup(spark, n_docs: int = 200_000,
                   change_every: int = 100) -> dict:
     """Incremental near-dup index maintenance payoff: after a batch
@@ -644,6 +700,7 @@ def main() -> None:
         neardup = bench_neardup(spark)
         export = bench_export(spark)
         spj = bench_spj(spark)
+        diff_prune = bench_diff_prune(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -663,6 +720,7 @@ def main() -> None:
             "neardup": neardup,
             "export": export,
             "spj": spj,
+            "diff_prune": diff_prune,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))

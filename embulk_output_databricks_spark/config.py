@@ -103,6 +103,15 @@ class JobConfig:
                                   # own consumed-version watermark, so a
                                   # crash between apply and sync self-heals
     support_deletes: bool = True  # op='D' extension (FIXTURES.md S12)
+    merge_guard_col: str | None = None
+                                  # cross-batch stale-writer guard: a matched
+                                  # row updates/deletes only when the staged
+                                  # row's value in this column strictly beats
+                                  # the target's (WHEN MATCHED AND S.g > T.g
+                                  # pattern). Protects against PARTIALLY
+                                  # overlapping redelivery (failover re-read
+                                  # under a fresh batch_id) that the
+                                  # exact-replay fence cannot catch. COW only.
     auto_evolve: bool = False     # Delta mergeSchema analog: a batch that
                                   # carries a column the target lacks adds it
                                   # (metadata-only DDL, old rows read NULL)
@@ -146,6 +155,10 @@ class JobConfig:
             # a merge_rule reads T.col at write time — exactly the target
             # scan merge-on-read avoids; rules require copy-on-write
             raise ConfigError("merge_rules require merge_strategy='cow'")
+        if self.merge_strategy == "mor" and self.merge_guard_col:
+            # MOR resolves winners by commit sequence — exactly what an
+            # out-of-order redelivery breaks; guarded tables need COW
+            raise ConfigError("merge_guard_col requires merge_strategy='cow'")
         if self.mor_compact_every < 0:
             raise ConfigError("mor_compact_every must be >= 0")
         if self.retry_limit < 0 or self.retry_wait_s <= 0 \

@@ -107,6 +107,7 @@ def apply_batch(
                 support_deletes=cfg.support_deletes,
                 properties=properties,
                 broadcast_threshold_rows=cfg.broadcast_merge_threshold,
+                guard_col=cfg.merge_guard_col,
             )
     else:  # pragma: no cover
         raise ValueError(f"unhandled mode {mode}")

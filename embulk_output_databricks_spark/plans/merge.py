@@ -37,6 +37,20 @@ _T_HIT = "__t_present"
 _S_HIT = "__s_present"
 
 
+def _guard_ok(guard_col: str):
+    """Stale-writer guard predicate: the staged row wins a match only when
+    its guard value strictly beats the target's. NULL semantics chosen so
+    stale/unknown input can never clobber committed state: a NULL staged
+    guard never wins; a NULL target guard loses to any non-NULL staged one
+    (the committed row has no recorded version to defend)."""
+    g_ok = (
+        F.when(F.col(f"T.{guard_col}").isNull(),
+               F.col(f"S.{guard_col}").isNotNull())
+        .otherwise(F.col(f"S.{guard_col}") > F.col(f"T.{guard_col}"))
+    )
+    return F.coalesce(g_ok, F.lit(False))
+
+
 def broadcast_upsert_plan(
     target: DataFrame,
     target_keys: DataFrame,
@@ -46,6 +60,7 @@ def broadcast_upsert_plan(
     rules: dict[str, str] | None = None,
     has_op: bool = False,
     support_deletes: bool = True,
+    guard_col: str | None = None,
 ) -> DataFrame:
     """The zero-target-shuffle merge plan, reusable by COW merge and MOR
     compaction. `target` is the full-width target slice; `target_keys` the
@@ -79,6 +94,10 @@ def broadcast_upsert_plan(
     j = target.join(F.broadcast(staged.withColumn(_S_HIT, F.lit(True))),
                     cond, "left_outer")
     matched = F.col(_S_HIT).isNotNull()
+    if guard_col is not None:
+        # matched-but-stale rows fall through every WHEN to the keep branch:
+        # target payload, target lineage, target _last_seq all survive
+        matched = matched & _guard_ok(guard_col)
     upd_cols = []
     for c in payload:
         upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
@@ -154,9 +173,23 @@ def merge_apply(
     support_deletes: bool = True,
     properties: dict | None = None,
     broadcast_threshold_rows: int = 500_000,
+    guard_col: str | None = None,
 ) -> Manifest:
     """staged: exactly one row per key (run operators.lww_dedup first),
     columns = target payload columns (+ optional `op` I/U/D).
+
+    guard_col: cross-batch stale-writer guard (the `WHEN MATCHED AND
+    S.seq > T.seq` pattern). The batch fence makes EXACT replays no-ops,
+    but a failover re-read can redeliver a *partially overlapping* range
+    under a fresh batch_id — its LWW winners are valid within the batch yet
+    older than rows already committed by a later batch. With guard_col set,
+    a matched row updates (or deletes) only when the staged guard value
+    strictly beats the target's (see _guard_ok for NULL semantics); stale
+    rows keep the committed state, payload and lineage untouched. Inserts
+    are unguarded (nothing to defend). Requires the guard column in the
+    table payload; copy-on-write only (MOR winner resolution orders by
+    commit sequence, which is exactly what an out-of-order redelivery
+    breaks — use COW for guarded tables).
 
     Physical plan is chosen by batch size (the persisted staged count):
       * small batch (<= broadcast_threshold_rows): broadcast plan — the
@@ -174,6 +207,8 @@ def merge_apply(
     missing = [k for k in keys if k not in payload]
     if missing:
         raise ValueError(f"merge keys not in table schema: {missing}")
+    if guard_col is not None and guard_col not in payload:
+        raise ValueError(f"guard_col {guard_col!r} not in table schema")
     has_op = OP_COL in staged.columns
 
     # staged is typically the output of an LWW dedup (a full shuffle); it is
@@ -192,7 +227,7 @@ def merge_apply(
     # fall through to the regular plan, which always commits, so crash
     # reconciliation still finds the batch stamp. merge_rules disable the
     # path (a rule could rewrite a 'D' into a keep) --
-    if (has_op and support_deletes and not merge_rules
+    if (has_op and support_deletes and not merge_rules and guard_col is None
             and staged.filter(  # NULL op = insert, NOT a delete
                 ~F.coalesce(F.col(OP_COL) == "D", F.lit(False))).isEmpty()):
         props = dict(properties or {})
@@ -231,7 +266,7 @@ def merge_apply(
         result = broadcast_upsert_plan(
             target, table.read(buckets=affected).select(*keys), staged,
             keys, payload, rules=rules, has_op=has_op,
-            support_deletes=support_deletes,
+            support_deletes=support_deletes, guard_col=guard_col,
         )
     else:
         # -- 2b. full outer join on merge keys (large batch) --
@@ -245,6 +280,10 @@ def merge_apply(
         )
 
         matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
+        if guard_col is not None:
+            # matched-but-stale pairs behave exactly like unmatched target
+            # rows: kept payload, kept _row_id, kept _last_seq
+            matched = matched & _guard_ok(guard_col)
         s_only = F.col(_T_HIT).isNull()
         is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) else F.lit(False)
 
@@ -274,3 +313,65 @@ def merge_apply(
         return table.replace_files(affected, result, props)
     finally:
         staged.unpersist()
+
+
+def snapshot_sync(
+    table: LakeTable,
+    source: DataFrame,
+    keys: list[str],
+    properties: dict | None = None,
+    broadcast_threshold_rows: int = 500_000,
+) -> Manifest:
+    """Full-snapshot reconciliation — the `MERGE … WHEN NOT MATCHED BY
+    SOURCE THEN DELETE` / Delta `whenNotMatchedBySourceDelete` analog the
+    reference cannot express (its closest mode is truncate_insert,
+    README.md:58-61, which rewrites everything).
+
+    `source` is a complete re-extract of the upstream table (unique on
+    `keys` — the upstream primary key). After the commit the target's
+    resolved state equals `source` exactly: matched-and-different rows
+    update, source-only rows insert, target-only rows delete,
+    matched-and-identical rows are untouched.
+
+    The 100 TB lever is *delta derivation*: a naive resync (overwrite)
+    writes O(table) and destroys row lineage for rows that never changed.
+    Here one full-outer compare join (null-safe struct equality over the
+    non-key payload — exact for arrays/structs/maps too) classifies every
+    key; identical rows are dropped from the plan entirely, and only the
+    changed/new/deleted keys feed the normal bucket-pruned MERGE. The
+    compare must read the table once (inherent — the input is a full
+    snapshot), but write IO is O(changed buckets) and unchanged buckets
+    keep their exact files, row ids and _last_seq.
+    """
+    m = table.manifest()
+    payload = [f["name"] for f in m.schema_version.fields]
+    missing = [k for k in keys if k not in payload]
+    if missing:
+        raise ValueError(f"merge keys not in table schema: {missing}")
+    non_keys = [c for c in payload if c not in keys]
+
+    t = table.read().withColumn(_T_HIT, F.lit(True)).alias("T")
+    s = source.select(*payload).withColumn(_S_HIT, F.lit(True)).alias("S")
+    cond = None
+    for k in keys:
+        c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+    matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
+    if non_keys:
+        same = F.struct(*[F.col(f"T.{c}") for c in non_keys]).eqNullSafe(
+            F.struct(*[F.col(f"S.{c}") for c in non_keys]))
+    else:  # key-only table: a matched key is by definition unchanged
+        same = F.lit(True)
+    t_only = F.col(_S_HIT).isNull()
+    actions = j.filter(~(matched & same)).select(
+        *[F.coalesce(F.col(f"S.{k}"), F.col(f"T.{k}")).alias(k) for k in keys],
+        *[F.col(f"S.{c}").alias(c) for c in non_keys],
+        F.when(t_only, F.lit("D")).otherwise(F.lit("U")).alias(OP_COL),
+    )
+    props = dict(properties or {})
+    props.setdefault("operation", "snapshot-sync")
+    return merge_apply(
+        table, actions, keys, support_deletes=True, properties=props,
+        broadcast_threshold_rows=broadcast_threshold_rows,
+    )

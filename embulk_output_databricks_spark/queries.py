@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from .config import JobConfig
 from .functions import portable as P
 from .operators.lww import lww_dedup
-from .plans.merge import merge_apply
+from .plans.merge import merge_apply, snapshot_sync
 from .sources.laketable import LakeCatalog
 from .streaming.replay import EvolutionOp, ReplayDriver
 
@@ -270,6 +270,72 @@ def q_cdc_merge_delete(spark, sf_dir):
     staged = _lww(s_half, extra=["op"])
     merge_apply(tbl, staged, keys=["user_id"], support_deletes=True)
     return tbl.read()
+
+
+def q_cdc_merge_guard(spark, sf_dir):
+    """Cross-batch stale-writer guard: a matched row updates only when the
+    staged ts_us strictly beats the committed one (WHEN MATCHED AND
+    S.g > T.g pattern). Models a failover re-read redelivering a partially
+    overlapping range under a fresh batch_id — valid within its batch, but
+    some winners are OLDER than rows later batches already committed; the
+    exact-replay fence cannot catch that, the guard does."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "merge_guard")
+    tbl.append(_lww(t_half))
+    merge_apply(tbl, _lww(s_half), keys=["user_id"], guard_col="ts_us")
+    return tbl.read()
+
+
+# staged wins ONLY on insert or strictly-newer ts_us; a matched stale row
+# keeps the target payload whole (s.ts_us > t.ts_us is NULL when s is
+# absent, so the ELSE keeps t — same coalesce-to-false the engine applies)
+_GUARD_COLS = """
+  coalesce(s.user_id, t.user_id) AS user_id,
+  CASE WHEN t.user_id IS NULL OR s.ts_us > t.ts_us THEN s.ts_us ELSE t.ts_us END AS ts_us,
+  CASE WHEN t.user_id IS NULL OR s.ts_us > t.ts_us THEN s.event_type ELSE t.event_type END AS event_type,
+  CASE WHEN t.user_id IS NULL OR s.ts_us > t.ts_us THEN s.value ELSE t.value END AS value,
+  CASE WHEN t.user_id IS NULL OR s.ts_us > t.ts_us THEN s.props ELSE t.props END AS props
+"""
+
+
+def q_cdc_snapshot_resync(spark, sf_dir):
+    """Full-snapshot reconciliation (MERGE … WHEN NOT MATCHED BY SOURCE
+    THEN DELETE / Delta whenNotMatchedBySourceDelete analog): given a
+    complete re-extract of the upstream, bring the table to exactly that
+    state in one commit — matched-and-changed update, source-only insert,
+    target-only delete, identical rows never rewritten (the delta is
+    derived by a null-safe compare join; only changed buckets swap files).
+    Source here: the LWW state with user_id%3==0 dropped (deletes),
+    %3==1 values bumped (updates), and a shifted copy of %3==2 appended
+    (inserts); %3==2 originals are byte-identical (kept, zero write)."""
+    ev = _events(spark, sf_dir)
+    tbl = _new_table(spark, "snapshot_resync")
+    tbl.append(_lww(ev))
+    st = _lww(ev)
+    src = st.filter(F.col("user_id") % 3 != 0).withColumn(
+        "value",
+        F.when(F.col("user_id") % 3 == 1, F.col("value") + 100)
+        .otherwise(F.col("value")),
+    )
+    src = src.unionByName(
+        st.filter(F.col("user_id") % 3 == 2)
+        .withColumn("user_id", F.col("user_id") + F.lit(1_000_000_000))
+    )
+    snapshot_sync(tbl, src, keys=["user_id"])
+    return tbl.read()
+
+
+# the post-sync table state IS the source snapshot — the oracle rebuilds it
+_SQL_SNAPSHOT_RESYNC = f"""
+WITH st AS (SELECT * FROM {_sql_lww()})
+SELECT user_id, ts_us, event_type,
+       CASE WHEN user_id % 3 = 1 THEN value + 100 ELSE value END AS value,
+       props
+FROM st WHERE user_id % 3 <> 0
+UNION ALL
+SELECT user_id + 1000000000 AS user_id, ts_us, event_type, value, props
+FROM st WHERE user_id % 3 = 2
+"""
 
 
 def q_cdc_merge_mor(spark, sf_dir):
@@ -4361,6 +4427,8 @@ SPARK_QUERIES = {
     "cdc_merge_rules": q_cdc_merge_rules,
     "cdc_merge_partial": q_cdc_merge_partial,
     "cdc_merge_delete": q_cdc_merge_delete,
+    "cdc_merge_guard": q_cdc_merge_guard,
+    "cdc_snapshot_resync": q_cdc_snapshot_resync,
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
@@ -4515,6 +4583,8 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_merge_composite": _SQL_MERGE_COMPOSITE,
         "cdc_merge_rules": _sql_merge(_RULES_COLS),
         "cdc_merge_partial": _sql_merge(_PARTIAL_COLS),
+        "cdc_merge_guard": _sql_merge(_GUARD_COLS),
+        "cdc_snapshot_resync": _SQL_SNAPSHOT_RESYNC,
         "cdc_merge_delete": _sql_merge(
             _UPSERT_COLS,
             where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",
