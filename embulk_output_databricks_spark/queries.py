@@ -338,6 +338,27 @@ FROM st WHERE user_id % 3 = 2
 """
 
 
+def q_cdc_sort_order(spark, sf_dir):
+    """Table write sort order (Iceberg write sort-order analog): with
+    set_sort_order, appends AND COW merge rewrites cluster each bucket by
+    `value` and split files, so the per-file min/max range index stays
+    selective through churn; the band read then skips files pre-IO and
+    applies the exact predicate (results identical to an unclustered
+    table — clustering is layout, never semantics)."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "sort_order")
+    tbl.set_sort_order(["value"], rows_per_file=50)
+    tbl.append(_lww(t_half))
+    merge_apply(tbl, _lww(s_half), keys=["user_id"])
+    return tbl.read(stats_filter={"value": (10.0, 20.0)})
+
+
+_SQL_SORT_ORDER = (
+    f"SELECT * FROM ({_sql_merge(_UPSERT_COLS)}) "
+    "WHERE value BETWEEN 10.0 AND 20.0"
+)
+
+
 def q_cdc_merge_mor(spark, sf_dir):
     """Merge-on-read strategy: the staged batch (upserts + deletes) lands as
     delta files — no bucket rewrite — and read() resolves per-key winners
@@ -4429,6 +4450,7 @@ SPARK_QUERIES = {
     "cdc_merge_delete": q_cdc_merge_delete,
     "cdc_merge_guard": q_cdc_merge_guard,
     "cdc_snapshot_resync": q_cdc_snapshot_resync,
+    "cdc_sort_order": q_cdc_sort_order,
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
@@ -4585,6 +4607,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_merge_partial": _sql_merge(_PARTIAL_COLS),
         "cdc_merge_guard": _sql_merge(_GUARD_COLS),
         "cdc_snapshot_resync": _SQL_SNAPSHOT_RESYNC,
+        "cdc_sort_order": _SQL_SORT_ORDER,
         "cdc_merge_delete": _sql_merge(
             _UPSERT_COLS,
             where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",

@@ -1147,6 +1147,23 @@ class LakeTable:
                                        T.StringType))
         }
         df = df.select(*cols)
+        if sort_by is None:
+            # table write sort order (set_sort_order): every data write —
+            # append, COW merge rewrite, MOR delta, compaction — clusters
+            # its rows so the per-file range index stays selective through
+            # normal CDC churn instead of decaying until the next explicit
+            # compact(cluster_by=...). Renamed/dropped columns fall out of
+            # the intersection (order is advisory; correctness never
+            # depends on it).
+            so = [c for c in (m.properties.get("sort_order") or "").split(",")
+                  if c]
+            names = {f.name for f in cur.fields}
+            so = [c for c in so if c in names]
+            if so:
+                sort_by = so
+                if rows_per_file is None:
+                    rows_per_file = int(
+                        m.properties.get("sort_rows_per_file") or 0) or None
         checks = _table_checks(m)
         obs = check_names = None
         if checks:
@@ -3095,6 +3112,44 @@ class LakeTable:
                 raise ValueError(f"bloom bits must be a multiple of 8 >= 64, got {bits}")
             props["bloom_bits"] = str(bits)
         props.setdefault("operation", "set-bloom-columns")
+        return self._commit(base, base.files, props)
+
+    def set_sort_order(self, cols: list[str],
+                       rows_per_file: int | None = None,
+                       properties: dict | None = None) -> Manifest:
+        """Table write sort order (Iceberg write sort-order /
+        `write.sort.order` analog; metadata-only commit). Once set, EVERY
+        future data write — append, COW merge bucket rewrite, MOR delta,
+        predicate-DML rewrite, compaction — sorts rows within each bucket
+        by `cols` (optionally splitting files at `rows_per_file`), so the
+        footer-harvested min/max bounds keep pruning WITHIN buckets through
+        normal CDC churn. Without it a merged bucket loses its clustering
+        and range scans degrade until the next explicit
+        compact(cluster_by=...) — at 100 TB that window is most of the
+        time. Existing files are untouched (compact() migrates them); the
+        order is advisory — a column later renamed or dropped simply
+        leaves the effective order, never breaking writes. `cols=[]`
+        clears the order. Z-order clustering stays an explicit compact()
+        call (its Morton key needs a bounds pass per write)."""
+        base = self.manifest()
+        names = {f["name"] for f in base.schema_version.fields}
+        unknown = set(cols) - names
+        if unknown:
+            raise ValueError(f"sort_order columns not in schema: {sorted(unknown)}")
+        by_name = {f["name"]: f for f in base.schema_version.fields}
+        unsortable = [c for c in cols
+                      if by_name[c]["type"].startswith("map<")]
+        if unsortable:
+            raise ValueError(f"sort_order columns not orderable: {unsortable}")
+        if rows_per_file is not None and rows_per_file < 1:
+            raise ValueError("rows_per_file must be >= 1")
+        props = dict(properties or {})
+        props["sort_order"] = ",".join(cols)
+        if rows_per_file is not None:
+            props["sort_rows_per_file"] = str(rows_per_file)
+        elif not cols:
+            props["sort_rows_per_file"] = ""
+        props.setdefault("operation", "set-sort-order")
         return self._commit(base, base.files, props)
 
     def compact(self, min_files_per_bucket: int = 2,
