@@ -2169,6 +2169,61 @@ def q_events_tumbling_stream(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+def q_events_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join (streaming/stream_join.py):
+    click->purchase attribution per user within 24h, both sides true
+    streaming DataFrames. Single file per side = one micro-batch, so
+    nothing is late and the drained append-mode output must equal the
+    batch interval join; the watermark-eviction semantics themselves are
+    pinned by tests/test_stream_join.py. State is O(rate x horizon),
+    keyed on the high-cardinality user_id."""
+    from .streaming.stream_join import interval_join
+
+    base = f"{WORK_ROOT}/sjoin/{uuid.uuid4().hex}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value")
+    ev.filter("event_type = 'click'").select("user_id", "ts") \
+        .coalesce(1).write.parquet(f"{base}/clicks")
+    ev.filter("event_type = 'purchase'").select("user_id", "ts", "value") \
+        .coalesce(1).write.parquet(f"{base}/purchases")
+    clicks = spark.readStream.schema(
+        "user_id long, ts timestamp").parquet(f"{base}/clicks")
+    purchases = spark.readStream.schema(
+        "user_id long, ts timestamp, value double").parquet(f"{base}/purchases")
+    j = interval_join(clicks, purchases, key="user_id",
+                      within="24 hours", watermark="1 hour")
+    out = j.select(
+        "user_id",
+        F.unix_micros(F.col("L_ts")).alias("click_us"),
+        F.unix_micros(F.col("R_ts")).alias("purchase_us"),
+        _CENTS_S(F.col("R_value")).alias("value_cents"),
+    )
+    q = (
+        out.writeStream
+        .foreachBatch(lambda df, _e: df.write.mode("append")
+                      .parquet(f"{base}/out"))
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{base}/out")
+
+
+_SQL_STREAM_JOIN = f"""
+SELECT c.user_id AS user_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS purchase_us,
+       {_cents_sql("p.value")} AS value_cents
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+"""
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
@@ -4523,6 +4578,7 @@ SPARK_QUERIES = {
     "events_tumbling_stream": q_events_tumbling_stream,
     "events_sessionize": q_events_sessionize,
     "events_session_stream": q_events_session_stream,
+    "events_stream_join": q_events_stream_join,
     "events_asof": q_events_asof,
     "events_asof_bucketed": q_events_asof_bucketed,
     "events_range_join": q_events_range_join,
@@ -4904,6 +4960,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_session_stream": _SQL_SESSIONIZE,
+        "events_stream_join": _SQL_STREAM_JOIN,
         "events_asof": _SQL_ASOF,
         "events_asof_bucketed": _SQL_ASOF,
         "events_range_join": _SQL_RANGE_JOIN,
