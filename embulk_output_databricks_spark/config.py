@@ -87,6 +87,15 @@ class JobConfig:
                                   # next 4x count that satisfies the target —
                                   # the layout grows WITH the table instead of
                                   # freezing at creation-time scale. 0 = off.
+    checkpoint_fold_every: int = 0
+                                  # fold per-batch fence files into one span
+                                  # file every N committed batches (keeps the
+                                  # newest 8 as files). The per-batch fence
+                                  # check is O(1) either way; folding keeps
+                                  # startup recovery / reporting / contiguity
+                                  # audits O(1) instead of O(batches) —
+                                  # at 10^10 events that is 10^5+ tiny files.
+                                  # 0 = manual (CheckpointStore.fold()).
     persist_source: bool = False  # cache batch events across lineage+dedup
                                   # passes (worth it only when the source is
                                   # expensive to rescan; a seeded synth or a
@@ -161,6 +170,8 @@ class JobConfig:
             raise ConfigError("merge_guard_col requires merge_strategy='cow'")
         if self.mor_compact_every < 0:
             raise ConfigError("mor_compact_every must be >= 0")
+        if self.checkpoint_fold_every < 0:
+            raise ConfigError("checkpoint_fold_every must be >= 0")
         if self.retry_limit < 0 or self.retry_wait_s <= 0 \
                 or self.max_retry_wait_s < self.retry_wait_s:
             raise ConfigError("retry_limit must be >= 0 and "

@@ -1058,6 +1058,35 @@ def q_cdc_fence_idempotent(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_ckpt_fold(spark, sf_dir):
+    """Checkpoint folding under the fence: per-batch fence files collapse
+    into one span file every 2 batches (checkpoint_fold_every), then a
+    stale batch replays against the FOLDED fence and must still no-op —
+    recovery/audit metadata stays O(1) over a 10^5-batch tail with zero
+    change to exactly-once semantics. Same final-state oracle as the
+    unfolded fence query."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "ckptfold")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"],
+                    n_buckets=8, checkpoint_fold_every=2)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    driver.ckpt.fold = _fold_keep_none(driver.ckpt)  # fold ALL (keep_last=0)
+    driver.replay(binlog, batch_ids=[0, 1, 2, 3], collect_metrics=True)
+    for b in (1, 2):  # stale replays fence against the span file alone
+        assert driver.run_batch(binlog.filter(F.col("batch_id") == b), b) is None
+    assert driver.ckpt.committed_batch_ids() == [0, 1, 2, 3]
+    return driver.table.read()
+
+
+def _fold_keep_none(ck):
+    orig = ck.fold
+
+    def fold(keep_last: int = 8):
+        return orig(keep_last=0)
+
+    return fold
+
+
 def q_cdc_auto_evolve(spark, sf_dir):
     """Auto schema evolution on write (Delta mergeSchema analog;
     JobConfig.auto_evolve — the reference's closest concept is explicit
@@ -4529,6 +4558,7 @@ SPARK_QUERIES = {
     "cdc_apply_truncate": q_cdc_apply_truncate,
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
+    "cdc_ckpt_fold": q_cdc_ckpt_fold,
     "cdc_fanin": q_cdc_fanin,
     "cdc_auto_evolve": q_cdc_auto_evolve,
     "cdc_rollback": q_cdc_rollback,
@@ -4827,6 +4857,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 1 GROUP BY user_id
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
+        "cdc_ckpt_fold": _SQL_REPLAY_FINAL,
         "cdc_fanin": _SQL_REPLAY_FINAL,
         "cdc_auto_evolve": """
             SELECT user_id, ts_us AS seq_lsn, event_type, value, props,

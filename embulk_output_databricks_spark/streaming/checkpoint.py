@@ -54,6 +54,88 @@ class CheckpointStore:
                 self.dir, f"batch-{self.source_id}-{batch_id:012d}.json")
         return os.path.join(self.dir, f"batch-{batch_id:012d}.json")
 
+    # ---- fold (fence metadata stays O(1), not O(batches)) ----
+
+    def _fold_path(self) -> str:
+        return os.path.join(self.dir, f"fold-{self.source_id or 'default'}.json")
+
+    def _load_fold(self) -> dict:
+        try:
+            with open(self._fold_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"source_id": self.source_id, "spans": [], "retracted": []}
+
+    @staticmethod
+    def _fold_covers(fold: dict, batch_id: int) -> bool:
+        return (batch_id in fold.get("retracted", [])
+                or any(sp["from"] <= batch_id <= sp["to"]
+                       for sp in fold.get("spans", [])))
+
+    def fold(self, keep_last: int = 8) -> dict:
+        """Merge old per-batch fence files into ONE span file (the
+        checkpoint analog of manifest-segment folding). At 10^10 events
+        the fence dir holds one tiny JSON per batch — 10^5+ files whose
+        LISTING (startup recovery, reporting, contiguity audits) grows
+        linearly while the per-batch fence check stays O(1). fold()
+        collapses every committed record except the newest `keep_last`
+        into consecutive-id spans carrying the chained LSN range (the
+        contiguity proof survives folding), absorbs retracted tombstones
+        into the fold's retract set, then deletes the per-batch files.
+        Crash-safe: the span file is written atomically BEFORE any delete,
+        and both sources agreeing is consistent — a leftover file is
+        simply re-absorbed (and deduped) by the next fold. Resurrection
+        stays impossible: _recover and the fence consult the fold exactly
+        like a file."""
+        recs: dict[int, dict] = {}
+        prefix = f"batch-{self.source_id}-" if self.source_id else "batch-"
+        for fn in os.listdir(self.dir):
+            if not (fn.startswith(prefix) and fn.endswith(".json")):
+                continue
+            tail = fn[len(prefix):-len(".json")]
+            if not tail.isdigit():
+                continue
+            with open(os.path.join(self.dir, fn)) as f:
+                recs[int(tail)] = json.load(f)
+        committed = sorted(b for b, r in recs.items()
+                           if r.get("status") == "committed")
+        fold_ids = committed[:-keep_last] if keep_last else committed
+        gone_ids = sorted(b for b, r in recs.items()
+                          if r.get("status") == "retracted")
+        fold = self._load_fold()
+        for bid in fold_ids:
+            if self._fold_covers(fold, bid):
+                continue  # crash leftover from a previous fold: dedupe
+            r = recs[bid]
+            spans = fold["spans"]
+            last = spans[-1] if spans else None
+            chains = (last is not None and bid == last["to"] + 1
+                      and last.get("lsn_to") is not None
+                      and r.get("lsn_from") == last["lsn_to"])
+            if chains:
+                last["to"] = bid
+                last["lsn_to"] = r.get("lsn_to")
+            else:
+                spans.append({"from": bid, "to": bid,
+                              "lsn_from": r.get("lsn_from"),
+                              "lsn_to": r.get("lsn_to")})
+        fold["retracted"] = sorted(set(fold.get("retracted", [])) | set(gone_ids))
+        tmp = self._fold_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(fold, f)
+        os.replace(tmp, self._fold_path())
+        for bid in list(fold_ids) + gone_ids:
+            try:
+                os.unlink(self._path(bid))
+            except FileNotFoundError:
+                pass
+        return {"folded": len(fold_ids), "retracted_folded": len(gone_ids),
+                "spans": len(fold["spans"])}
+
+    def _has_record(self, batch_id: int) -> bool:
+        return (os.path.exists(self._path(batch_id))
+                or self._fold_covers(self._load_fold(), batch_id))
+
     def _recover(self) -> None:
         """Crash reconciliation: trust the snapshot, repair the checkpoint.
 
@@ -72,7 +154,7 @@ class CheckpointStore:
             bid = m.properties.get("batch_id")
             src = m.properties.get("source_id") or ""
             if bid is not None and src == self.source_id:
-                if not os.path.exists(self._path(int(bid))):
+                if not self._has_record(int(bid)):
                     rec = {
                         "batch_id": int(bid),
                         "source_id": self.source_id,
@@ -104,14 +186,21 @@ class CheckpointStore:
 
     def is_committed(self, batch_id: int) -> bool:
         p = self._path(batch_id)
-        if not os.path.exists(p):
+        if os.path.exists(p):
+            # per-batch file is the NEWER truth: a retract tombstone written
+            # after a fold overrides the fold's committed span
+            with open(p) as f:
+                return json.load(f).get("status") == "committed"
+        fold = self._load_fold()
+        if batch_id in fold.get("retracted", []):
             return False
-        with open(p) as f:
-            return json.load(f).get("status") == "committed"
+        return any(sp["from"] <= batch_id <= sp["to"]
+                   for sp in fold.get("spans", []))
 
     def committed_batch_ids(self) -> list[int]:
         prefix = f"batch-{self.source_id}-" if self.source_id else "batch-"
-        out = []
+        committed: set[int] = set()
+        retracted_files: set[int] = set()
         for fn in os.listdir(self.dir):
             if not (fn.startswith(prefix) and fn.endswith(".json")):
                 continue
@@ -120,8 +209,15 @@ class CheckpointStore:
                 continue
             with open(os.path.join(self.dir, fn)) as f:
                 if json.load(f).get("status") == "committed":
-                    out.append(int(tail))
-        return sorted(out)
+                    committed.add(int(tail))
+                else:
+                    retracted_files.add(int(tail))
+        fold = self._load_fold()
+        dead = set(fold.get("retracted", [])) | retracted_files
+        for sp in fold.get("spans", []):
+            committed.update(b for b in range(sp["from"], sp["to"] + 1)
+                             if b not in dead)
+        return sorted(committed - retracted_files)
 
     def last_committed(self) -> int | None:
         ids = self.committed_batch_ids()
@@ -167,15 +263,25 @@ class CheckpointStore:
 
     def validate_contiguous(self) -> None:
         """FIXTURES.md F6 invariant 3: batch ids strictly increasing, offset
-        ranges contiguous, no gaps/overlaps."""
-        prev_to = None
+        ranges contiguous, no gaps/overlaps. Folded spans carry the chained
+        LSN range of their batches (verified when the span was extended),
+        so the proof survives folding: chain spans and per-batch files in
+        one id-ordered pass."""
+        fold = self._load_fold()
+        items = [(sp["from"], sp.get("lsn_from"), sp.get("lsn_to"))
+                 for sp in fold.get("spans", [])]
         for bid in self.committed_batch_ids():
+            if self._fold_covers(fold, bid):
+                continue  # represented by its span
             rec = self.read(bid)
-            if rec["lsn_from"] is None:  # crash-recovered light record
+            items.append((bid, rec["lsn_from"], rec["lsn_to"]))
+        prev_to = None
+        for bid, lsn_from, lsn_to in sorted(items):
+            if lsn_from is None:  # crash-recovered light record
                 prev_to = None
                 continue
-            if prev_to is not None and rec["lsn_from"] != prev_to:
+            if prev_to is not None and lsn_from != prev_to:
                 raise AssertionError(
-                    f"checkpoint gap/overlap at batch {bid}: from={rec['lsn_from']} prev_to={prev_to}"
+                    f"checkpoint gap/overlap at batch {bid}: from={lsn_from} prev_to={prev_to}"
                 )
-            prev_to = rec["lsn_to"]
+            prev_to = lsn_to

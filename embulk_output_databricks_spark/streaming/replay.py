@@ -77,6 +77,7 @@ class ReplayDriver:
         self.source_id = source_id
         self.ckpt = CheckpointStore(self.table, source_id=source_id)
         self._applied_since_compact = 0  # mor auto-compact cadence counter
+        self._committed_since_fold = 0   # checkpoint-fold cadence counter
         # maintained downstream rollups (cfg.rollups): created/seeded here,
         # advanced after every batch by their own consumed-version watermark
         self.rollups: list[tuple] = []
@@ -312,8 +313,17 @@ class ReplayDriver:
             self.sync_rollups()
             metrics["rollup_s"] = round(_time.monotonic() - t_r, 6)
         if fenced:
-            return self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage,
-                                    metrics=metrics)
+            rec = self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage,
+                                   metrics=metrics)
+            # fence-metadata housekeeping: collapse old per-batch files into
+            # the span file so recovery/audits stay O(1) over a long tail
+            fe = self.cfg.checkpoint_fold_every
+            if fe > 0:
+                self._committed_since_fold += 1
+                if self._committed_since_fold >= fe:
+                    self.ckpt.fold()
+                    self._committed_since_fold = 0
+            return rec
         return {"batch_id": batch_id, "snapshot_version": m.version,
                 "lineage": lineage, "metrics": metrics}
 
