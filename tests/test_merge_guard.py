@@ -131,3 +131,39 @@ def test_guard_col_must_exist(spark, warehouse):
 def test_guard_config_rejects_mor():
     with pytest.raises(ConfigError, match="merge_guard_col"):
         JobConfig(merge_strategy="mor", merge_guard_col="seq")
+
+
+def test_replay_driver_guarded_overlapping_redelivery(spark, warehouse):
+    """End-to-end through the ReplayDriver: after batches 0-2 commit, a
+    failover re-read redelivers the batch-0/1 LSN range under a FRESH
+    batch_id. The fence passes (new id), the in-batch LWW winners are
+    valid, but they are older than committed state — with
+    JobConfig.merge_guard_col the apply leaves the table bit-identical."""
+    from pyspark.sql import types as T
+
+    from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+    from embulk_output_databricks_spark.streaming.replay import ReplayDriver
+    from embulk_output_databricks_spark.synth import synth_binlog
+
+    guard_schema = T.StructType(
+        list(SEQUENCES_SCHEMA.fields)
+        + [T.StructField("seq_lsn", T.LongType())])
+    binlog = synth_binlog(spark, 600, 40, 200).cache()  # 3 batches
+    drv = ReplayDriver(
+        LakeCatalog(spark, warehouse),
+        JobConfig(mode="merge", merge_keys=["doc_id"], n_buckets=4,
+                  merge_guard_col="seq_lsn"),
+        target_schema=guard_schema)
+    drv.replay(binlog)
+    before = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["seq_lsn"])
+              for r in drv.table.read().collect()}
+    # overlapping redelivery: lsns 0..299 (spans batches 0 and 1) under a
+    # fresh batch id — the fence cannot catch it, the guard must
+    redelivered = (binlog.filter(F.col("seq_lsn") < 300)
+                   .withColumn("batch_id", F.lit(100)))
+    assert drv.run_batch(redelivered, 100) is not None  # fence passes
+    after = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["seq_lsn"])
+             for r in drv.table.read().collect()}
+    binlog.unpersist()
+    assert after == before
