@@ -87,6 +87,13 @@ class JobConfig:
                                   # next 4x count that satisfies the target —
                                   # the layout grows WITH the table instead of
                                   # freezing at creation-time scale. 0 = off.
+    quarantine: bool = False      # apply-level dead letter: envelope-invalid
+                                  # rows (NULL merge key, op outside I/U/D)
+                                  # park under <table>/quarantine/batch-<id>/
+                                  # with a reason instead of silently applying
+                                  # (Kafka Connect errors.tolerance=all
+                                  # posture). Off by default: dropping input
+                                  # is policy, not a default.
     checkpoint_fold_every: int = 0
                                   # fold per-batch fence files into one span
                                   # file every N committed batches (keeps the

@@ -1233,6 +1233,43 @@ SELECT user_id, ts_us AS seq_lsn, event_type, value, props FROM (
 ) WHERE rn = 1
 """
 
+def q_cdc_quarantine(spark, sf_dir):
+    """Apply-level dead letter (Kafka Connect errors.tolerance=all
+    posture): envelope-invalid rows — NULL merge key (unkeyable) or an op
+    outside I/U/D — are parked under the table root with a reason instead
+    of silently applying (a NULL key would otherwise become a legitimate
+    LWW key; an unknown op would act as an upsert). Final state must equal
+    the replay of only the VALID rows; the parked rows are accounted in
+    the batch metrics."""
+    binlog = _binlog_batches(spark, sf_dir)
+    corrupted = binlog.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id")),
+    ).withColumn(
+        "op",
+        F.when(F.col("event_id") % 17 == 0, F.lit("X")).otherwise(F.col("op")),
+    )
+    cat = _fresh_catalog(spark, "quarantine")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"],
+                    n_buckets=8, quarantine=True)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    recs = driver.replay(corrupted, batch_ids=[0, 1, 2, 3])
+    assert sum(r["metrics"].get("quarantined", 0) for r in recs) > 0
+    return driver.table.read()
+
+
+_SQL_QUARANTINE = """
+SELECT user_id, ts_us AS seq_lsn, event_type, value, props FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+  WHERE event_id % 10 <> 0 AND event_id % 17 <> 0
+) WHERE rn = 1
+"""
+
+
 _EVO_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -4559,6 +4596,7 @@ SPARK_QUERIES = {
     "cdc_apply_replace": q_cdc_apply_replace,
     "cdc_fence_idempotent": q_cdc_fence_idempotent,
     "cdc_ckpt_fold": q_cdc_ckpt_fold,
+    "cdc_quarantine": q_cdc_quarantine,
     "cdc_fanin": q_cdc_fanin,
     "cdc_auto_evolve": q_cdc_auto_evolve,
     "cdc_rollback": q_cdc_rollback,
@@ -4858,6 +4896,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
         "cdc_ckpt_fold": _SQL_REPLAY_FINAL,
+        "cdc_quarantine": _SQL_QUARANTINE,
         "cdc_fanin": _SQL_REPLAY_FINAL,
         "cdc_auto_evolve": """
             SELECT user_id, ts_us AS seq_lsn, event_type, value, props,

@@ -135,6 +135,36 @@ class ReplayDriver:
         total = sum(r["events_in"] for r in rows)
         return lineage, lo, hi, total
 
+    def _quarantine(self, events: DataFrame, batch_id: int
+                    ) -> tuple[DataFrame, int]:
+        """Split envelope-invalid rows out of the batch, park them under
+        <table root>/quarantine/batch-<id>/ with a __reason column, and
+        return (valid rows, quarantined count). The park write is
+        mode=overwrite per batch dir, so a crash-and-rerun rewrites the
+        identical set (idempotent, like everything else on the batch path);
+        the count rides the park job's own Observation — no extra pass."""
+        import os as _os
+
+        from pyspark.sql import Observation
+
+        null_key = F.lit(False)
+        if self.cfg.mode is ApplyMode.MERGE:
+            for k in self.cfg.merge_keys:
+                if k in events.columns:
+                    null_key = null_key | F.col(k).isNull()
+        bad_op = (F.col("op").isNotNull() & ~F.col("op").isin("I", "U", "D")) \
+            if "op" in events.columns else F.lit(False)
+        invalid = null_key | bad_op
+        reason = (F.when(null_key, F.lit("null_merge_key"))
+                  .otherwise(F.lit("invalid_op")))
+        qdir = _os.path.join(self.table.root, "quarantine",
+                             f"batch-{self.source_id or 'default'}-{batch_id:012d}")
+        obs = Observation(f"quarantine-{batch_id}-{self.table.name}")
+        (events.filter(invalid).withColumn("__reason", reason)
+         .observe(obs, F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(qdir))
+        return events.filter(~invalid), int(obs.get["n"] or 0)
+
     def run_batch(self, events: DataFrame, batch_id: int,
                   evolution: list[EvolutionOp] | None = None,
                   crash_before_checkpoint: bool = False,
@@ -171,6 +201,19 @@ class ReplayDriver:
             for f in events.schema.fields:
                 if f.name not in known and f.name not in envelope:
                     self.table.add_column(f.name, f.dataType.simpleString())
+
+        # apply-level dead letter: rows whose change-event ENVELOPE is
+        # invalid (NULL merge key — unkeyable; op outside I/U/D) are split
+        # out BEFORE metrics/dedup and parked under the table root with a
+        # reason column, instead of silently applying garbage (a NULL key
+        # would otherwise become a legitimate LWW key; an unknown op would
+        # act as an upsert). The Kafka wire layer dead-letters unparseable
+        # FRAMES (sources/kafka_tail.py); this catches well-formed frames
+        # carrying broken envelopes — Kafka Connect's errors.tolerance=all
+        # posture, opt-in because dropping input is policy, not a default.
+        q_n = 0
+        if self.cfg.quarantine:
+            events, q_n = self._quarantine(events, batch_id)
 
         # the batch is consumed by up to two passes (lineage metrics + the
         # dedup/apply plan). Caching is opt-in: columnar cache build costs
@@ -277,6 +320,8 @@ class ReplayDriver:
             "apply_s": round(apply_s, 6),
             "snapshot_commit_s": round(self.table.last_commit_s, 6),
         }
+        if q_n:
+            metrics["quarantined"] = q_n
         # MOR housekeeping: fold deltas into base every N APPLIED batches
         # (a counter, not batch_id arithmetic — batch ids may be sparse).
         # Runs before the checkpoint write, which is crash-safe: snapshot
