@@ -321,6 +321,7 @@ def snapshot_sync(
     keys: list[str],
     properties: dict | None = None,
     broadcast_threshold_rows: int = 500_000,
+    compare: str = "exact",
 ) -> Manifest:
     """Full-snapshot reconciliation — the `MERGE … WHEN NOT MATCHED BY
     SOURCE THEN DELETE` / Delta `whenNotMatchedBySourceDelete` analog the
@@ -342,25 +343,90 @@ def snapshot_sync(
     compare must read the table once (inherent — the input is a full
     snapshot), but write IO is O(changed buckets) and unchanged buckets
     keep their exact files, row ids and _last_seq.
+
+    compare='exact' (default) full-outer joins the full-width payloads —
+    every byte of both sides shuffles, but equality is literal.
+    compare='hash' shuffles only (key, xxhash64(payload)) — O(keys)
+    shuffle bytes instead of O(corpus bytes), THE lever when the payload
+    is the corpus (token arrays at 100 TB); changed/new keys then pull
+    their payload from the source with a semi join AQE broadcasts when
+    the delta is small. Cost: a 2^-64-per-row chance a changed row is
+    missed (hash collision). Columns containing maps (unorderable and
+    unhashable in Spark) are compared through their JSON rendering in
+    BOTH modes — order-sensitive, so a reordered-but-equal map may cause
+    a spurious (harmless) rewrite, never a missed change.
     """
+    if compare not in ("exact", "hash"):
+        raise ValueError(f"unknown compare {compare!r}; 'exact' or 'hash'")
     m = table.manifest()
     payload = [f["name"] for f in m.schema_version.fields]
     missing = [k for k in keys if k not in payload]
     if missing:
         raise ValueError(f"merge keys not in table schema: {missing}")
     non_keys = [c for c in payload if c not in keys]
+    by_name = {f["name"]: f for f in m.schema_version.fields}
+    if compare == "hash" and not non_keys:
+        compare = "exact"  # key-only: presence IS the comparison
 
-    t = table.read().withColumn(_T_HIT, F.lit(True)).alias("T")
-    s = source.select(*payload).withColumn(_S_HIT, F.lit(True)).alias("S")
+    def cmp_col(c: str, prefix: str = ""):
+        # maps are neither orderable (<=>) nor hashable in Spark
+        col = F.col(f"{prefix}{c}")
+        return F.to_json(col) if "map<" in by_name[c]["type"] else col
+
     cond = None
     for k in keys:
         c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
         cond = c if cond is None else (cond & c)
+    props = dict(properties or {})
+    props.setdefault("operation", "snapshot-sync")
+
+    if compare == "hash":
+        digest = F.xxhash64(F.struct(*[cmp_col(c) for c in non_keys]))
+        t = (table.read().select(*keys, digest.alias("__h"))
+             .withColumn(_T_HIT, F.lit(True)).alias("T"))
+        src = source.select(*payload)
+        s = (src.select(*keys, digest.alias("__h"))
+             .withColumn(_S_HIT, F.lit(True)).alias("S"))
+        j = t.join(s, cond, "full_outer")
+        matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
+        same = F.col("T.__h").eqNullSafe(F.col("S.__h"))
+        t_only = F.col(_S_HIT).isNull()
+        key_actions = j.filter(~(matched & same)).select(
+            *[F.coalesce(F.col(f"S.{k}"), F.col(f"T.{k}")).alias(k)
+              for k in keys],
+            F.when(t_only, F.lit("D")).otherwise(F.lit("U")).alias(OP_COL),
+        ).persist()
+        try:
+            up = key_actions.filter(F.col(OP_COL) == "U") \
+                .select(*keys).alias("K")
+            # payloads only for the delta: the source never shuffles — AQE
+            # broadcasts the (small) changed-key set into a semi join
+            ups = src.alias("SR").join(
+                up,
+                [F.col(f"SR.{k}").eqNullSafe(F.col(f"K.{k}")) for k in keys],
+                "left_semi",
+            ).withColumn(OP_COL, F.lit("U"))
+            dels = key_actions.filter(F.col(OP_COL) == "D").select(
+                *keys,
+                *[F.lit(None).cast(by_name[c]["type"]).alias(c)
+                  for c in non_keys],
+                F.col(OP_COL),
+            )
+            actions = ups.select(*payload, OP_COL).unionByName(dels)
+            return merge_apply(
+                table, actions, keys, support_deletes=True, properties=props,
+                broadcast_threshold_rows=broadcast_threshold_rows,
+            )
+        finally:
+            key_actions.unpersist()
+
+    t = table.read().withColumn(_T_HIT, F.lit(True)).alias("T")
+    s = source.select(*payload).withColumn(_S_HIT, F.lit(True)).alias("S")
     j = t.join(s, cond, "full_outer")
     matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
     if non_keys:
-        same = F.struct(*[F.col(f"T.{c}") for c in non_keys]).eqNullSafe(
-            F.struct(*[F.col(f"S.{c}") for c in non_keys]))
+        same = F.struct(*[cmp_col(c, "T.") for c in non_keys]).eqNullSafe(
+            F.struct(*[cmp_col(c, "S.") for c in non_keys]))
     else:  # key-only table: a matched key is by definition unchanged
         same = F.lit(True)
     t_only = F.col(_S_HIT).isNull()
@@ -369,8 +435,6 @@ def snapshot_sync(
         *[F.col(f"S.{c}").alias(c) for c in non_keys],
         F.when(t_only, F.lit("D")).otherwise(F.lit("U")).alias(OP_COL),
     )
-    props = dict(properties or {})
-    props.setdefault("operation", "snapshot-sync")
     return merge_apply(
         table, actions, keys, support_deletes=True, properties=props,
         broadcast_threshold_rows=broadcast_threshold_rows,

@@ -40,10 +40,13 @@ def _rows(df):
     return {r["k"]: (list(r["toks"]), r["v"]) for r in df.collect()}
 
 
-def test_final_state_equals_source(spark, warehouse):
+@pytest.mark.parametrize("compare", ["exact", "hash"])
+def test_final_state_equals_source(spark, warehouse, compare):
     """Deletes (k%7==0), updates (k%7==1, array AND scalar change),
-    inserts (new key range), identical keeps — one commit, state == src."""
-    tbl = _mk(spark, warehouse, "state")
+    inserts (new key range), identical keeps — one commit, state == src.
+    Both compare modes: exact full-width join and the O(keys)-shuffle
+    hash compare."""
+    tbl = _mk(spark, warehouse, f"state{compare}")
     base = _base(spark)
     src = (base.filter(F.col("k") % 7 != 0)
            .withColumn("toks", F.when(F.col("k") % 7 == 1,
@@ -51,7 +54,7 @@ def test_final_state_equals_source(spark, warehouse):
                        .otherwise(F.col("toks")))
            .unionByName(_base(spark).filter(F.col("k") % 7 == 2)
                         .withColumn("k", F.col("k") + 100000)))
-    snapshot_sync(tbl, src, keys=["k"])
+    snapshot_sync(tbl, src, keys=["k"], compare=compare)
     assert _rows(tbl.read()) == _rows(src)
     assert tbl.manifest().properties.get("operation") == "snapshot-sync"
 
@@ -75,10 +78,11 @@ def test_unchanged_buckets_keep_their_files(spark, warehouse):
     assert _rows(tbl.read()) == _rows(src)
 
 
-def test_identical_source_writes_nothing(spark, warehouse):
-    tbl = _mk(spark, warehouse, "noop")
+@pytest.mark.parametrize("compare", ["exact", "hash"])
+def test_identical_source_writes_nothing(spark, warehouse, compare):
+    tbl = _mk(spark, warehouse, f"noop{compare}")
     before = {f["path"] for f in tbl.manifest().files}
-    snapshot_sync(tbl, _base(spark), keys=["k"])
+    snapshot_sync(tbl, _base(spark), keys=["k"], compare=compare)
     assert {f["path"] for f in tbl.manifest().files} == before
 
 
@@ -116,3 +120,28 @@ def test_rejects_unknown_keys(spark, warehouse):
     tbl = _mk(spark, warehouse, "badkeys")
     with pytest.raises(ValueError, match="merge keys"):
         snapshot_sync(tbl, _base(spark), keys=["nope"])
+    with pytest.raises(ValueError, match="compare"):
+        snapshot_sync(tbl, _base(spark), keys=["k"], compare="fuzzy")
+
+
+@pytest.mark.parametrize("compare", ["exact", "hash"])
+def test_map_payload_compares_via_json(spark, warehouse, compare):
+    """Spark can neither order nor hash maps: both modes compare map
+    columns through their JSON rendering (worst case a spurious rewrite,
+    never a missed change) and converge to the source."""
+    cat = LakeCatalog(spark, f"{warehouse}/maps")
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("mp", T.MapType(T.StringType(), T.LongType())),
+    ])
+    tbl = cat.create_table("t", sch, n_buckets=2, bucket_key="k")
+    base = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.create_map(F.lit("a"), F.col("id")).alias("mp"))
+    tbl.append(base)
+    src = spark.range(5, 25).select(
+        F.col("id").alias("k"),
+        F.create_map(F.lit("a"), F.col("id") * 2).alias("mp"))
+    snapshot_sync(tbl, src, keys=["k"], compare=compare)
+    got = {r["k"]: dict(r["mp"]) for r in tbl.read().collect()}
+    assert got == {i: {"a": i * 2} for i in range(5, 25)}
