@@ -77,15 +77,23 @@ class TableFollower:
     ingest fence provides on the way in). The cursor is one JSON file, so
     a restarted consumer resumes exactly where it left off.
 
-    Upsert-only: rows deleted in the interval simply don't appear; a
-    consumer that must observe deletes uses diff()/changelog().
+    Default mode is upsert-only: rows deleted in the interval simply
+    don't appear. Pass `keys` (the table's merge keys) to get the FULL
+    change feed instead: poll() then emits the interval's diff() rows
+    with `__op` in {'I','U','D'} — 'D' rows carry the last-seen old
+    values, so a downstream replica can delete by key. Cost stays
+    bucket-pruned either way (diff reads only buckets whose manifest
+    entries changed); re-delivery after a crash stays idempotent because
+    keyed upserts AND keyed deletes are both idempotent on re-apply.
     """
 
-    def __init__(self, table, cursor_path: str, from_version: int | None = None):
+    def __init__(self, table, cursor_path: str, from_version: int | None = None,
+                 keys: list[str] | None = None):
         import json
         import os
 
         self.table = table
+        self.keys = keys
         self.cursor_path = cursor_path
         if not os.path.exists(cursor_path):
             start = (table.current_version() if from_version is None
@@ -105,6 +113,9 @@ class TableFollower:
         head = self.table.current_version()
         if head <= cur:
             return None
+        if self.keys:
+            return (self.table.diff(cur, keys=self.keys, to_version=head),
+                    cur, head)
         return self.table.changed_since(cur, version=head), cur, head
 
     def advance(self, version: int) -> None:

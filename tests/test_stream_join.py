@@ -88,3 +88,23 @@ def test_rejects_unknown_join_type(spark, tmp_path):
     rs = spark.readStream.schema(R_SCHEMA).parquet(rsrc)
     with pytest.raises(ValueError, match="join type"):
         interval_join(ls, rs, key="user_id", how="cross")
+
+
+def test_left_outer_emits_null_for_unmatched_left(spark, tmp_path):
+    """leftOuter: a left row with no match emits once with NULL right
+    columns — only after the watermark proves no match can still arrive
+    (a later micro-batch advances it past the join window)."""
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt = str(tmp_path / "ck")
+    _write(spark, [(1, _ts(0))], L_SCHEMA, lsrc)             # never matched
+    _write(spark, [(2, _ts(0, 30), 5.0)], R_SCHEMA, rsrc)    # different key
+    rows = _drain(spark, lsrc, rsrc, ckpt, how="leftOuter")
+    got = {(r["user_id"], r["R_value"]) for r in rows}
+    # the unmatched left row may not flush until the watermark advances;
+    # feed a much later batch on both sides and drain again
+    _write(spark, [(9, _ts(30))], L_SCHEMA, lsrc)
+    _write(spark, [(9, _ts(30, 10), 7.0)], R_SCHEMA, rsrc)
+    rows2 = _drain(spark, lsrc, rsrc, ckpt, how="leftOuter")
+    got |= {(r["user_id"], r["R_value"]) for r in rows2}
+    assert (1, None) in got        # unmatched left surfaced with NULL right
+    assert (9, 7.0) in got         # matched pair joined normally

@@ -143,3 +143,57 @@ def test_table_follower_emits_changes_and_resumes(spark, warehouse, tmp_path):
     # default from_version (no existing cursor) = current head: quiet
     f3 = TableFollower(t, str(tmp_path / "c2.json"))
     assert f3.poll() is None
+
+
+def test_table_follower_propagates_deletes(spark, warehouse, tmp_path):
+    """keys mode: poll() emits the interval diff with __op, so a replica
+    applying upserts AND deletes converges to the table state even when
+    keys vanish — the delete-completing twin of the upsert-only feed."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+    from embulk_output_databricks_spark.streaming.tail import TableFollower
+    from pyspark.sql import functions as F
+    from tests.test_laketable import seq_rows
+
+    cat = LakeCatalog(spark, f"{warehouse}/follow_del")
+    t = cat.create_table("t", SEQUENCES_SCHEMA, n_buckets=4,
+                         bucket_key="doc_id")
+    t.append(seq_rows(spark, range(30)))
+    f = TableFollower(t, str(tmp_path / "c.json"), from_version=0,
+                      keys=["doc_id"])
+
+    replica: dict = {}
+
+    def apply_feed():
+        out = f.poll()
+        if out is None:
+            return
+        df, _frm, to = out
+        for r in df.collect():
+            if r["__op"] == "D":
+                replica.pop(r["doc_id"], None)
+            else:
+                replica[r["doc_id"]] = (list(r["tokens"]), r["n_tok"])
+        f.advance(to)
+
+    apply_feed()  # initial state
+    # a batch that deletes some keys and updates others
+    staged = (seq_rows(spark, range(10, 40))
+              .withColumn("op", F.when(F.col("doc_id") < "doc00000020",
+                                       F.lit("D")).otherwise(F.lit("U"))))
+    merge_apply(t, staged, keys=["doc_id"], support_deletes=True)
+    apply_feed()
+    want = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+            for r in t.read().collect()}
+    assert replica == want
+    assert any(k < "doc00000020" for k in
+               {f"doc{i:08d}" for i in range(10, 20)}) \
+        and all(k not in replica for k in
+                {f"doc{i:08d}" for i in range(10, 20)})
+    # crash before advance: identical interval re-delivered, idempotent
+    t.append(seq_rows(spark, range(50, 55)))
+    out1 = f.poll()
+    rows1 = {(r["doc_id"], r["__op"]) for r in out1[0].collect()}
+    out2 = f.poll()  # no advance happened
+    assert {(r["doc_id"], r["__op"]) for r in out2[0].collect()} == rows1
