@@ -43,6 +43,15 @@ def main(argv: list[str] | None = None) -> None:
                         "mor: merge-on-read delta appends (write-optimized)")
     p.add_argument("--mor-compact-every", type=int, default=0,
                    help="mor only: fold deltas into base every N batches")
+    p.add_argument("--merge-guard-col", default=None,
+                   help="cross-batch stale-writer guard column (matched rows "
+                        "update only when S.col > T.col); COW only")
+    p.add_argument("--checkpoint-fold-every", type=int, default=0,
+                   help="fold per-batch fence files into the span file every "
+                        "N committed batches (0 = never)")
+    p.add_argument("--quarantine", action="store_true",
+                   help="park envelope-invalid rows (NULL merge key, bad op) "
+                        "under <table>/quarantine/ instead of applying them")
     p.add_argument("--hot-frac", type=float, default=0.05)
     p.add_argument("--partitions", type=int, default=0, help="binlog partitions; 0 -> default")
     p.add_argument("--seed", type=int, default=42)
@@ -68,7 +77,10 @@ def main(argv: list[str] | None = None) -> None:
                     merge_keys=args.merge_keys.split(","),
                     n_buckets=args.n_buckets, dedup_strategy=args.dedup_strategy,
                     merge_strategy=args.merge_strategy,
-                    mor_compact_every=args.mor_compact_every)
+                    mor_compact_every=args.mor_compact_every,
+                    merge_guard_col=args.merge_guard_col,
+                    checkpoint_fold_every=args.checkpoint_fold_every,
+                    quarantine=args.quarantine)
     driver = ReplayDriver(cat, cfg)
 
     per_batch, lineage_totals = [], []
