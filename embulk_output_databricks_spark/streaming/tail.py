@@ -60,6 +60,14 @@ def tail_binlog_dir(
     return writer.start()
 
 
+class CursorExpired(RuntimeError):
+    """The follower's cursor predates retained snapshot history
+    (expire_snapshots reclaimed the from-version manifest), so the
+    interval diff is unrecoverable — the CDF "cursor too old" condition.
+    Recover with TableFollower.resync(): truncate-and-load the full
+    current state, then advance to its version."""
+
+
 class TableFollower:
     """Downstream table-as-stream consumer (change-data-feed reader analog,
     built on row lineage): the OTHER side of the pipeline from
@@ -113,10 +121,30 @@ class TableFollower:
         head = self.table.current_version()
         if head <= cur:
             return None
+        try:
+            self.table.manifest(cur)  # cursor must still be retained
+        except FileNotFoundError:
+            raise CursorExpired(
+                f"{self.table.name}: cursor v{cur} predates retained history "
+                f"(head v{head}); call resync()") from None
         if self.keys:
             return (self.table.diff(cur, keys=self.keys, to_version=head),
                     cur, head)
         return self.table.changed_since(cur, version=head), cur, head
+
+    def resync(self):
+        """Full-state recovery for an expired cursor: (df, head_version)
+        where df is the complete current state — 'I'-tagged in keys mode so
+        the same apply loop works. The consumer must TRUNCATE its replica
+        before applying (rows deleted upstream during the lost interval are
+        absent here, not tombstoned), then advance(head_version)."""
+        from pyspark.sql import functions as F
+
+        head = self.table.current_version()
+        df = self.table.read(version=head)
+        if self.keys:
+            df = df.withColumn("__op", F.lit("I"))
+        return df, head
 
     def advance(self, version: int) -> None:
         import json

@@ -197,3 +197,40 @@ def test_table_follower_propagates_deletes(spark, warehouse, tmp_path):
     rows1 = {(r["doc_id"], r["__op"]) for r in out1[0].collect()}
     out2 = f.poll()  # no advance happened
     assert {(r["doc_id"], r["__op"]) for r in out2[0].collect()} == rows1
+
+
+def test_table_follower_cursor_expiry(spark, warehouse, tmp_path):
+    """A cursor predating retained history (expire_snapshots reclaimed
+    its manifest) raises CursorExpired instead of a raw file error;
+    resync() hands back the full current state for truncate-and-load and
+    the follower then resumes incrementally."""
+    import pytest as _pytest
+
+    from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA
+    from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+    from embulk_output_databricks_spark.streaming.tail import (
+        CursorExpired, TableFollower)
+    from tests.test_laketable import seq_rows
+
+    cat = LakeCatalog(spark, f"{warehouse}/follow_exp")
+    t = cat.create_table("t", SEQUENCES_SCHEMA, n_buckets=2,
+                         bucket_key="doc_id")
+    t.append(seq_rows(spark, range(10)))
+    f = TableFollower(t, str(tmp_path / "c.json"), keys=["doc_id"])
+    cursor_v = f.position
+    t.append(seq_rows(spark, range(10, 20)))
+    t.append(seq_rows(spark, range(20, 30)))
+    t.expire_snapshots(keep_last=1)
+    with _pytest.raises(CursorExpired, match=f"v{cursor_v}"):
+        f.poll()
+    full, head = f.resync()
+    replica = {r["doc_id"]: r["n_tok"] for r in full.collect()
+               if r["__op"] != "D"}
+    f.advance(head)
+    assert len(replica) == 30 and f.poll() is None
+    # incremental consumption resumes normally after the resync
+    t.append(seq_rows(spark, range(30, 35)))
+    df, _frm, to = f.poll()
+    assert {r["doc_id"] for r in df.collect()} == {
+        f"doc{i:08d}" for i in range(30, 35)}
+    f.advance(to)
