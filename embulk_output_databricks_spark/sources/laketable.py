@@ -391,17 +391,19 @@ def _bloom_keep(m: "Manifest", files: list[dict], eq_filter: dict) -> list[dict]
             cf = cur_by_name.get(col)
             if cf is None:
                 raise ValueError(f"eq_filter on unknown column {col!r}")
+            vals = (list(val) if isinstance(val, (list, tuple, set))
+                    else [val])  # list = IN / contains-ANY semantics
             pf = phys_by_id.get(cf["id"])
             if pf is None:  # column added after this file: every row reads
                 # the initial-default (all-NULL when none, never equal)
-                if cf.get("default") != val:
+                if cf.get("default") not in vals:
                     keep = False
                     break
                 continue
             blob = f.get("bloom", {}).get(pf["name"])
             if blob is None:
                 continue
-            if not bloom.might_contain(blob, val):
+            if not any(bloom.might_contain(blob, v) for v in vals):
                 keep = False
                 break
         if keep:
@@ -729,7 +731,11 @@ class LakeTable:
         beat (and thus hide) its in-range base row.
 
         `eq_filter` ({col: value}) is the equality twin backed by per-file
-        BLOOM filters (sources/bloom.py; table property `bloom_columns`):
+        BLOOM filters (sources/bloom.py; table property `bloom_columns`).
+        A LIST value means IN (scalar column) / contains-ANY (array
+        column): a file is kept when any listed value might be present,
+        and the exact predicate (isin / arrays_overlap) applies to rows.
+        Other contracts:
         files whose bloom proves the value absent are skipped pre-IO, the
         exact `col = value` predicate is applied to the returned rows, and
         the same MOR conservatism applies. This is the point-lookup path
@@ -761,7 +767,19 @@ class LakeTable:
                     cond = cond & (F.col(c) <= F.lit(hi))
             types = {f["name"]: f["type"] for f in m.schema_version.fields}
             for c, v in (eq_filter or {}).items():
-                if types.get(c, "").startswith("array<"):
+                is_arr = types.get(c, "").startswith("array<")
+                if isinstance(v, (list, tuple, set)):
+                    vs = list(v)
+                    if not vs:
+                        cond = cond & F.lit(False)  # IN () matches nothing
+                    elif is_arr:
+                        # contains-ANY: file kept if any value might be
+                        # present, rows matched on real overlap
+                        cond = cond & F.arrays_overlap(
+                            F.col(c), F.array(*[F.lit(x) for x in vs]))
+                    else:
+                        cond = cond & F.col(c).isin(vs)
+                elif is_arr:
                     # array column: eq_filter means CONTAINS — the bloom
                     # was built over distinct elements (token point lookup)
                     cond = cond & F.array_contains(F.col(c), F.lit(v))

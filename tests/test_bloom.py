@@ -182,3 +182,43 @@ def test_bloom_bits_resize_mixed_blobs_coexist(spark, warehouse):
     assert {r["k"] for r in t.read(eq_filter={"tokens": 8}).collect()} == {"b"}
     with pytest.raises(ValueError, match="multiple of 8"):
         t.set_bloom_columns(["tokens"], bits=100)
+
+
+def test_eq_filter_in_list_scalar_and_array(spark, warehouse):
+    """LIST values: IN on scalar columns, contains-ANY on array columns.
+    Skipping keeps a file when ANY listed value might be present; the
+    exact predicate (isin / arrays_overlap) applies to rows; empty list
+    matches nothing."""
+    cat = LakeCatalog(spark, f"{warehouse}/inlist")
+    sch = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("toks", T.ArrayType(T.IntegerType())),
+    ])
+    t = cat.create_table("t", sch, n_buckets=1, bucket_key="k",
+                         properties={"bloom_columns": "tag,toks"})
+    # two disjoint slices -> two files with disjoint tag/token ranges
+    rows_a = [(f"a{i}", _tag(i), [i, i + 1000]) for i in range(50)]
+    rows_b = [(f"b{i}", _tag(i + 500), [i + 500, i + 2000]) for i in range(50)]
+    t.append(spark.createDataFrame(rows_a, sch))
+    t.append(spark.createDataFrame(rows_b, sch))
+    m = t.manifest()
+
+    # scalar IN: both values live in file A -> file B provably skipped
+    want = {_tag(3), _tag(7)}
+    kept = _bloom_keep(m, m.files, {"tag": [_tag(3), _tag(7)]})
+    assert len(kept) < len(m.files)
+    got = {r["tag"] for r in t.read(eq_filter={"tag": [_tag(3), _tag(7)]}).collect()}
+    assert got == want
+
+    # array contains-ANY: tokens from both files -> nothing skipped,
+    # rows exact
+    got = {r["k"] for r in
+           t.read(eq_filter={"toks": [3, 505]}).collect()}
+    assert got == {"a3", "b5"}
+    # one token, list form == scalar form
+    one = {r["k"] for r in t.read(eq_filter={"toks": [1000]}).collect()}
+    assert one == {r["k"] for r in t.read(eq_filter={"toks": 1000}).collect()}
+    # empty list matches nothing (and skips everything)
+    assert t.read(eq_filter={"tag": []}).count() == 0
+    assert _bloom_keep(m, m.files, {"tag": []}) == []
