@@ -157,6 +157,67 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_merge_fileprune(spark, n_rows: int = 2_000_000,
+                          n_docs: int = 500_000, n_buckets: int = 64,
+                          batch: int = 5_000) -> dict:
+    """Write amplification of the steady-state COW merge with file-level
+    pruning (plans/merge.py file_prune): a doc_id-clustered table takes a
+    small batch confined to a contiguous 1% key band; the pruned merge
+    rewrites only the files whose bounds admit a staged key, the unpruned
+    one rewrites every affected bucket whole. The 100 TB term is the
+    rewrite ratio: bytes landed per batch drop from O(touched buckets —
+    tens of GB each) to O(matched files), and untouched files keep their
+    row lineage and clustering."""
+    from embulk_output_databricks_spark.operators.lww import lww_dedup
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+
+    work = tempfile.mkdtemp(prefix="bench_fprune_")
+    try:
+        cat = LakeCatalog(spark, work)
+        seed = synth_binlog(spark, n_rows, n_docs, n_rows,
+                            delete_frac=0.0, partitions=64)
+        base = lww_dedup(seed).select("doc_id", "tokens", "n_tok", "source")
+        t = cat.create_table("fp", base.schema, n_buckets=n_buckets,
+                             bucket_key="doc_id")
+        t.set_sort_order(["doc_id"], rows_per_file=1_000)
+        t.append(base)
+        upd = spark.range(batch).select(
+            F.format_string("doc%08d", F.col("id")).alias("doc_id"),
+            F.array(F.lit(1), F.lit(2)).cast("array<int>").alias("tokens"),
+            F.lit(2).cast("int").alias("n_tok"),
+            F.lit("resync").alias("source"),
+        )
+        v0 = t.manifest().version
+        files0 = {f["path"]: f["rows"] for f in t.manifest().files}
+
+        def run(prune: bool) -> dict:
+            t0 = time.perf_counter()
+            m = merge_apply(t, upd, keys=["doc_id"], file_prune=prune)
+            sec = time.perf_counter() - t0
+            rewritten = [r for p, r in files0.items()
+                         if p not in {f["path"] for f in m.files}]
+            out = {"sec": round(sec, 3),
+                   "files_rewritten": len(rewritten),
+                   "rows_rewritten": sum(rewritten)}
+            t.rollback(v0)
+            return out
+
+        run(True)  # warmup (plan/codegen)
+        full, pruned = run(False), run(True)
+        return {
+            "table_rows": sum(files0.values()),
+            "files_total": len(files0),
+            "batch_keys": batch,
+            "pruned": pruned,
+            "whole_bucket": full,
+            "speedup": round(full["sec"] / pruned["sec"], 2),
+            "write_amplification_ratio": round(
+                full["rows_rewritten"] / max(pruned["rows_rewritten"], 1), 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_stats_skip(spark, n_rows: int = 4_000_000, slices: int = 16,
                      n_buckets: int = 8) -> dict:
     """Manifest-level file skipping payoff: a time-sliced append-only table
@@ -774,6 +835,7 @@ def main() -> None:
         spj = bench_spj(spark)
         diff_prune = bench_diff_prune(spark)
         resync = bench_resync(spark)
+        merge_fileprune = bench_merge_fileprune(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -795,6 +857,7 @@ def main() -> None:
             "spj": spj,
             "diff_prune": diff_prune,
             "resync": resync,
+            "merge_fileprune": merge_fileprune,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))

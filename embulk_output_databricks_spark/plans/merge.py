@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources.laketable import (LAST_SEQ, ROW_ID, LakeTable, Manifest,
-                                 _file_nb, bucket_expr)
+                                 _file_nb, _live_data, _merge_key_prunable,
+                                 _split_files, bucket_expr)
 
 OP_COL = "op"
 _T_HIT = "__t_present"
@@ -174,6 +175,8 @@ def merge_apply(
     properties: dict | None = None,
     broadcast_threshold_rows: int = 500_000,
     guard_col: str | None = None,
+    file_prune: bool = True,
+    file_prune_max_keys: int = 100_000,
 ) -> Manifest:
     """staged: exactly one row per key (run operators.lww_dedup first),
     columns = target payload columns (+ optional `op` I/U/D).
@@ -201,6 +204,19 @@ def merge_apply(
         steady-state CDC regime (small batches into a huge table).
       * large batch: full-outer sort-merge join (both sides shuffle on the
         merge keys; a batch comparable to the table cannot broadcast).
+
+    file_prune (small-batch path only): refine bucket pruning to FILE
+    granularity — the staged batch's distinct key values (collected
+    driver-side, gated by file_prune_max_keys) are tested against each
+    candidate file's recorded bounds + bloom; files PROVEN to hold no
+    staged key survive the commit byte-identical (exact path, stats,
+    row lineage — never read, never rewritten). With a sort order on
+    the merge key this turns steady-state write amplification from
+    O(touched buckets) into O(matched files) — at 100 TB a bucket is
+    tens of GB and a CDC batch matches a handful of its files. Buckets
+    holding outstanding MOR deltas rewrite whole (winner resolution is
+    bucket-wide); proof absence (no stats/bloom) degrades to the
+    whole-bucket behavior, never to a wrong result.
     """
     m = table.manifest()
     payload = [f["name"] for f in m.schema_version.fields]
@@ -255,16 +271,50 @@ def merge_apply(
         affected = {nb: set(row[f"b{nb}"]) for nb in nbs}
     else:
         affected = None  # unprunable: read / swap the whole table
+    n_staged = staged.count()
+
+    # -- 1b. file-level pruning within the affected buckets (small batch):
+    # a file whose bounds/bloom prove no staged key is present is KEPT
+    # verbatim — dropped from the read AND from the rewrite --
+    selection = affected  # what replace_files swaps out
+    if (affected is not None and file_prune
+            and n_staged <= min(file_prune_max_keys, broadcast_threshold_rows)):
+        sel, _rest = _split_files(m, _live_data(m.files), affected)
+        deltas = [f for f in sel if f.get("kind") == "delta"]
+        clean, dirty = LakeTable._mor_split(m, sel, deltas)
+        key_rows = staged.select(*keys).distinct().collect()
+        key_vals = {}
+        for k in keys:
+            vs = [r[k] for r in key_rows]
+            nn = [v for v in vs if v is not None]
+            try:
+                nn.sort()
+            except TypeError:
+                continue  # unorderable key type: no bounds proof possible
+            key_vals[k] = (nn, len(nn) < len(vs))
+        pruned, must = (_merge_key_prunable(m, clean, key_vals)
+                        if key_vals else ([], clean))
+        if pruned:
+            selection = must + dirty + deltas
+
+    if isinstance(selection, list):
+        # explicit file set: _resolve_files applies the same MOR winner
+        # rule and posdel/eqdel sidecars as read() would
+        target = table._resolve_files(m, selection, with_row_ids=True)
+        target_keys = table._resolve_files(m, selection).select(*keys)
+    else:
+        target = table.read(buckets=affected, with_row_ids=True)
+        target_keys = table.read(buckets=affected).select(*keys)
     # target slice read WITH row ids: updated rows keep their identity
     # through the rewrite, inserts mint fresh ids at next read (v3 rule)
-    target = table.read(buckets=affected, with_row_ids=True).alias("T")
+    target = target.alias("T")
     staged = staged.alias("S")
     rules = merge_rules or {}
 
-    if staged.count() <= broadcast_threshold_rows:
+    if n_staged <= broadcast_threshold_rows:
         # -- 2a. broadcast plan: target never shuffles --
         result = broadcast_upsert_plan(
-            target, table.read(buckets=affected).select(*keys), staged,
+            target, target_keys, staged,
             keys, payload, rules=rules, has_op=has_op,
             support_deletes=support_deletes, guard_col=guard_col,
         )
@@ -310,7 +360,7 @@ def merge_apply(
     props = dict(properties or {})
     props.setdefault("operation", "merge")
     try:
-        return table.replace_files(affected, result, props)
+        return table.replace_files(selection, result, props)
     finally:
         staged.unpersist()
 

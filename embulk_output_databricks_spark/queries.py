@@ -359,6 +359,41 @@ _SQL_SORT_ORDER = (
 )
 
 
+def q_cdc_merge_fileprune(spark, sf_dir):
+    """File-level pruning in COW MERGE (plans/merge.py file_prune +
+    laketable._merge_key_prunable): with a sort order on the merge key,
+    a small staged batch rewrites only the files whose bounds admit a
+    staged key — every other file of the AFFECTED buckets survives the
+    commit byte-identical. The in-query assert proves within-bucket
+    pruning actually happened (a kept file sharing a bucket with a
+    removed one); results are identical to an unpruned merge."""
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "merge_fileprune")
+    tbl.set_sort_order(["user_id"], rows_per_file=8)
+    tbl.append(_lww(t_half))
+    before = {f["path"]: f["bucket"] for f in tbl.manifest().files}
+    staged = _lww(s_half.filter(F.col("user_id") < 3))
+    merge_apply(tbl, staged, keys=["user_id"])
+    after = {f["path"] for f in tbl.manifest().files}
+    removed_buckets = {b for p, b in before.items() if p not in after}
+    kept_in_affected = [p for p, b in before.items()
+                        if p in after and b in removed_buckets]
+    multi_file = {b for b in removed_buckets
+                  if sum(bb == b for bb in before.values()) > 1}
+    if multi_file and not kept_in_affected:
+        raise RuntimeError("merge rewrote whole buckets: file-level "
+                           "pruning did not engage")
+    return tbl.read()
+
+
+_SQL_MERGE_FILEPRUNE = f"""
+WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
+     s AS (SELECT * FROM {_sql_lww("event_id % 2 = 1 AND user_id < 3")})
+SELECT {_UPSERT_COLS}
+FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+"""
+
+
 def q_cdc_merge_mor(spark, sf_dir):
     """Merge-on-read strategy: the staged batch (upserts + deletes) lands as
     delta files — no bucket rewrite — and read() resolves per-key winners
@@ -1310,6 +1345,57 @@ def q_cdc_schema_evolution(spark, sf_dir):
     }
     driver.replay(binlog, batch_ids=[0, 1], evolution_plan=evolution)
     return driver.table.read()
+
+
+def q_cdc_nested_evolution(spark, sf_dir):
+    """Nested struct field evolution (Iceberg nested-field analog; the
+    reference rejects STRUCT outright, TestDatabricksOutputPluginByUnsupported
+    .java:99-117): rename meta.vt->kind, add meta.cnt with an initial
+    default, widen it int->bigint — all metadata-only (asserted: zero
+    files touched) — then MERGE a batch written under the NEW layout.
+    Old files resolve children by nested field id at read."""
+    t_half, s_half = _halves(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("vt", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ])),
+    ])
+    tbl = _new_table(spark, "nested_evo", schema=schema)
+    tbl.append(_lww(t_half).select(
+        "user_id", F.struct(F.col("event_type").alias("vt"),
+                            F.col("value").alias("amt")).alias("meta")))
+    files0 = {f["path"] for f in tbl.manifest().files}
+    tbl.rename_column("meta.vt", "kind")
+    tbl.add_column("meta.cnt", "int", default=7)
+    tbl.widen_column("meta.cnt", "bigint")
+    if {f["path"] for f in tbl.manifest().files} != files0:
+        raise RuntimeError("nested evolution was not metadata-only")
+    staged = _lww(s_half).select(
+        "user_id", F.struct(
+            F.col("event_type").alias("kind"),
+            F.col("value").alias("amt"),
+            (F.col("user_id") % 5).cast("bigint").alias("cnt"),
+        ).alias("meta"))
+    merge_apply(tbl, staged, keys=["user_id"])
+    return tbl.read().select(
+        "user_id",
+        F.col("meta.kind").alias("kind"),
+        _CENTS_S(F.col("meta.amt")).alias("amt_c"),
+        F.col("meta.cnt").alias("cnt"),
+    )
+
+
+_SQL_NESTED_EVOLUTION = f"""
+WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
+     s AS (SELECT * FROM {_sql_lww("event_id % 2 = 1")})
+SELECT coalesce(s.user_id, t.user_id) AS user_id,
+       CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS kind,
+       {_cents_sql("CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END")} AS amt_c,
+       CASE WHEN s.user_id IS NOT NULL THEN s.user_id % 5 ELSE 7 END AS cnt
+FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+"""
 
 
 def q_cdc_default_values(spark, sf_dir):
@@ -4572,6 +4658,8 @@ SPARK_QUERIES = {
     "cdc_merge_guard": q_cdc_merge_guard,
     "cdc_snapshot_resync": q_cdc_snapshot_resync,
     "cdc_sort_order": q_cdc_sort_order,
+    "cdc_merge_fileprune": q_cdc_merge_fileprune,
+    "cdc_nested_evolution": q_cdc_nested_evolution,
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
@@ -4732,6 +4820,8 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_merge_guard": _sql_merge(_GUARD_COLS),
         "cdc_snapshot_resync": _SQL_SNAPSHOT_RESYNC,
         "cdc_sort_order": _SQL_SORT_ORDER,
+        "cdc_merge_fileprune": _SQL_MERGE_FILEPRUNE,
+        "cdc_nested_evolution": _SQL_NESTED_EVOLUTION,
         "cdc_merge_delete": _sql_merge(
             _UPSERT_COLS,
             where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",

@@ -156,15 +156,74 @@ def _type_of(s: str) -> T.DataType:
     return T._parse_datatype_string(s)  # public-ish helper used widely
 
 
+def _dtype_of_field(f: dict) -> T.DataType:
+    """DataType of one schema field. For struct columns carrying nested
+    field ids ("fields", Iceberg nested-field analog) the sub-list is
+    authoritative — child names/types derive from it, so nested renames
+    and widens are metadata-only like their top-level counterparts."""
+    if f.get("fields"):
+        return T.StructType([
+            T.StructField(c["name"], _dtype_of_field(c), c.get("nullable", True))
+            for c in f["fields"]
+        ])
+    return _type_of(f["type"])
+
+
+def _fields_with_ids(struct_fields, counter) -> list[dict]:
+    """Schema-field dicts for a StructType's fields, allocating a stable
+    field id per field AND per nested struct child (depth-recursive).
+    Nested ids are what make add/rename/widen INSIDE a struct column
+    metadata-only: projection resolves children by id, never by position.
+    Structs inside arrays/maps stay opaque (no ids — their evolution is
+    refused, mirroring Iceberg's practical limits for this engine)."""
+    out = []
+    for f in struct_fields:
+        d = {"id": next(counter), "name": f.name,
+             "type": f.dataType.simpleString(),
+             "nullable": f.nullable}
+        if isinstance(f.dataType, T.StructType):
+            d["fields"] = _fields_with_ids(f.dataType.fields, counter)
+        out.append(d)
+    return out
+
+
+def _project_field(col, pf: dict, cf: dict):
+    """Project one physical column (written under field dict `pf`) to the
+    current field dict `cf` — the nested-aware leg of _df_for_files' by-id
+    resolution. Identical nested layouts pass through untouched; differing
+    layouts rebuild the struct child-by-child by nested field id (missing
+    child -> initial-default/NULL, renamed child -> physical name, widened
+    child -> cast), preserving NULL struct values. Legacy struct columns
+    (either side without nested ids) fall back to the plain cast."""
+    cfs, pfs = cf.get("fields"), pf.get("fields")
+    if cfs and pfs:
+        if cfs == pfs:
+            return col
+        phys = {c["id"]: c for c in pfs}
+        subs = []
+        for cc in cfs:
+            pc = phys.get(cc["id"])
+            if pc is None:  # child added after this file: initial-default
+                subs.append(F.lit(cc.get("default"))
+                            .cast(_dtype_of_field(cc)).alias(cc["name"]))
+            else:
+                subs.append(_project_field(col[pc["name"]], pc, cc)
+                            .alias(cc["name"]))
+        return F.when(col.isNotNull(), F.struct(*subs))
+    return col.cast(cf["type"])
+
+
 @dataclass
 class SchemaVersion:
     sv: int
     # ordered list of {"id": int, "name": str, "type": str(simpleString), "nullable": bool}
+    # struct columns may carry "fields": nested child dicts with their own
+    # stable ids (Iceberg nested-field analog; see _fields_with_ids)
     fields: list[dict]
 
     def struct(self) -> T.StructType:
         return T.StructType(
-            [T.StructField(f["name"], _type_of(f["type"]), f.get("nullable", True)) for f in self.fields]
+            [T.StructField(f["name"], _dtype_of_field(f), f.get("nullable", True)) for f in self.fields]
         )
 
     def by_id(self) -> dict[int, dict]:
@@ -411,6 +470,71 @@ def _bloom_keep(m: "Manifest", files: list[dict], eq_filter: dict) -> list[dict]
     return out
 
 
+def _merge_key_prunable(m: "Manifest", files: list[dict],
+                        key_vals: dict) -> tuple[list[dict], list[dict]]:
+    """Split non-delta data `files` into (prunable, must_read) for a keyed
+    MERGE: a file is PRUNABLE when its recorded column bounds or bloom
+    filter PROVE that no staged merge-key value can appear in it — the
+    file then survives the copy-on-write commit byte-identical (exact
+    path, stats, blooms, row lineage) instead of being read and
+    rewritten. This is the within-bucket refinement of bucket pruning:
+    at 100 TB a bucket is tens of GB, and the steady-state CDC batch
+    touches a handful of keys per bucket; with a sort order on the merge
+    key, write amplification drops from O(touched buckets) to O(matched
+    files). Analog of Iceberg's COW MERGE file-level runtime filtering.
+
+    `key_vals`: {current_col_name: (sorted_non_null_values, has_null)} —
+    the staged batch's distinct key values, collected driver-side (the
+    caller gates on batch size). Proof logic mirrors _stats_keep /
+    _bloom_keep: resolution by field id survives renames, absence of
+    stats/bloom keeps the file (conservative), a possible NULL staged
+    key only matches files not proven null-free (NULL-safe merge join).
+    """
+    import bisect
+
+    cur_by_name = {c["name"]: c for c in m.schema_version.fields}
+    svs = {s.sv: s for s in m.schema_versions}
+    prunable, must = [], []
+    for f in files:
+        phys_by_id = svs[f["sv"]].by_id()
+        proven_absent = False
+        for col, (vals, has_null) in key_vals.items():
+            cf = cur_by_name.get(col)
+            if cf is None:
+                continue  # key not in this schema: no proof possible
+            pf = phys_by_id.get(cf["id"])
+            if pf is None:
+                # column added after this file: constant initial-default
+                # (all-NULL when none — matches only a NULL staged key)
+                d = cf.get("default")
+                might = (d in vals) if d is not None else has_null
+                if not might:
+                    proven_absent = True
+                    break
+                continue
+            null_possible = has_null and pf["name"] not in f.get("nn", ())
+            s = f.get("stats", {}).get(pf["name"])
+            cand = vals
+            if s is not None:
+                mn, mx = s
+                try:
+                    cand = vals[bisect.bisect_left(vals, mn):
+                                bisect.bisect_right(vals, mx)]
+                except TypeError:
+                    cand = vals  # cross-type bounds: no proof from stats
+                if not cand and not null_possible:
+                    proven_absent = True
+                    break
+            blob = f.get("bloom", {}).get(pf["name"])
+            if (blob is not None and not null_possible
+                    and len(cand) <= 4096
+                    and not any(bloom.might_contain(blob, v) for v in cand)):
+                proven_absent = True
+                break
+        (prunable if proven_absent else must).append(f)
+    return prunable, must
+
+
 def _table_checks(m: "Manifest") -> dict[str, str]:
     """CHECK constraints of the snapshot ({name: sql_expr}; Delta ADD
     CONSTRAINT analog), stored as one JSON table property so add/drop is
@@ -528,10 +652,11 @@ class LakeCatalog:
             raise ValueError(f"table {name!r} already exists")
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "meta"), exist_ok=True)
-        fields = [
-            {"id": i, "name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
-            for i, f in enumerate(schema.fields)
-        ]
+        import itertools
+
+        counter = itertools.count()
+        fields = _fields_with_ids(schema.fields, counter)
+        n_ids = next(counter)
         m = Manifest(
             version=0,
             parent=None,
@@ -544,7 +669,7 @@ class LakeCatalog:
             # timestamp travel see the create snapshot too
             properties={"committed_at_us": int(time.time() * 1_000_000),
                         **(properties or {})},
-            next_field_id=len(fields),
+            next_field_id=n_ids,
         )
         t = LakeTable(self.spark, root, name)
         t._write_manifest(m)
@@ -705,7 +830,8 @@ class LakeTable:
              stats_filter: dict | None = None,
              eq_filter: dict | None = None,
              with_row_ids: bool = False,
-             min_commit_seq: int | None = None) -> DataFrame:
+             min_commit_seq: int | None = None,
+             schema_as_of: int | None = None) -> DataFrame:
         """Current-schema DataFrame over the snapshot, projecting old-schema
         files by field id (rename/widen/add are resolved here, zero rewrite).
         `buckets` prunes the file list before any IO — the merge fast path.
@@ -741,8 +867,27 @@ class LakeTable:
         the same MOR conservatism applies. This is the point-lookup path
         bounds cannot serve — on a high-cardinality unclustered column
         every file's [min,max] spans the whole space and prunes nothing.
+
+        `schema_as_of` (a snapshot version) projects the rows FORWARD to
+        the schema current at that LATER snapshot instead of `version`'s
+        own — by field id, so renames/widens/adds between the two
+        versions resolve instead of comparing by name. This is what lets
+        diff() answer "which rows changed, viewed under today's schema"
+        across evolution commits.
         """
         m = self.manifest(version)
+        if schema_as_of is not None:
+            import dataclasses
+
+            tm = self.manifest(schema_as_of)
+            have = {s.sv for s in tm.schema_versions}
+            if not all(f["sv"] in have for f in m.files):
+                raise ValueError(
+                    f"{self.name}: snapshot v{tm.version} does not carry "
+                    f"every schema version v{m.version}'s files were "
+                    "written under (rollback across a schema change?)")
+            m = dataclasses.replace(m, schema_versions=tm.schema_versions,
+                                    current_sv=tm.current_sv)
         files, _ = _split_files(m, _live_data(m.files), buckets)
         if min_commit_seq is not None:
             # lineage pruning (changed_since): a non-delta file whose commit
@@ -846,15 +991,57 @@ class LakeTable:
     def _mor_split(m: Manifest, files: list[dict],
                    deltas: list[dict]) -> tuple[list[dict], list[dict]]:
         """(clean, dirty) split of the non-delta files in `files` w.r.t.
-        `deltas`. Clean = no delta can hold one of the file's keys: requires
-        every delta to share the file's bucket spec AND miss its bucket."""
+        `deltas`. Clean = no delta can hold one of the file's keys:
+        (a) every delta shares the file's bucket spec and misses its
+        bucket, or (b) the bucket holds deltas but footer bounds on the
+        merge keys prove EVERY one of them key-disjoint from this file
+        (sorted tables: a delta batch on recent keys leaves the cold
+        files resolution-free, so the MOR read tax is O(overlapping
+        files), not O(delta buckets)). NULL keys stay conservative: a
+        NULL in both sides matches under the dedup's grouping, so the
+        bounds proof applies only when one side is proven null-free."""
         dmap: dict[int, set] = {}
         for f in deltas:
             dmap.setdefault(_file_nb(m, f), set()).add(f["bucket"])
+        keys = [k for k in (m.properties.get("merge_keys") or "").split(",")
+                if k]
+        cur_by_name = {c["name"]: c for c in m.schema_version.fields}
+        svs = {s.sv: s for s in m.schema_versions}
+
+        def overlap_possible(f: dict, d: dict) -> bool:
+            for col in keys:
+                cf = cur_by_name.get(col)
+                if cf is None:
+                    continue
+                fp = svs[f["sv"]].by_id().get(cf["id"])
+                dp = svs[d["sv"]].by_id().get(cf["id"])
+                if fp is None or dp is None:
+                    continue  # a side predates the column: no proof here
+                fs = f.get("stats", {}).get(fp["name"])
+                ds = d.get("stats", {}).get(dp["name"])
+                if fs is None or ds is None:
+                    continue
+                if (fp["name"] not in f.get("nn", ())
+                        and dp["name"] not in d.get("nn", ())):
+                    continue  # NULL key possible on BOTH sides: can match
+                try:
+                    if fs[1] < ds[0] or ds[1] < fs[0]:
+                        return False  # provably disjoint on this key
+                except TypeError:
+                    continue
+            return True
 
         def is_clean(f: dict) -> bool:
             nb = _file_nb(m, f)
-            return set(dmap) <= {nb} and f["bucket"] not in dmap.get(nb, ())
+            if not (set(dmap) <= {nb}):
+                return False
+            if f["bucket"] not in dmap.get(nb, ()):
+                return True
+            if not keys:
+                return False
+            mine = [d for d in deltas
+                    if _file_nb(m, d) == nb and d["bucket"] == f["bucket"]]
+            return not any(overlap_possible(f, d) for d in mine)
 
         base = [f for f in files
                 if f.get("kind") not in ("delta", "posdel", "eqdel")]
@@ -997,8 +1184,9 @@ class LakeTable:
                 if pf is None:  # column added after these files were written:
                     # initial-default (or NULL) — metadata-only backfill
                     cols.append(F.lit(cf.get("default")).cast(cf["type"]).alias(cf["name"]))
-                else:  # rename/widen resolved by id
-                    cols.append(F.col(pf["name"]).cast(cf["type"]).alias(cf["name"]))
+                else:  # rename/widen resolved by id (nested-aware)
+                    cols.append(_project_field(F.col(pf["name"]), pf, cf)
+                                .alias(cf["name"]))
             for n, _t in extra:
                 if n == _DSEQ_COL and dseq is not None:
                     cols.append(F.lit(dseq).cast("bigint").alias(n))
@@ -2576,12 +2764,14 @@ class LakeTable:
         # old rows forward by field id exactly as read() does
         val_cols = [f["name"] for f in new_m.schema_version.fields
                     if f["name"] not in keys]
-        old = self.read(version=from_version, buckets=changed)
+        # the OLD snapshot's rows project FORWARD to the new schema by
+        # field id (schema_as_of): a rename/widen/nested evolution in the
+        # interval compares value-to-value instead of flagging every row,
+        # and a metadata-only add-with-default shows no change (the
+        # default applies to both sides)
+        old = self.read(version=from_version, buckets=changed,
+                        schema_as_of=new_m.version)
         new = self.read(version=to_version, buckets=changed)
-        # field-id evolution: columns added after from_version read as NULL
-        for c in val_cols:
-            if c not in old.columns:
-                old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
         o = old.select(*keys, *val_cols).alias("o")
         n = new.select(*keys, *val_cols).alias("n")
         cond = [o[k].eqNullSafe(n[k]) for k in keys]
@@ -2615,17 +2805,25 @@ class LakeTable:
                       properties: dict | None = None) -> Manifest:
         """Copy-on-write primitive used by MERGE (plans/merge.py): swap out
         every file selected by `remove_buckets` (set under the current spec,
-        {n_buckets: set} map across specs, or None for all files) for the
-        freshly-written result of `add_df`, one atomic snapshot. The caller
-        must have READ exactly the selected files into add_df — selection
-        here mirrors read()'s pruning bit-for-bit (_split_files).
+        {n_buckets: set} map across specs, None for all files, or an
+        explicit LIST of file entries — the file-level-pruned merge path)
+        for the freshly-written result of `add_df`, one atomic snapshot.
+        The caller must have READ exactly the selected files into add_df —
+        selection here mirrors read()'s pruning bit-for-bit (_split_files;
+        for the list form, by exact path).
 
         If add_df carries a `_row_id` column (caller read the target with
         with_row_ids=True and threaded it through), the ids are materialized
         physically so carried rows keep their lineage across the rewrite;
         NULL ids (e.g. merge inserts) inherit fresh ones at read time."""
         base = self.manifest()
-        _sel, keep = _split_files(base, _live_data(base.files), remove_buckets)
+        if isinstance(remove_buckets, list):
+            paths = {f["path"] for f in remove_buckets}
+            keep = [f for f in _live_data(base.files)
+                    if f["path"] not in paths]
+        else:
+            _sel, keep = _split_files(base, _live_data(base.files),
+                                      remove_buckets)
         extra = None
         if ROW_ID in add_df.columns:
             add_df = add_df.withColumnRenamed(ROW_ID, _RID_COL)
@@ -2663,13 +2861,17 @@ class LakeTable:
         this literal instead of NULL — zero rewrite, so a new column lands
         on a 100 TB table with no backfill job. Files written after carry
         the physical value; skip machinery (_stats_keep/_pred_classify/
-        _bloom_keep) treats pre-add files as constant-valued [d, d]."""
+        _bloom_keep) treats pre-add files as constant-valued [d, d].
+
+        A dotted `name` ("col.sub" / "col.sub.subsub") adds a field INSIDE
+        a struct column (Iceberg nested-field evolution): metadata-only
+        too — pre-add files read the initial-default at projection time
+        (_project_field), post-add writes carry the physical child."""
+        import itertools
+
         base = self.manifest()
         cur = base.schema_version
-        if any(f["name"] == name for f in cur.fields):
-            raise SchemaEvolutionError(f"column {name!r} already exists")
         dt = _type_of(type_str)  # validate
-        nf = {"id": base.next_field_id, "name": name, "type": type_str, "nullable": True}
         if default is not None:
             try:  # driver-side verification, no job: literal must fit the type
                 self.spark.createDataFrame(
@@ -2677,9 +2879,59 @@ class LakeTable:
             except Exception as e:
                 raise SchemaEvolutionError(
                     f"default {default!r} does not fit {type_str}: {e}") from e
-            nf["default"] = default
-        fields = [dict(f) for f in cur.fields] + [nf]
-        return self._evolved(base, fields, 1, properties)
+        counter = itertools.count(base.next_field_id)
+
+        def new_field(leaf: str) -> dict:
+            nf = {"id": next(counter), "name": leaf, "type": type_str,
+                  "nullable": True}
+            if isinstance(dt, T.StructType):
+                nf["fields"] = _fields_with_ids(dt.fields, counter)
+            if default is not None:
+                nf["default"] = default
+            return nf
+
+        if "." in name:
+            def edit(children: list[dict], leaf: str) -> None:
+                if any(c["name"] == leaf for c in children):
+                    raise SchemaEvolutionError(
+                        f"field {name!r} already exists")
+                children.append(new_field(leaf))
+
+            fields = self._edit_nested(cur, name, edit)
+        else:
+            if any(f["name"] == name for f in cur.fields):
+                raise SchemaEvolutionError(f"column {name!r} already exists")
+            fields = [dict(f) for f in cur.fields] + [new_field(name)]
+        return self._evolved(base, fields, next(counter) - base.next_field_id,
+                             properties)
+
+    @staticmethod
+    def _edit_nested(cur: SchemaVersion, path: str, edit) -> list[dict]:
+        """Copy-on-write edit of a nested struct field: walk `path`'s
+        parent chain (every segment must be a struct column carrying
+        nested field ids), apply `edit(children, leaf_name)` in place on
+        the deep copy, then re-derive the ancestors' type strings so
+        f["type"] stays in sync with the authoritative "fields" list."""
+        import copy
+
+        parts = path.split(".")
+        fields = copy.deepcopy(cur.fields)
+        node_list, chain = fields, []
+        for seg in parts[:-1]:
+            f = next((x for x in node_list if x["name"] == seg), None)
+            if f is None:
+                raise SchemaEvolutionError(f"no such column {seg!r} in {path!r}")
+            if not f.get("fields"):
+                raise SchemaEvolutionError(
+                    f"{seg!r} is not an evolvable struct: nested field ids "
+                    "required (structs inside arrays/maps, and struct "
+                    "columns of pre-nested-id manifests, cannot evolve)")
+            chain.append(f)
+            node_list = f["fields"]
+        edit(node_list, parts[-1])
+        for f in reversed(chain):
+            f["type"] = _dtype_of_field(f).simpleString()
+        return fields
 
     def drop_column(self, name: str, properties: dict | None = None) -> Manifest:
         """Metadata-only column drop. Data files keep the physical column;
@@ -2690,6 +2942,25 @@ class LakeTable:
         structural and cannot be dropped."""
         base = self.manifest()
         cur = base.schema_version
+        if "." in name:  # nested struct field (metadata-only drop)
+            top = name.split(".")[0]
+            refs = self._check_refs(base, top)
+            if refs:
+                raise SchemaEvolutionError(
+                    f"cannot drop {name!r}: check(s) {refs} reference "
+                    f"{top!r}; drop_check first")
+
+            def edit(children: list[dict], leaf: str) -> None:
+                if not any(c["name"] == leaf for c in children):
+                    raise SchemaEvolutionError(f"no such field {name!r}")
+                if len(children) == 1:
+                    raise SchemaEvolutionError(
+                        f"cannot drop the last field of {top!r}: drop the "
+                        "struct column itself")
+                children[:] = [c for c in children if c["name"] != leaf]
+
+            return self._evolved(base, self._edit_nested(cur, name, edit),
+                                 0, properties)
         if not any(f["name"] == name for f in cur.fields):
             raise SchemaEvolutionError(f"no such column {name!r}")
         if base.bucket_key == name:
@@ -2714,6 +2985,25 @@ class LakeTable:
     def rename_column(self, old: str, new: str, properties: dict | None = None) -> Manifest:
         base = self.manifest()
         cur = base.schema_version
+        if "." in old:  # nested struct field (metadata-only, by field id)
+            top = old.split(".")[0]
+            refs = self._check_refs(base, top)
+            if refs:
+                raise SchemaEvolutionError(
+                    f"cannot rename {old!r}: check(s) {refs} reference "
+                    f"{top!r}; drop_check first")
+
+            def edit(children: list[dict], leaf: str) -> None:
+                f = next((c for c in children if c["name"] == leaf), None)
+                if f is None:
+                    raise SchemaEvolutionError(f"no such field {old!r}")
+                if any(c["name"] == new for c in children):
+                    raise SchemaEvolutionError(
+                        f"field {new!r} already exists in {top!r}")
+                f["name"] = new
+
+            return self._evolved(base, self._edit_nested(cur, old, edit),
+                                 0, properties)
         if not any(f["name"] == old for f in cur.fields):
             raise SchemaEvolutionError(f"no such column {old!r}")
         if any(f["name"] == new for f in cur.fields):
@@ -3287,6 +3577,22 @@ class LakeTable:
     def widen_column(self, name: str, new_type: str, properties: dict | None = None) -> Manifest:
         base = self.manifest()
         cur = base.schema_version
+        if "." in name:  # nested struct field: same _WIDEN_OK contract
+            def edit(children: list[dict], leaf: str) -> None:
+                f = next((c for c in children if c["name"] == leaf), None)
+                if f is None:
+                    raise SchemaEvolutionError(f"no such field {name!r}")
+                if f.get("fields"):
+                    raise SchemaEvolutionError(
+                        f"cannot widen struct field {name!r}: evolve its "
+                        "children individually")
+                if (f["type"], new_type) not in _WIDEN_OK:
+                    raise SchemaEvolutionError(
+                        f"cannot widen {name!r}: {f['type']} -> {new_type}")
+                f["type"] = new_type
+
+            return self._evolved(base, self._edit_nested(cur, name, edit),
+                                 0, properties)
         f = next((f for f in cur.fields if f["name"] == name), None)
         if f is None:
             raise SchemaEvolutionError(f"no such column {name!r}")

@@ -467,14 +467,22 @@ def test_diff_bucket_pruning(spark, tmp_path):
     d = tbl2.diff(v1, keys=["k"]).collect()
     assert [(r["__op"], r["k"]) for r in d] == [("D", 3)]
 
-    # schema change in the interval -> pruning unsound -> full fallback
+    # schema change in the interval -> pruning unsound -> full fallback,
+    # but the COMPARISON projects the old snapshot forward by field id
+    # (read(schema_as_of=...)): a metadata-only add-with-default applies
+    # to both sides, so no row is spuriously flagged — only k=7 (really
+    # appended in the interval) surfaces, and its row carries the default
     tbl.add_column("extra", "int", default=5)
     m3 = tbl.manifest()
     assert _diff_changed_buckets(m2, m3) is None
-    full = tbl.diff(v1, keys=["k"])
-    # every key's resolved state changed (the new column default);
-    # 201 rows because the duplicated k=7 fans out in the bag join
-    assert full.count() == 201
+    full = tbl.diff(v1, keys=["k"]).collect()
+    assert {r["k"] for r in full} == {7}
+    assert all(r["extra"] == 5 for r in full)
+    # a pure RENAME in the interval flags nothing at all (tbl2: unique
+    # keys — tbl's duplicated k=7 would fan out in the compare join)
+    vb = tbl2.current_version()
+    tbl2.rename_column("v", "val")
+    assert tbl2.diff(vb, keys=["k"]).count() == 0
 
     # bucket-spec change -> unsound
     tbl2.rebucket(16)

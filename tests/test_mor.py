@@ -208,3 +208,87 @@ def test_auto_compact_counts_applied_batches_not_ids(spark, warehouse):
     for b in (0, 2):
         drv.run_batch(binlog.filter(F.col("batch_id") == b), b)
     assert drv.table.delta_file_count() == 0  # compacted after 2 applies
+
+
+# ---- bounds-based clean/dirty split (_mor_split key-disjoint proof) ----
+
+from pyspark.sql import types as T  # noqa: E402
+
+from embulk_output_databricks_spark.plans.merge import merge_apply_mor  # noqa: E402
+from embulk_output_databricks_spark.sources.laketable import LakeTable  # noqa: E402
+
+_KV = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _ranged_table(spark, warehouse, name="t", slices=(0, 100, 200, 300)):
+    """One bucket, one file per disjoint key-range slice — footer bounds
+    can prove a delta key-disjoint from the cold files."""
+    cat = LakeCatalog(spark, f"{warehouse}/morsplit")
+    t = cat.create_table(name, _KV, n_buckets=1, bucket_key="k",
+                         properties={"merge_keys": "k"})
+    for lo in slices:
+        t.append(spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, lo + 100)], _KV))
+    return t
+
+
+def test_mor_split_bounds_prove_cold_files_clean(spark, warehouse):
+    t = _ranged_table(spark, warehouse)
+    merge_apply_mor(t, spark.createDataFrame(
+        [(i, f"M{i}") for i in range(5)], _KV), ["k"])
+    m = t.manifest()
+    deltas = [f for f in m.files if f.get("kind") == "delta"]
+    clean, dirty = LakeTable._mor_split(m, m.files, deltas)
+    # the delta spans keys 0..4: only the 0..99 file pays resolution
+    assert len(clean) == 3 and len(dirty) == 1
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == ({(i, f"M{i}") for i in range(5)}
+                   | {(i, f"v{i}") for i in range(5, 400)})
+
+
+def test_mor_split_delete_only_dirties_overlapping_file(spark, warehouse):
+    t = _ranged_table(spark, warehouse, "d")
+    sch = T.StructType(list(_KV.fields) + [T.StructField("op", T.StringType())])
+    merge_apply_mor(t, spark.createDataFrame([(350, None, "D")], sch), ["k"])
+    m = t.manifest()
+    deltas = [f for f in m.files if f.get("kind") == "delta"]
+    clean, dirty = LakeTable._mor_split(m, m.files, deltas)
+    assert len(clean) == 3 and len(dirty) == 1
+    ks = {r["k"] for r in t.read().collect()}
+    assert 350 not in ks and len(ks) == 399
+
+
+def test_mor_split_null_keys_stay_conservative(spark, warehouse):
+    t = _ranged_table(spark, warehouse, "n", slices=(0,))
+    # a base file whose key column contains a NULL (not null-free)
+    t.append(spark.createDataFrame([(None, "base-null"), (500, "v500")], _KV))
+    # delta with a NULL key and a far-away range: bounds are disjoint from
+    # the NULL-holding file's [500,500], but NULL==NULL must still match
+    merge_apply_mor(t, spark.createDataFrame(
+        [(None, "delta-null"), (900, "v900")], _KV), ["k"])
+    m = t.manifest()
+    deltas = [f for f in m.files if f.get("kind") == "delta"]
+    clean, dirty = LakeTable._mor_split(m, m.files, deltas)
+    # the NULL-holding base file must NOT be proven clean
+    assert any(f["rows"] == 2 for f in dirty)
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert (None, "delta-null") in got and (None, "base-null") not in got
+    assert (500, "v500") in got and (900, "v900") in got
+
+
+def test_mor_compaction_folds_only_overlapping_files(spark, warehouse):
+    t = _ranged_table(spark, warehouse, "f")
+    cold = {f["path"] for f in t.manifest().files
+            if f.get("stats", {}).get("k", [0, 0])[0] >= 100}
+    merge_apply_mor(t, spark.createDataFrame(
+        [(7, "M7")], _KV), ["k"])
+    t.compact_deltas()
+    m = t.manifest()
+    assert not any(f.get("kind") == "delta" for f in m.files)
+    # the three cold files survived the fold byte-identical
+    assert cold <= {f["path"] for f in m.files}
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert (7, "M7") in got and len(got) == 400
