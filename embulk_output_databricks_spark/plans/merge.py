@@ -277,13 +277,13 @@ def merge_apply(
     # a file whose bounds/bloom prove no staged key is present is KEPT
     # verbatim — dropped from the read AND from the rewrite --
     selection = affected  # what replace_files swaps out
+    key_vals: dict = {}
     if (affected is not None and file_prune
             and n_staged <= min(file_prune_max_keys, broadcast_threshold_rows)):
         sel, _rest = _split_files(m, _live_data(m.files), affected)
         deltas = [f for f in sel if f.get("kind") == "delta"]
         clean, dirty = LakeTable._mor_split(m, sel, deltas)
         key_rows = staged.select(*keys).distinct().collect()
-        key_vals = {}
         for k in keys:
             vs = [r[k] for r in key_rows]
             nn = [v for v in vs if v is not None]
@@ -360,7 +360,12 @@ def merge_apply(
     props = dict(properties or {})
     props.setdefault("operation", "merge")
     try:
-        return table.replace_files(selection, result, props)
+        # commit against the PLANNING manifest: a rival commit anywhere in
+        # the plan->commit window goes through the validated rebase
+        # (commute or CommitConflict), never silent absorption; the staged
+        # key values let the rebase prove key-disjoint rival appends safe
+        return table.replace_files(selection, result, props, base=m,
+                                   read_keys=key_vals or None)
     finally:
         staged.unpersist()
 

@@ -1479,6 +1479,7 @@ class LakeTable:
         next_field_id: int | None = None,
         n_buckets: int | None = None,
         bucket_key: str | None = None,
+        read_keys: dict | None = None,
     ) -> Manifest:
         meta_change = (schema_versions is not None or current_sv is not None
                        or next_field_id is not None or n_buckets is not None
@@ -1563,11 +1564,13 @@ class LakeTable:
                                           if meta_change else
                                           f" ({retries} rebase attempts)"))
             cur = self.manifest()
-            files = self._rebase_files(base, cur, files)
+            files = self._rebase_files(base, cur, files,
+                                       read_keys=read_keys)
             base = cur
 
     def _rebase_files(self, base: Manifest, cur: Manifest,
-                      files: list[dict]) -> list[dict]:
+                      files: list[dict],
+                      read_keys: dict | None = None) -> list[dict]:
         """Rebase this commit's file delta (computed against `base`) onto the
         concurrent winner's snapshot `cur` — Iceberg optimistic-concurrency
         retry with serializable validation. Allowed only when the histories
@@ -1655,6 +1658,15 @@ class LakeTable:
             eb = (_file_nb(cur, e), e.get("bucket"))
             if read_set and (eb in touched_buckets or eb == (0, None)
                              or (0, None) in touched_buckets):
+                # key-disjoint exception (multi-writer fan-in): when this
+                # commit is a keyed MERGE carrying its staged key values,
+                # a winner file whose bounds/bloom PROVE none of those
+                # keys present commutes — serial-order equivalence: the
+                # winner's rows are not ours to read (not staged), stay
+                # live in the final manifest, and cannot duplicate a key
+                # we inserted. Absence of proof falls back to conflict.
+                if read_keys and _merge_key_prunable(cur, [e], read_keys)[0]:
+                    continue
                 raise CommitConflict(
                     f"{self.name}: concurrent append into a bucket this "
                     "commit rewrote")
@@ -2802,7 +2814,9 @@ class LakeTable:
         return out.filter(F.col("__op").isNotNull())
 
     def replace_files(self, remove_buckets, add_df: DataFrame,
-                      properties: dict | None = None) -> Manifest:
+                      properties: dict | None = None,
+                      base: Manifest | None = None,
+                      read_keys: dict | None = None) -> Manifest:
         """Copy-on-write primitive used by MERGE (plans/merge.py): swap out
         every file selected by `remove_buckets` (set under the current spec,
         {n_buckets: set} map across specs, None for all files, or an
@@ -2815,8 +2829,21 @@ class LakeTable:
         If add_df carries a `_row_id` column (caller read the target with
         with_row_ids=True and threaded it through), the ids are materialized
         physically so carried rows keep their lineage across the rewrite;
-        NULL ids (e.g. merge inserts) inherit fresh ones at read time."""
-        base = self.manifest()
+        NULL ids (e.g. merge inserts) inherit fresh ones at read time.
+
+        `base`: the manifest the caller PLANNED (read) against. Passing it
+        makes the whole plan->commit window race-safe: a rival commit in
+        between forces the optimistic rebase, whose read-set validation
+        either proves the histories commute or raises CommitConflict —
+        without it, only the instant between this call's own read and the
+        manifest write is protected, and a mid-plan rival rewrite would be
+        absorbed silently (lost update). `read_keys` (the staged merge-key
+        values, _merge_key_prunable shape) lets the rebase prove a rival
+        APPEND into a rewritten bucket key-disjoint from this merge — the
+        multi-writer fan-in case, where hash bucketing makes every source
+        touch every bucket."""
+        if base is None:
+            base = self.manifest()
         if isinstance(remove_buckets, list):
             paths = {f["path"] for f in remove_buckets}
             keep = [f for f in _live_data(base.files)
@@ -2837,7 +2864,8 @@ class LakeTable:
                 e["ridc"] = True
         keep += self._prune_posdels(base.files, keep)
         keep += self._prune_eqdels(base.files, keep)
-        return self._commit(base, keep + new, properties)
+        return self._commit(base, keep + new, properties,
+                            read_keys=read_keys)
 
     # ---------- schema evolution (metadata-only; SURVEY §2 M2) ----------
 

@@ -205,3 +205,75 @@ def test_posdel_consolidation_commutes_with_append_conflicts_with_rewrite(
             got = {r["doc_id"] for r in t1.read().collect()}
             assert got == {f"doc{i:08d}" for i in range(35)
                            if i not in (2, 3, 4, 10, 11, 12)}
+
+
+# ---- full-op merge races (plan->commit window + key-disjoint commute) ----
+
+from embulk_output_databricks_spark.plans.merge import merge_apply  # noqa: E402
+
+
+def _merge_race_pair(spark, warehouse, name):
+    """Same-bucket table with per-slice files of disjoint doc_id ranges,
+    two handles; merges are file-pruned so concurrent merges on disjoint
+    key bands remove disjoint files of the SAME bucket."""
+    t1, t2 = _pair(spark, f"{warehouse}/{name}", name, n_buckets=1)
+    for lo in (0, 100, 200):
+        t1.append(seq_rows(spark, range(lo, lo + 100)))
+    return t1, t2
+
+
+def _racing(t1, t2, rival_batch):
+    """Interleave deterministically: t2's merge lands between t1's merge
+    PLANNING read and its commit (t1.replace_files wrapped)."""
+    real = t1.replace_files
+
+    def wrapped(sel, df, props=None, **kw):
+        t1.replace_files = real  # rival races only the first commit
+        merge_apply(t2, rival_batch, ["doc_id"])
+        return real(sel, df, props, **kw)
+
+    t1.replace_files = wrapped
+
+
+def test_merge_race_disjoint_keys_commutes(spark, warehouse):
+    t1, t2 = _merge_race_pair(spark, warehouse, "mc")
+    _racing(t1, t2, seq_rows(spark, range(100, 110), src="rival"))
+    m = merge_apply(t1, seq_rows(spark, range(0, 10), src="mine"), ["doc_id"])
+    # t1's commit lost the head race, rebased, and the rival's added file
+    # (keys 100-109, bounds-disjoint from t1's staged 0-9) commuted
+    assert m.properties["commit_retries"] == 1
+    by_src = {}
+    for r in t1.read().collect():
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert by_src["mine"] == {f"doc{i:08d}" for i in range(10)}
+    assert by_src["rival"] == {f"doc{i:08d}" for i in range(100, 110)}
+    assert t1.row_count() == 300
+
+
+def test_merge_race_same_file_conflicts(spark, warehouse):
+    t1, t2 = _merge_race_pair(spark, warehouse, "ms")
+    # rival rewrites the SAME key band -> same file in both read-sets
+    _racing(t1, t2, seq_rows(spark, range(5, 15), src="rival"))
+    with pytest.raises(CommitConflict, match="rewrote files"):
+        merge_apply(t1, seq_rows(spark, range(0, 10), src="mine"), ["doc_id"])
+
+
+def test_merge_race_overlapping_insert_conflicts(spark, warehouse):
+    t1, t2 = _merge_race_pair(spark, warehouse, "mi")
+    # both writers INSERT doc 900: the rival's added file provably holds
+    # t1's staged key, so the histories do not commute
+    _racing(t1, t2, seq_rows(spark, [900, 901], src="rival"))
+    with pytest.raises(CommitConflict, match="bucket this"):
+        merge_apply(t1, seq_rows(spark, [900, 0], src="mine"), ["doc_id"])
+
+
+def test_merge_race_without_key_proof_conflicts(spark, warehouse):
+    # file pruning off -> no staged-key values travel with the commit ->
+    # a rival append into the rewritten bucket must conservatively conflict
+    t1, t2 = _merge_race_pair(spark, warehouse, "mn")
+    _racing(t1, t2, seq_rows(spark, range(100, 110), src="rival"))
+    # the unpruned merge READ every file of the bucket, so the rival's
+    # (file-pruned) rewrite overlaps its read-set
+    with pytest.raises(CommitConflict, match="rewrote files|bucket this"):
+        merge_apply(t1, seq_rows(spark, range(0, 10), src="mine"),
+                    ["doc_id"], file_prune=False)
