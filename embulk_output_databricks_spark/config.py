@@ -65,6 +65,18 @@ class JobConfig:
     # functions/typemap.format_timestamp -> render_timestamp() below
     timestamp_format: str = "%Y-%m-%d %H:%M:%S.%6N"
     max_events_per_batch: int = 10_000_000
+    target_apply_seconds: float = 0.0
+                                  # adaptive chunk sizing: when > 0, the
+                                  # driver SIZES the lsn-range sub-batches
+                                  # from the last observed apply rate so
+                                  # each chunk lands near this wall-clock
+                                  # target (EWMA-smoothed events/sec; the
+                                  # static max_events_per_batch stays the
+                                  # hard ceiling). Bounds commit latency
+                                  # and checkpoint-loss exposure when the
+                                  # upstream delivers wildly varying batch
+                                  # sizes (backfill bursts vs steady tail).
+                                  # 0 = static chunking only.
     n_buckets: int = 16          # target-table bucket count; scale with data
     dedup_salt: int = 8          # salt fan-out for skewed LWW dedup
     dedup_strategy: str = "maxby"  # maxby | maxstruct | salted | window
@@ -187,6 +199,8 @@ class JobConfig:
             raise ConfigError("n_buckets and dedup_salt must be >= 1")
         if self.target_rows_per_bucket < 0:
             raise ConfigError("target_rows_per_bucket must be >= 0")
+        if self.target_apply_seconds < 0:
+            raise ConfigError("target_apply_seconds must be >= 0")
         seen_rollups = set()
         for r in self.rollups:
             name, grp = r.get("name"), r.get("group_by")

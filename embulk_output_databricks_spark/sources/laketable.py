@@ -942,6 +942,60 @@ class LakeTable:
         return _apply(self._resolve_files(m, files, with_row_ids=with_row_ids,
                                           skip=_skip))
 
+    def scan_stats(self, version: int | None = None,
+                   buckets: set[int] | None = None,
+                   stats_filter: dict | None = None,
+                   eq_filter: dict | None = None,
+                   min_commit_seq: int | None = None) -> dict:
+        """EXPLAIN for the manifest-level scan plan: what an identical
+        read() would open and why — zero data IO, driver-side only. The
+        observability face of the skipping machinery (Iceberg's scan
+        report analog): at 100 TB "how many files/bytes does this
+        predicate touch" is a planning question that must be answerable
+        without running the scan. Mirrors read()'s selection exactly:
+        bucket split, lineage floor, MOR clean/dirty (bounds-refined),
+        bounds skip then bloom skip on the clean side (dirty buckets and
+        delta files are always read). `bytes_*` sums cover entries that
+        record file size (written by current code); `bytes_unknown_files`
+        counts those that don't."""
+        m = self.manifest(version)
+        live = _live_data(m.files)
+        sel, rest = _split_files(m, live, buckets)
+        pruned_lineage = 0
+        if min_commit_seq is not None:
+            kept = [f for f in sel
+                    if f.get("kind") == "delta"
+                    or f.get("ls") is None or f["ls"] > min_commit_seq]
+            pruned_lineage = len(sel) - len(kept)
+            sel = kept
+        deltas = [f for f in sel if f.get("kind") == "delta"]
+        clean, dirty = self._mor_split(m, sel, deltas)
+        after_bounds = (_stats_keep(m, clean, stats_filter)
+                        if stats_filter else clean)
+        after_bloom = (_bloom_keep(m, after_bounds, eq_filter)
+                       if eq_filter else after_bounds)
+        read_files = after_bloom + dirty + deltas
+
+        def _sum(fs, key):
+            return sum(f.get(key) or 0 for f in fs)
+
+        return {
+            "files_live": len(live),
+            "files_read": len(read_files),
+            "pruned_bucket": len(rest),
+            "pruned_lineage": pruned_lineage,
+            "pruned_bounds": len(clean) - len(after_bounds),
+            "pruned_bloom": len(after_bounds) - len(after_bloom),
+            "delta_files": len(deltas),
+            "mor_dirty_files": len(dirty),
+            "rows_live": _sum(live, "rows"),
+            "rows_read": _sum(read_files, "rows"),
+            "bytes_live": _sum(live, "bytes"),
+            "bytes_read": _sum(read_files, "bytes"),
+            "bytes_unknown_files": sum(1 for f in live
+                                       if f.get("bytes") is None),
+        }
+
     def _resolve_files(self, m: "Manifest", files: list[dict],
                        with_row_ids: bool = False,
                        skip=None) -> DataFrame:
@@ -1437,7 +1491,9 @@ class LakeTable:
                 rows = md.num_rows
                 if rows == 0:
                     continue
-                entry = {"path": None, "bucket": bucket, "rows": rows, "sv": m.current_sv}
+                entry = {"path": None, "bucket": bucket, "rows": rows,
+                         "sv": m.current_sv,
+                         "bytes": os.path.getsize(src)}
                 stats = _footer_stats(md, stats_cols)
                 if stats:
                     entry["stats"] = stats
@@ -2008,7 +2064,8 @@ class LakeTable:
                     continue
                 entry = {"path": None, "bucket": None, "nb": 0,
                          "rows": md.num_rows, "sv": base.current_sv,
-                         "imported": True}
+                         "imported": True,
+                         "bytes": os.path.getsize(src)}
                 stats = _footer_stats(md, stats_cols)
                 if stats:
                     entry["stats"] = stats

@@ -78,6 +78,8 @@ class ReplayDriver:
         self.ckpt = CheckpointStore(self.table, source_id=source_id)
         self._applied_since_compact = 0  # mor auto-compact cadence counter
         self._committed_since_fold = 0   # checkpoint-fold cadence counter
+        self._events_per_sec: float | None = None  # EWMA apply rate
+                                                   # (adaptive chunking)
         # maintained downstream rollups (cfg.rollups): created/seeded here,
         # advanced after every batch by their own consumed-version watermark
         self.rollups: list[tuple] = []
@@ -265,6 +267,17 @@ class ReplayDriver:
         # mode only; chunking does not apply to truncate_insert/replace
         # (each overwrite would clobber the previous chunk).
         nmax = self.cfg.max_events_per_batch
+        # adaptive chunk sizing (target_apply_seconds): size chunks from
+        # the observed apply rate so each lands near the wall-clock
+        # target — bounded commit latency whatever the upstream delivers
+        # (a backfill burst chunks finer, a steady tail coarser). The
+        # static max_events_per_batch stays the hard ceiling; the first
+        # batch (no rate yet) uses it unchanged.
+        if (self.cfg.target_apply_seconds > 0
+                and self._events_per_sec is not None):
+            adaptive = max(int(self._events_per_sec
+                               * self.cfg.target_apply_seconds), 1)
+            nmax = min(nmax, adaptive) if nmax else adaptive
         ranges: list[tuple[int, int] | None] = [None]
         if (nmax and collect_metrics is True and n_in > nmax
                 and self.cfg.mode in (ApplyMode.MERGE, ApplyMode.INSERT,
@@ -320,6 +333,15 @@ class ReplayDriver:
             "apply_s": round(apply_s, 6),
             "snapshot_commit_s": round(self.table.last_commit_s, 6),
         }
+        if len(ranges) > 1:
+            metrics["chunks"] = len(ranges)
+        if n_in > 0 and apply_s > 0:
+            # EWMA-smoothed apply rate feeds the next batch's adaptive
+            # chunk sizing (one slow batch must not collapse chunk size)
+            rate = n_in / apply_s
+            self._events_per_sec = (rate if self._events_per_sec is None
+                                    else 0.5 * self._events_per_sec
+                                    + 0.5 * rate)
         if q_n:
             metrics["quarantined"] = q_n
         # MOR housekeeping: fold deltas into base every N APPLIED batches

@@ -131,3 +131,50 @@ def test_render_timestamp_ruby_format_and_zone(spark):
     assert row["utc"] == "2024-01-01 20:30:00.123456"
     # UTC -> JST day rollover (ref TestDatabricksOutputPluginByOutputType:79-83)
     assert row["jst"] == "2024-01-02 05:30:00.123456"
+
+def test_adaptive_chunk_sizing(spark, warehouse):
+    """target_apply_seconds: chunk size derives from the observed apply
+    rate (EWMA events/sec x target), capped by max_events_per_batch; the
+    first batch (no rate yet) uses the static bound; results stay pinned
+    to the oracle regardless of chunking."""
+    binlog = synth_binlog(spark, 1200, 80, 1200, delete_frac=0.1).cache()
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/ad"),
+                       JobConfig(mode="merge", n_buckets=4,
+                                 target_apply_seconds=2.0))
+    b0 = binlog.filter(binlog.seq_lsn < 600)
+    rec0 = drv.run_batch(b0, 0)
+    assert "chunks" not in rec0["metrics"]  # first batch: static bound only
+    assert drv._events_per_sec is not None and drv._events_per_sec > 0
+    # force a known rate: 100 ev/s x 2 s target -> 200-event chunks -> the
+    # 600-event second batch applies in ceil(600/200)=3 chunks
+    drv._events_per_sec = 100.0
+    v1 = drv.table.current_version()
+    rec1 = drv.run_batch(binlog.filter(binlog.seq_lsn >= 600), 1)
+    assert rec1["metrics"]["chunks"] == 3
+    assert drv.table.current_version() == v1 + 3
+    # EWMA updated from the real (fast) second batch, not stuck at 100
+    assert drv._events_per_sec > 100.0
+    assert table_state(drv.table) == python_oracle(
+        [r.asDict() for r in binlog.collect()])
+    # fence holds across adaptive chunking
+    assert drv.run_batch(b0, 0) is None
+    binlog.unpersist()
+
+
+def test_adaptive_chunking_respects_static_ceiling(spark, warehouse):
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/adc"),
+                       JobConfig(mode="merge", n_buckets=4,
+                                 max_events_per_batch=300,
+                                 target_apply_seconds=1000.0))
+    drv._events_per_sec = 1e9  # adaptive would allow everything
+    v0 = drv.table.current_version()
+    drv.run_batch(synth_binlog(spark, 900, 60, 900), 0)
+    # static ceiling still chunks: 900/300 = 3 snapshots
+    assert drv.table.current_version() == v0 + 3
+
+
+def test_negative_target_apply_seconds_rejected():
+    from embulk_output_databricks_spark.config import ConfigError
+
+    with pytest.raises(ConfigError, match="target_apply_seconds"):
+        JobConfig(target_apply_seconds=-1)
