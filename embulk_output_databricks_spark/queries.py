@@ -1398,6 +1398,65 @@ FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
 """
 
 
+def q_cdc_join_maintenance(spark, sf_dir):
+    """Incremental join-view maintenance (streaming/joinmaint.py): a
+    denormalized enrichment view fact ⟕ dim tracks BOTH CDC tables from
+    their diffs — fact churn re-enriches exactly the changed rows, dim
+    churn fans out to the fact rows whose fk hit a changed dim key
+    (read(eq_filter=[keys]) point lookup), one keyed MERGE, both consumed
+    versions riding the view's own commit. Recomputing the join per batch
+    over 100 TB is the anti-pattern this replaces."""
+    from .streaming.joinmaint import ensure_join_view, sync_join_view
+
+    t_half, s_half = _halves(spark, sf_dir)
+    cat = _fresh_catalog(spark, "joinmaint")
+    fact = cat.create_table("fact", STATE_SCHEMA, n_buckets=8,
+                            bucket_key="user_id",
+                            properties={"merge_keys": "user_id"})
+    fact.append(_lww(t_half))
+    dim_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("code", T.LongType()),
+    ])
+    dim = cat.create_table("dim", dim_schema, n_buckets=4,
+                           bucket_key="event_type",
+                           properties={"merge_keys": "event_type"})
+    dim.append(_lww(t_half).select("event_type").distinct()
+               .withColumn("code", F.length("event_type").cast("long")))
+    view = ensure_join_view(cat, fact, dim, "vw", "user_id",
+                            "event_type", "event_type", ["code"])
+    # churn both sides, then one incremental sync
+    merge_apply(fact, _lww(s_half), keys=["user_id"])
+    merge_apply(dim, _lww(s_half).select("event_type").distinct()
+                .withColumn("code", (F.length("event_type") * 10).cast("long")),
+                keys=["event_type"])
+    m = sync_join_view(fact, dim, view, "user_id", "event_type",
+                       "event_type", ["code"])
+    if m is None or m.properties["join_upto_fact"] != str(fact.current_version()):
+        raise RuntimeError("join view did not consume the fact churn")
+    return view.read().select(
+        "user_id", "ts_us", "event_type",
+        _CENTS_S(F.col("value")).alias("value_c"), "code")
+
+
+_SQL_JOIN_MAINTENANCE = f"""
+WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
+     s AS (SELECT * FROM {_sql_lww("event_id % 2 = 1")}),
+     a AS (SELECT {_UPSERT_COLS} FROM t FULL OUTER JOIN s ON t.user_id = s.user_id),
+     dim AS (
+       SELECT event_type AS dk,
+              CASE WHEN event_type IN (SELECT DISTINCT event_type FROM s)
+                   THEN length(event_type) * 10
+                   ELSE length(event_type) END AS code
+       FROM (SELECT DISTINCT event_type FROM t
+             UNION SELECT DISTINCT event_type FROM s)
+     )
+SELECT a.user_id, a.ts_us, a.event_type,
+       {_cents_sql("a.value")} AS value_c, d.code
+FROM a LEFT JOIN dim d ON a.event_type = d.dk
+"""
+
+
 def q_cdc_default_values(spark, sf_dir):
     """Iceberg v3 initial-default analog: columns added with `default=` are
     a metadata-only backfill — pre-add files read the literal (never NULL,
@@ -4660,6 +4719,7 @@ SPARK_QUERIES = {
     "cdc_sort_order": q_cdc_sort_order,
     "cdc_merge_fileprune": q_cdc_merge_fileprune,
     "cdc_nested_evolution": q_cdc_nested_evolution,
+    "cdc_join_maintenance": q_cdc_join_maintenance,
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
@@ -4822,6 +4882,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_sort_order": _SQL_SORT_ORDER,
         "cdc_merge_fileprune": _SQL_MERGE_FILEPRUNE,
         "cdc_nested_evolution": _SQL_NESTED_EVOLUTION,
+        "cdc_join_maintenance": _SQL_JOIN_MAINTENANCE,
         "cdc_merge_delete": _sql_merge(
             _UPSERT_COLS,
             where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",
