@@ -254,12 +254,36 @@ def bench_stats_skip(spark, n_rows: int = 4_000_000, slices: int = 16,
             n_skip = t.read(stats_filter=flt).count()
             skip_s = time.perf_counter() - t0
         assert n_full == n_skip == step
+        # aggregate pushdown (Iceberg manifest-stat COUNT/MIN/MAX analog):
+        # a half-table band NOT aligned on slice boundaries — interior files
+        # answer from metadata alone, only the 2 straddling slices scan.
+        albo = 3 * step + step // 2
+        alhi = 11 * step + step // 2 - 1
+        aggs = [("count", "*"), ("min", "seq_lsn"), ("max", "seq_lsn")]
+        arng = (F.col("seq_lsn") >= albo) & (F.col("seq_lsn") <= alhi)
+        for _ in range(2):  # warm then timed
+            t0 = time.perf_counter()
+            r_push = t.agg_push(aggs, pred={"seq_lsn": (albo, alhi)})
+            push_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            r_full = t.read().filter(arng).agg(
+                F.count(F.lit(1)), F.min("seq_lsn"), F.max("seq_lsn")).first()
+            agg_full_s = time.perf_counter() - t0
+        assert (r_push["count_star"], r_push["min_seq_lsn"],
+                r_push["max_seq_lsn"]) == tuple(r_full)
         return {
             "files_total": len(m.files),
             "files_read": len(_stats_keep(m, m.files, flt)),
             "full_scan_s": round(full_s, 3),
             "skipped_scan_s": round(skip_s, 3),
             "speedup": round(full_s / skip_s, 2) if skip_s else None,
+            "agg_push": {
+                "files_metadata": r_push["files"]["metadata"],
+                "files_scanned": r_push["files"]["scanned"],
+                "push_s": round(push_s, 3),
+                "full_agg_s": round(agg_full_s, 3),
+                "speedup": round(agg_full_s / push_s, 2) if push_s else None,
+            },
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -597,6 +597,37 @@ def q_cdc_stats_skipping(spark, sf_dir):
     return tbl.read(stats_filter={"ts_us": (lo, hi)})
 
 
+def q_cdc_agg_pushdown(spark, sf_dir):
+    """Metadata-accelerated aggregates (Iceberg aggregate-pushdown-to-
+    manifest analog; the reference has no read story at all —
+    DatabricksOutputConnection.java generates write-side SQL only): a
+    time-sliced table answers COUNT(*)/COUNT(col)/MIN/MAX over a ts band
+    from footer stats plus a scan of only the band-straddling files —
+    at 100 TB `SELECT count(*) WHERE ts >= X` costs O(boundary files),
+    not a table scan."""
+    ev = _binlog_batches(spark, sf_dir)  # 4 contiguous time slices
+    tbl = _new_table(spark, "aggpush", n_buckets=4)
+    for b in range(4):
+        tbl.append(ev.filter(F.col("batch_id") == b)
+                   .select(F.col("user_id"), F.col("seq_lsn").alias("ts_us"),
+                           "event_type", "value", "props"))
+    mn, mx = ev.agg(F.min("seq_lsn"), F.max("seq_lsn")).first()
+    lo = mn + (mx - mn) * 2 // 8
+    hi = mn + (mx - mn) * 6 // 8
+    r = tbl.agg_push(
+        [("count", "*"), ("count", "value"), ("min", "ts_us"),
+         ("max", "ts_us"), ("min", "value"), ("max", "value")],
+        pred={"ts_us": (lo, hi)})
+    f = r["files"]
+    assert f["pruned"] > 0, "no file answered the band from metadata alone"
+    assert f["scanned"] < f["live"], "aggregate pushdown scanned everything"
+    return spark.createDataFrame(
+        [(r["count_star"], r["count_value"], r["min_ts_us"], r["max_ts_us"],
+          r["min_value"], r["max_value"])],
+        "cnt long, cnt_value long, min_ts long, max_ts long, "
+        "min_value double, max_value double")
+
+
 def q_cdc_retention_delete(spark, sf_dir):
     """Predicate DELETE planned from manifest bounds (Iceberg
     metadata-delete analog; the reference's only delete is truncate-
@@ -4728,6 +4759,7 @@ SPARK_QUERIES = {
     "cdc_token_lookup": q_cdc_token_lookup,
     "cdc_neardup_index": q_cdc_neardup_index,
     "cdc_stats_skipping": q_cdc_stats_skipping,
+    "cdc_agg_pushdown": q_cdc_agg_pushdown,
     "cdc_retention_delete": q_cdc_retention_delete,
     "cdc_posdel_delete": q_cdc_posdel_delete,
     "cdc_posdel_compaction": q_cdc_posdel_compaction,
@@ -4944,6 +4976,16 @@ def _oracle_sql() -> dict[str, str]:
             FROM events, b
             WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) * 3 // 8
                                    AND b.mn + (b.mx - b.mn) * 5 // 8
+        """,
+        "cdc_agg_pushdown": """
+            WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT count(*) AS cnt, count(value) AS cnt_value,
+                   min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events, b
+            WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) * 2 // 8
+                                   AND b.mn + (b.mx - b.mn) * 6 // 8
         """,
         "cdc_retention_delete": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx

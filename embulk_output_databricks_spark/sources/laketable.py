@@ -1377,6 +1377,165 @@ class LakeTable:
             n += self._df_for_files(m, t_delta, extra_fields=_DELTA_FIELDS).count()
         return n
 
+    def agg_push(self, aggs: list[tuple[str, str]],
+                 pred: dict | None = None,
+                 version: int | None = None) -> dict:
+        """Metadata-accelerated aggregates (Iceberg aggregate-pushdown
+        analog — COUNT(*)/COUNT(col)/MIN/MAX answered from manifest file
+        stats; the reference has no read story at all). `aggs` is a list
+        of (fn, col) with fn in {count, min, max}; col "*" only for count.
+        `pred` is the conjunctive range predicate ({col: (lo, hi)}, either
+        bound None, null-excluding SQL semantics — the stats_filter shape).
+
+        Per live data file the answer comes from metadata when provable:
+        COUNT(*) from the entry's row count when bounds prove every row
+        matches (`_pred_classify` 'all'); COUNT(col) additionally needs the
+        null-free proof ("nn") or a pre-add initial-default; MIN/MAX(col)
+        use the footer bounds — numeric values only (string footer stats
+        may be truncated: valid for SKIPPING, not exact answers). Files the
+        metadata cannot answer — 'some' classification, missing proofs,
+        delete-targeted (posdel/eqdel sidecars change live rows), MOR-dirty
+        buckets (delta winners shadow base rows) — are scanned through the
+        normal resolving read path, so the result is EXACT under every
+        table state. At 100 TB `SELECT count(*) WHERE ts >= X` costs
+        O(boundary files) of IO instead of a table scan.
+
+        Returns {"<fn>_<col>": value, ..., "files": {live, metadata,
+        scanned, pruned}} ("*" rendered as "star")."""
+        for fn, col in aggs:
+            if fn not in ("count", "min", "max") or (col == "*" and fn != "count"):
+                raise ValueError(f"unsupported aggregate {fn}({col})")
+        m = self.manifest(version)
+        live = _live_data(m.files)
+        deltas = [f for f in live if f.get("kind") == "delta"]
+        clean, mor_dirty = self._mor_split(m, live, deltas)
+        targeted: set[str] = set()
+        for e in _posdel_entries(m.files) + _eqdel_entries(m.files):
+            targeted.update(e["targets"])
+        # buckets that must resolve through read(): any holding a delta or
+        # a MOR-dirty base file. Every spec present gets an (empty) entry so
+        # _split_files' conservative no-entry selection can't double-read.
+        scan_buckets: dict[int, set[int]] = {
+            _file_nb(m, f): set() for f in live}
+        for f in mor_dirty + deltas:
+            scan_buckets[_file_nb(m, f)].add(f["bucket"])
+        cur_by_name = {c["name"]: c for c in m.schema_version.fields}
+        svs = {s.sv: s for s in m.schema_versions}
+        need_cols = {c for _, c in aggs if c != "*"}
+        for c in set(need_cols) | set(pred or {}):
+            if c not in cur_by_name:
+                raise ValueError(f"agg_push on unknown column {c!r}")
+
+        counts: dict[str, int] = {}
+        mins: dict[str, list] = {c: [] for c in need_cols}
+        maxs: dict[str, list] = {c: [] for c in need_cols}
+
+        def meta_answer(f: dict) -> dict | None:
+            """All requested aggregates for one file from metadata, or None
+            if any needs IO."""
+            phys_by_id = svs[f["sv"]].by_id()
+            out: dict = {}
+            for fn, col in aggs:
+                if col == "*":
+                    out["count_*"] = f["rows"]
+                    continue
+                cf = cur_by_name[col]
+                pf = phys_by_id.get(cf["id"])
+                if pf is None:  # pre-add file: constant initial-default
+                    d = cf.get("default")
+                    if fn == "count":
+                        out[f"count_{col}"] = 0 if d is None else f["rows"]
+                    elif d is None:
+                        out[f"{fn}_{col}"] = None  # all-NULL: contributes nothing
+                    elif isinstance(d, (int, float)) and not isinstance(d, bool):
+                        out[f"{fn}_{col}"] = d
+                    else:
+                        return None
+                    continue
+                if fn == "count":
+                    if pf["name"] in f.get("nn", ()):
+                        out[f"count_{col}"] = f["rows"]
+                    else:
+                        return None  # null count unknown
+                    continue
+                s = f.get("stats", {}).get(pf["name"])
+                if (s is None
+                        or not isinstance(s[0], (int, float))
+                        or isinstance(s[0], bool)):
+                    return None  # no bounds, or non-numeric (truncation risk)
+                out[f"{fn}_{col}"] = s[0] if fn == "min" else s[1]
+            return out
+
+        scan_files, n_meta, n_pruned = [], 0, 0
+        for f in clean:
+            if f["bucket"] in scan_buckets.get(_file_nb(m, f), ()):
+                continue  # covered by the read(buckets=...) leg
+            if os.path.basename(f["path"]) in targeted:
+                scan_files.append(f)
+                continue
+            cls = _pred_classify(m, f, pred) if pred else "all"
+            if cls == "none":
+                n_pruned += 1
+                continue
+            ans = meta_answer(f) if cls == "all" else None
+            if ans is None:
+                scan_files.append(f)
+                continue
+            n_meta += 1
+            for k, v in ans.items():
+                if k.startswith("count"):
+                    counts[k] = counts.get(k, 0) + v
+                elif v is not None:
+                    (mins if k.startswith("min") else maxs)[k.split("_", 1)[1]].append(v)
+
+        parts = []
+        if any(scan_buckets.values()):
+            parts.append(self.read(version=m.version, buckets=scan_buckets,
+                                   stats_filter=pred))
+        if scan_files:
+            df = self._df_for_files(m, scan_files)
+            df = df.select(*[c["name"] for c in m.schema_version.fields])
+            if pred:
+                cond = F.lit(True)
+                for c, (lo, hi) in pred.items():
+                    if lo is not None:
+                        cond = cond & (F.col(c) >= F.lit(lo))
+                    if hi is not None:
+                        cond = cond & (F.col(c) <= F.lit(hi))
+                df = df.filter(cond)
+            parts.append(df)
+        scanned = None
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            exprs = [F.count(F.lit(1)).alias("count_*") if c == "*"
+                     else getattr(F, fn)(c).alias(f"{fn}_{c}")
+                     for fn, c in aggs]
+            scanned = df.agg(*exprs).first()
+
+        result: dict = {}
+        for fn, col in aggs:
+            k = f"{fn}_{col}"
+            sv_ = scanned[k] if scanned is not None else None
+            if fn == "count":
+                result[k.replace("*", "star")] = counts.get(k, 0) + (sv_ or 0)
+            else:
+                cands = (mins if fn == "min" else maxs)[col] + (
+                    [sv_] if sv_ is not None else [])
+                result[k] = (min(cands) if fn == "min" else max(cands)) \
+                    if cands else None
+        n_scan_bucket = sum(
+            1 for f in live
+            if f["bucket"] in scan_buckets.get(_file_nb(m, f), ()))
+        result["files"] = {
+            "live": len(live),
+            "metadata": n_meta,
+            "scanned": len(scan_files) + n_scan_bucket,
+            "pruned": n_pruned,
+        }
+        return result
+
     # ---------- write primitives ----------
 
     def _write_data_files(self, df: DataFrame, m: Manifest,
