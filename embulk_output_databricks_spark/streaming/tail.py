@@ -93,15 +93,28 @@ class TableFollower:
     bucket-pruned either way (diff reads only buckets whose manifest
     entries changed); re-delivery after a crash stays idempotent because
     keyed upserts AND keyed deletes are both idempotent on re-apply.
+
+    Frames are rate-limited like Delta's maxFilesPerTrigger: `max_versions`
+    caps how many commits one poll() spans (O(1), no metadata reads) and
+    `max_files` shrinks that window further until the files the frame would
+    read fit the cap — a consumer waking up behind a week of commits drains
+    the backlog in bounded, checkpointable frames instead of one giant read
+    (at 100 TB an unbounded catch-up frame is an OOM, not a batch). A single
+    commit larger than `max_files` still advances one version — the feed
+    can never stall.
     """
 
     def __init__(self, table, cursor_path: str, from_version: int | None = None,
-                 keys: list[str] | None = None):
+                 keys: list[str] | None = None,
+                 max_versions: int | None = None,
+                 max_files: int | None = None):
         import json
         import os
 
         self.table = table
         self.keys = keys
+        self.max_versions = max_versions
+        self.max_files = max_files
         self.cursor_path = cursor_path
         if not os.path.exists(cursor_path):
             start = (table.current_version() if from_version is None
@@ -127,10 +140,28 @@ class TableFollower:
             raise CursorExpired(
                 f"{self.table.name}: cursor v{cur} predates retained history "
                 f"(head v{head}); call resync()") from None
+        to = head
+        if self.max_versions is not None:
+            to = min(to, cur + self.max_versions)
+        if self.max_files is not None:
+            # shrink the window until the frame's read set fits the cap:
+            # count live entries committed after the cursor at each candidate
+            # version, keep the last one within budget. Always spans at least
+            # one version so an oversized single commit cannot stall the feed.
+            from embulk_output_databricks_spark.sources.laketable import _live_data
+
+            best = cur + 1
+            for v in range(cur + 1, to + 1):
+                n = sum(1 for f in _live_data(self.table.manifest(v).files)
+                        if (f.get("ls") or 0) > cur)
+                if v > cur + 1 and n > self.max_files:
+                    break
+                best = v
+            to = best
         if self.keys:
-            return (self.table.diff(cur, keys=self.keys, to_version=head),
-                    cur, head)
-        return self.table.changed_since(cur, version=head), cur, head
+            return (self.table.diff(cur, keys=self.keys, to_version=to),
+                    cur, to)
+        return self.table.changed_since(cur, version=to), cur, to
 
     def resync(self):
         """Full-state recovery for an expired cursor: (df, head_version)

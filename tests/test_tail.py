@@ -234,3 +234,55 @@ def test_table_follower_cursor_expiry(spark, warehouse, tmp_path):
     assert {r["doc_id"] for r in df.collect()} == {
         f"doc{i:08d}" for i in range(30, 35)}
     f.advance(to)
+
+
+def test_table_follower_rate_limited_catchup(spark, warehouse, tmp_path):
+    """max_versions / max_files bound each frame (maxFilesPerTrigger
+    analog): a consumer far behind drains the backlog in several bounded
+    polls whose union equals the unthrottled feed, and an oversized single
+    commit still advances one version (no stall)."""
+    from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA
+    from embulk_output_databricks_spark.streaming.tail import TableFollower
+    from tests.test_laketable import seq_rows
+
+    cat = LakeCatalog(spark, warehouse)
+    t = cat.create_table("ratelim", SEQUENCES_SCHEMA, n_buckets=2,
+                         bucket_key="doc_id")
+    v0 = t.current_version()
+    for j in range(6):  # 6 commits x 2 files each
+        t.append(seq_rows(spark, range(j * 10, j * 10 + 10)))
+    head = t.current_version()
+
+    # max_versions: frames span <= 2 commits; drain = 3 polls
+    f = TableFollower(t, str(tmp_path / "mv.json"), from_version=v0,
+                      max_versions=2)
+    seen, frames = set(), 0
+    while (got := f.poll()) is not None:
+        df, lo, hi = got
+        assert hi - lo <= 2
+        seen.update(r["doc_id"] for r in df.collect())
+        f.advance(hi)
+        frames += 1
+    assert frames == 3 and f.position == head
+    assert seen == {f"doc{i:08d}" for i in range(60)}
+
+    # max_files: each frame's committed-file count fits the cap
+    f = TableFollower(t, str(tmp_path / "mf.json"), from_version=v0,
+                      max_files=4)
+    seen, frames = set(), 0
+    while (got := f.poll()) is not None:
+        df, lo, hi = got
+        assert hi - lo <= 2  # 2 files/commit -> at most 2 commits/frame
+        seen.update(r["doc_id"] for r in df.collect())
+        f.advance(hi)
+        frames += 1
+    assert frames >= 3 and f.position == head
+    assert seen == {f"doc{i:08d}" for i in range(60)}
+
+    # oversized single commit (> max_files files) still progresses
+    f = TableFollower(t, str(tmp_path / "big.json"), max_files=1)
+    t.append(seq_rows(spark, range(100, 110)))  # 2 files in one commit
+    df, lo, hi = f.poll()
+    assert hi == lo + 1 and df.count() == 10
+    f.advance(hi)
+    assert f.poll() is None
