@@ -3517,7 +3517,8 @@ class LakeTable:
                  expire_keep_last: int | None = None,
                  expire_older_than_us: int | None = None,
                  cluster_by: list[str] | None = None,
-                 rows_per_file: int | None = None) -> dict:
+                 rows_per_file: int | None = None,
+                 target_file_bytes: int | None = None) -> dict:
         """One-call policy-driven maintenance pass (the OPTIMIZE /
         table-maintenance job a 100 TB CDC sink schedules between batches;
         Iceberg ships the same set as separate procedures). Reads the
@@ -3529,7 +3530,8 @@ class LakeTable:
              the backlog, and fold-first means the bin-pack below sees the
              resolved rows instead of resolving them again);
           2. compact — buckets holding more than `max_files_per_bucket`
-             files bin-pack (optionally clustered by `cluster_by`);
+             files bin-pack (optionally clustered by `cluster_by`;
+             `target_file_bytes` switches victim selection to file sizes);
           3. compact_posdels — when more than `max_posdel_files` sidecars
              remain outstanding (a compact may already have folded them);
           4. expire_snapshots + remove_orphan_files — when
@@ -3546,7 +3548,8 @@ class LakeTable:
             if m is not None:
                 report["compact_deltas"] = {"version": m.version}
         m = self.compact(min_files_per_bucket=max_files_per_bucket + 1,
-                         cluster_by=cluster_by, rows_per_file=rows_per_file)
+                         cluster_by=cluster_by, rows_per_file=rows_per_file,
+                         target_file_bytes=target_file_bytes)
         if m is not None:
             report["compact"] = {"version": m.version}
         if self.posdel_file_count() > max_posdel_files:
@@ -3708,7 +3711,8 @@ class LakeTable:
                 properties: dict | None = None,
                 cluster_by: list[str] | None = None,
                 rows_per_file: int | None = None,
-                cluster_mode: str = "sort") -> Manifest | None:
+                cluster_mode: str = "sort",
+                target_file_bytes: int | None = None) -> Manifest | None:
         """Bin-pack small files: rewrite every bucket holding >=
         min_files_per_bucket files into a single file set (Iceberg
         rewrite_data_files analog). The small-file problem is the classic
@@ -3729,22 +3733,52 @@ class LakeTable:
         prunes on EVERY clustered dimension, not just the leading one
         (OPTIMIZE ... ZORDER BY analog; functions/zorder.py). Column
         bounds for quantization come from one cheap agg over the rows
-        being rewritten."""
+        being rewritten.
+
+        `target_file_bytes` switches victim selection from file COUNTS to
+        file SIZES (Iceberg rewrite_data_files target-size / Delta
+        OPTIMIZE analog; defaultable via the `target_file_bytes` table
+        property): a bucket qualifies when it holds >= 2 undersized files
+        (< 3/4 target — packing them wins) or any oversized file
+        (> 9/5 target — splitting it wins); a bucket already at target is
+        left byte-identical. Unless `rows_per_file` is given it is derived
+        from the victims' observed bytes/row, so rewritten files land near
+        the target regardless of payload shape. At 100 TB the file-count
+        heuristic misfires both ways — 8 near-target files are fine, two
+        500 MB halves are not — bytes are what the scan pays for."""
         base = self.manifest()
-        counts: dict = {}
+        by_pair: dict = {}
         for f in _live_data(base.files):
-            pair = (_file_nb(base, f), f["bucket"])
-            counts[pair] = counts.get(pair, 0) + 1
-        victims = {p for p, n in counts.items() if n >= min_files_per_bucket}
+            by_pair.setdefault((_file_nb(base, f), f["bucket"]), []).append(f)
+        if target_file_bytes is None:
+            target_file_bytes = int(
+                base.properties.get("target_file_bytes") or 0) or None
+        if target_file_bytes is not None:
+            small_cut = target_file_bytes * 3 // 4
+            big_cut = target_file_bytes * 9 // 5
+            victims = {
+                p for p, fs in by_pair.items()
+                if sum(1 for f in fs if f.get("bytes") is None
+                       or f["bytes"] < small_cut) >= 2
+                or any((f.get("bytes") or 0) > big_cut for f in fs)}
+        else:
+            victims = {p for p, fs in by_pair.items()
+                       if len(fs) >= min_files_per_bucket}
         # files still on an OLD bucket spec (pre-rebucket) are always
         # victims: compaction rewrites them under the current spec, so the
         # table converges back to a single spec and full pruning/MOR fast
         # paths — lazy migration, never a stop-the-world table rewrite
-        victims |= {p for p in counts if p[0] != base.n_buckets}
+        victims |= {p for p in by_pair if p[0] != base.n_buckets}
         if cluster_by:
-            victims = set(counts)  # clustering rewrites every populated bucket
+            victims = set(by_pair)  # clustering rewrites every populated bucket
         if not victims:
             return None
+        if target_file_bytes is not None and rows_per_file is None:
+            vf = [f for p in victims for f in by_pair.get(p, ())
+                  if f.get("bytes") and f.get("rows")]
+            if vf:
+                bpr = sum(f["bytes"] for f in vf) / sum(f["rows"] for f in vf)
+                rows_per_file = max(1, int(target_file_bytes / bpr))
         vmap: dict[int, set] = {_file_nb(base, f): set() for f in _live_data(base.files)}
         for nb, b in victims:
             vmap[nb].add(b)
