@@ -4733,6 +4733,63 @@ LEFT JOIN topb USING (doc_id)
 """
 
 
+def q_cdc_scd2(spark, sf_dir):
+    """SCD2 type-2 history (streaming/scd2.py): the events binlog replayed
+    in three time-ordered batches; every non-delete event is a version row
+    whose valid_to is the key's next event (chained ACROSS batches by the
+    open-row point lookup), `event_type='error'` acting as the delete op.
+    The final history equals a one-pass LEAD window over all events — the
+    history the reference's UPDATE-in-place merge destroys
+    (DatabricksOutputConnection.java:180-232)."""
+    from pyspark.sql import Window
+
+    from .streaming.scd2 import ensure_scd2, scd2_apply
+
+    ev = _events(spark, sf_dir).withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D"))
+               .otherwise(F.lit("U")))
+    # deterministic 3-way time split — harness-side batching only (the
+    # single-partition window never appears in an engine plan)
+    w = Window.orderBy("ts_us", "event_id")
+    ev3 = ev.withColumn("__b", F.ntile(3).over(w)).persist()
+    sch = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+        T.StructField("op", T.StringType()),
+    ])
+    cat = _fresh_catalog(spark, "scd2")
+    tbl = ensure_scd2(cat, "t", sch, keys=["user_id"], ts_col="ts_us",
+                      n_buckets=8)
+    try:
+        for i in (1, 2, 3):
+            scd2_apply(tbl, ev3.filter(F.col("__b") == i).drop("__b"),
+                       keys=["user_id"], ts_col="ts_us", tie_col="event_id")
+    finally:
+        ev3.unpersist()
+    return tbl.read().select(
+        "user_id", "event_id", "event_type", "value", "props",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current")
+
+
+_SQL_SCD2 = """
+SELECT user_id, event_id, event_type, value, props,
+       ts_us AS valid_from_us, valid_to_us,
+       (valid_to_us IS NULL) AS is_current
+FROM (
+  SELECT user_id, event_id, event_type, value, props, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS valid_to_us
+  FROM events
+) WHERE event_type <> 'error'
+"""
+
+
 # ================================================================ registry
 
 SPARK_QUERIES = {
@@ -4882,6 +4939,7 @@ SPARK_QUERIES = {
     "cdc_changelog": q_cdc_changelog,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
     "cdc_stream_tail": q_cdc_stream_tail,
+    "cdc_scd2": q_cdc_scd2,
 }
 
 
@@ -4904,6 +4962,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_lww_maxstruct": lww,
         "cdc_lww_salted": lww,
         "cdc_lww_window": lww,
+        "cdc_scd2": _SQL_SCD2,
         "cdc_merge_upsert": _sql_merge(_UPSERT_COLS),
         "cdc_table_follow": _sql_merge(_UPSERT_COLS),
         "cdc_merge_composite": _SQL_MERGE_COMPOSITE,

@@ -2855,21 +2855,45 @@ class LakeTable:
     def snapshots(self) -> DataFrame:
         """One row per RETAINED snapshot (expire_snapshots bounds this):
         version, parent, operation, batch fence id, file/row counts, bucket
-        spec — composable with Spark SQL for lineage/audit queries."""
-        rows = []
+        spec, plus per-commit added/removed file+row deltas (Iceberg
+        snapshot-summary analog: added-data-files / deleted-data-files).
+        Deltas diff the manifest's live file set against its parent's; a
+        commit whose parent is expired reports NULL deltas (unknowable
+        without the parent), and the root commit counts everything as
+        added — composable with Spark SQL for lineage/audit queries."""
+        manifests = {}
         for fn in sorted(os.listdir(self._meta())):
             if fn.startswith("v") and fn.endswith(".json"):
                 m = self.manifest(int(fn[1:-5]))
-                p = m.properties
-                rows.append((m.version, m.parent, p.get("operation"),
-                             p.get("batch_id"), p.get("committed_at_us"),
-                             json.dumps(p, sort_keys=True, default=str),
-                             len(m.files), sum(f["rows"] for f in m.files),
-                             m.n_buckets, m.current_sv))
+                manifests[m.version] = m
+        rows = []
+        for v in sorted(manifests):
+            m = manifests[v]
+            p = m.properties
+            live = {f["path"]: f["rows"] for f in m.files}
+            if m.parent is None:
+                af, ar, rf, rr = len(live), sum(live.values()), 0, 0
+            elif m.parent in manifests:
+                prev = {f["path"]: f["rows"]
+                        for f in manifests[m.parent].files}
+                added = [r for pth, r in live.items() if pth not in prev]
+                removed = [r for pth, r in prev.items() if pth not in live]
+                af, ar = len(added), sum(added)
+                rf, rr = len(removed), sum(removed)
+            else:
+                af = ar = rf = rr = None
+            rows.append((m.version, m.parent, p.get("operation"),
+                         p.get("batch_id"), p.get("committed_at_us"),
+                         json.dumps(p, sort_keys=True, default=str),
+                         len(m.files), sum(live.values()),
+                         af, ar, rf, rr,
+                         m.n_buckets, m.current_sv))
         schema = ("version long, parent long, operation string, "
                   "batch_id long, committed_at_us long, properties string, "
-                  "n_files long, n_rows long, n_buckets int, "
-                  "schema_version int")
+                  "n_files long, n_rows long, "
+                  "added_files long, added_rows long, "
+                  "removed_files long, removed_rows long, "
+                  "n_buckets int, schema_version int")
         return self.spark.createDataFrame(rows, schema)
 
     def files(self, version: int | None = None) -> DataFrame:

@@ -235,6 +235,12 @@ def test_metadata_tables_snapshots_and_files(spark, warehouse):
         ["append", "merge", "rebucket"]
     assert snaps[2]["parent"] == 1
     assert (snaps[2]["n_buckets"], snaps[3]["n_buckets"]) == (2, 8)
+    # snapshot-summary deltas (Iceberg added/deleted-data-files analog):
+    # root append adds everything, COW merge both adds and removes files,
+    # metadata-only rebucket moves no data.
+    assert (snaps[1]["added_rows"], snaps[1]["removed_files"]) == (10, 0)
+    assert snaps[2]["added_files"] > 0 and snaps[2]["removed_files"] > 0
+    assert (snaps[3]["added_files"], snaps[3]["removed_files"]) == (0, 0)
     fr = t.files().collect()
     assert all(r["kind"] == "base" and r["n_buckets"] == 2 for r in fr)
     assert sum(r["rows"] for r in fr) == 10

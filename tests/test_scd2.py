@@ -1,0 +1,161 @@
+"""SCD2 (type-2) history maintenance: full per-key version history from a
+CDC stream — the history the reference's UPDATE-in-place merge destroys
+(DatabricksOutputConnection.java:180-232).
+
+Oracle: pandas/SQL-style recompute — for each key, events ordered by
+(ts, tie); every non-delete event is a version row with valid_to = the
+next event's ts (any op), open when none follows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+from embulk_output_databricks_spark.streaming.scd2 import (
+    IS_CURRENT, VALID_FROM, VALID_TO, ensure_scd2, scd2_apply, scd2_as_of,
+    scd2_current)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("tie", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("op", T.StringType()),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, ts, tie, v, op) for (k, ts, tie, v, op) in rows], SCHEMA)
+
+
+def _oracle(all_rows):
+    """Reference recompute: per key, sort by (ts, tie); non-delete events
+    become (k, ts, tie, v, valid_from, valid_to, is_current)."""
+    out = []
+    keys = {r[0] for r in all_rows}
+    for k in sorted(keys):
+        evs = sorted([r for r in all_rows if r[0] == k],
+                     key=lambda r: (r[1], r[2]))
+        for i, (kk, ts, tie, v, op) in enumerate(evs):
+            if op == "D":
+                continue
+            nxt = evs[i + 1][1] if i + 1 < len(evs) else None
+            out.append((kk, ts, tie, v, ts, nxt, nxt is None))
+    return sorted(out)
+
+
+def _state(tbl):
+    return sorted(tuple(r) for r in tbl.read().select(
+        "k", "ts", "tie", "v", VALID_FROM, VALID_TO, IS_CURRENT).collect())
+
+
+def _mk(spark, warehouse, name="hist"):
+    cat = LakeCatalog(spark, warehouse)
+    return ensure_scd2(cat, name, SCHEMA, keys=["k"], ts_col="ts",
+                       n_buckets=2)
+
+
+def test_scd2_multi_batch_chaining(spark, warehouse):
+    """Three ordered batches: versions chain across batch boundaries — the
+    open row closes at the NEXT batch's first event for its key; final
+    history equals the single-pass oracle over all events."""
+    t = _mk(spark, warehouse)
+    b1 = [(1, 10, 100, "a", "U"), (2, 10, 101, "x", "U"),
+          (1, 20, 102, "b", "U")]
+    b2 = [(1, 30, 200, "c", "U"), (3, 30, 201, "n", "U")]
+    b3 = [(2, 40, 300, "y", "U")]
+    for b in (b1, b2, b3):
+        scd2_apply(t, _df(spark, b), keys=["k"], ts_col="ts", tie_col="tie")
+    assert _state(t) == _oracle(b1 + b2 + b3)
+    cur = {(r["k"], r["v"]) for r in scd2_current(t).collect()}
+    assert cur == {(1, "c"), (2, "y"), (3, "n")}
+
+
+def test_scd2_delete_closes_and_reopen(spark, warehouse):
+    """A delete closes the open row without materializing one; a later
+    upsert re-opens with a gap — delete-then-recreate renders as two
+    disjoint version intervals."""
+    t = _mk(spark, warehouse)
+    b1 = [(1, 10, 100, "a", "U")]
+    b2 = [(1, 20, 200, None, "D")]
+    b3 = [(1, 40, 300, "b", "U")]
+    for b in (b1, b2, b3):
+        scd2_apply(t, _df(spark, b), keys=["k"], ts_col="ts", tie_col="tie")
+    assert _state(t) == _oracle(b1 + b2 + b3)
+    # the gap: nothing true at ts=30, old version true at ts=15
+    assert scd2_as_of(t, 30).count() == 0
+    assert [r["v"] for r in scd2_as_of(t, 15).collect()] == ["a"]
+    assert [r["v"] for r in scd2_as_of(t, 40).collect()] == ["b"]
+    # delete-only key is absent from current state
+    b4 = [(1, 50, 400, None, "D")]
+    scd2_apply(t, _df(spark, b4), keys=["k"], ts_col="ts", tie_col="tie")
+    assert scd2_current(t).count() == 0
+    assert _state(t) == _oracle(b1 + b2 + b3 + b4)
+
+
+def test_scd2_intra_batch_and_ties(spark, warehouse):
+    """Several events for one key inside ONE batch chain correctly, and
+    equal-ts events order by the tie column (zero-width interval for the
+    loser, deterministic winner)."""
+    t = _mk(spark, warehouse)
+    b1 = [(1, 10, 100, "a", "U"), (1, 10, 101, "b", "U"),
+          (1, 20, 102, "c", "U"), (2, 10, 103, "x", "U"),
+          (2, 15, 104, None, "D")]
+    scd2_apply(t, _df(spark, b1), keys=["k"], ts_col="ts", tie_col="tie")
+    assert _state(t) == _oracle(b1)
+    # zero-width version: valid_from == valid_to for the tie loser
+    zw = [r for r in t.read().collect() if r["tie"] == 100][0]
+    assert zw[VALID_FROM] == zw[VALID_TO] == 10
+
+
+def test_scd2_redelivery_idempotent(spark, warehouse):
+    """At-least-once safety: re-applying the SAME batch (and an overlapping
+    suffix batch) leaves the history bit-identical — re-sent events rewrite
+    their own rows by (key, tie), and the open row is never closed by an
+    event at-or-before itself."""
+    t = _mk(spark, warehouse)
+    b1 = [(1, 10, 100, "a", "U"), (1, 20, 101, "b", "U")]
+    b2 = [(1, 20, 101, "b", "U"), (1, 30, 102, "c", "U")]  # overlaps b1
+    scd2_apply(t, _df(spark, b1), keys=["k"], ts_col="ts", tie_col="tie")
+    scd2_apply(t, _df(spark, b1), keys=["k"], ts_col="ts", tie_col="tie")
+    after_dup = _state(t)
+    assert after_dup == _oracle(b1)
+    scd2_apply(t, _df(spark, b2), keys=["k"], ts_col="ts", tie_col="tie")
+    scd2_apply(t, _df(spark, b2), keys=["k"], ts_col="ts", tie_col="tie")
+    assert _state(t) == _oracle(b1 + [(1, 30, 102, "c", "U")])
+
+
+def test_scd2_composite_key_semijoin_path(spark, warehouse):
+    """Composite keys exercise the semi-join open-row lookup (the eq_filter
+    IN-list fast path is single-key only)."""
+    cat = LakeCatalog(spark, warehouse)
+    schema = T.StructType([
+        T.StructField("k1", T.LongType()),
+        T.StructField("k2", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("tie", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = ensure_scd2(cat, "h2", schema, keys=["k1", "k2"], ts_col="ts",
+                    n_buckets=2)
+    b1 = spark.createDataFrame([(1, "a", 10, 1, "p"), (1, "b", 10, 2, "q")],
+                               schema)
+    b2 = spark.createDataFrame([(1, "a", 20, 3, "r")], schema)
+    scd2_apply(t, b1, keys=["k1", "k2"], ts_col="ts", tie_col="tie")
+    scd2_apply(t, b2, keys=["k1", "k2"], ts_col="ts", tie_col="tie")
+    rows = {(r["k1"], r["k2"], r["tie"]): (r[VALID_TO], r[IS_CURRENT])
+            for r in t.read().collect()}
+    assert rows == {(1, "a", 1): (20, False), (1, "b", 2): (None, True),
+                    (1, "a", 3): (None, True)}
+
+
+def test_scd2_schema_validation(spark, warehouse):
+    from embulk_output_databricks_spark.streaming.scd2 import scd2_schema
+    with pytest.raises(ValueError, match="ts column"):
+        scd2_schema(SCHEMA, "nope")
+    s = scd2_schema(SCHEMA, "ts")
+    assert [f.name for f in s.fields][-3:] == [VALID_FROM, VALID_TO,
+                                               IS_CURRENT]
+    assert "op" not in [f.name for f in s.fields]  # envelope consumed
