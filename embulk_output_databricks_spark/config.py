@@ -130,6 +130,18 @@ class JobConfig:
                                   # batch — exactly-once via the rollup's
                                   # own consumed-version watermark, so a
                                   # crash between apply and sync self-heals
+    history: dict | None = None   # maintained SCD2 type-2 history table
+                                  # (streaming/scd2.py): {"name": str,
+                                  #  "ts_col": "seq_lsn", "tie_col":
+                                  #  "event_id"} keeps <table>__<name> as a
+                                  # full per-key version history — every
+                                  # change event a version row, closed by
+                                  # the key's next event; deletes close
+                                  # without opening. Rides the batch path
+                                  # BEFORE the fence checkpoint: a crash
+                                  # anywhere reruns the batch and the
+                                  # history re-apply is idempotent by
+                                  # (merge_keys, tie) identity.
     support_deletes: bool = True  # op='D' extension (FIXTURES.md S12)
     merge_guard_col: str | None = None
                                   # cross-batch stale-writer guard: a matched
@@ -215,6 +227,12 @@ class JobConfig:
             if self.mode is not ApplyMode.MERGE:
                 raise ConfigError("rollups require mode='merge' "
                                   "(maintenance consumes the keyed diff)")
+        if self.history is not None:
+            if not self.history.get("name"):
+                raise ConfigError("history requires a name")
+            if self.mode is not ApplyMode.MERGE:
+                raise ConfigError("history requires mode='merge' "
+                                  "(versions are keyed by merge_keys)")
 
     def render_timestamp(self, col):
         """Render a (UTC-stored) timestamp Column as text under this

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import ApplyMode, JobConfig
 from ..operators.lww import lww_dedup
 from ..plans.apply import apply_batch, ensure_table
-from ..schema import PAYLOAD_COLUMNS, SEQUENCES_SCHEMA
+from ..schema import BINLOG_SCHEMA, PAYLOAD_COLUMNS, SEQUENCES_SCHEMA
 from ..sources.laketable import LakeCatalog, LakeTable
 from .checkpoint import CheckpointStore
 
@@ -91,6 +91,31 @@ class ReplayDriver:
                 agg = ensure_rollup(catalog, self.table, name,
                                     r["group_by"], r.get("sums", []))
                 self.rollups.append((agg, r["group_by"], r.get("sums", [])))
+        # maintained SCD2 history (cfg.history): full per-key version
+        # history of the stream, applied per batch BEFORE the fence
+        # checkpoint — crash-rerun safe because scd2_apply is idempotent
+        # by (merge_keys, tie) identity (streaming/scd2.py)
+        self.history: tuple | None = None
+        if cfg.history:
+            from pyspark.sql import types as T
+
+            from .scd2 import ensure_scd2
+
+            ts_col = cfg.history.get("ts_col", "seq_lsn")
+            tie_col = cfg.history.get("tie_col", "event_id")
+            sch = self.table.manifest().schema()
+            fields = list(sch.fields)
+            have = {f.name for f in fields}
+            envelope = {f.name: f.dataType for f in BINLOG_SCHEMA.fields}
+            for c in (ts_col, tie_col):
+                if c not in have:
+                    fields.append(T.StructField(
+                        c, envelope.get(c, T.LongType())))
+            hist = ensure_scd2(
+                catalog, f"{cfg.table}__{cfg.history['name']}",
+                T.StructType(fields), keys=cfg.merge_keys, ts_col=ts_col,
+                n_buckets=self.table.manifest().n_buckets)
+            self.history = (hist, ts_col, tie_col)
 
     def _payload_cols(self) -> list[str]:
         return [f["name"] for f in self.table.manifest().schema_version.fields]
@@ -184,8 +209,13 @@ class ReplayDriver:
             # fence hit: replayed batch is a no-op (S11). Rollups still
             # catch up — a crash after the apply but before the rollup sync
             # lands here on rerun, and the watermark makes this a no-op
-            # whenever they are already current.
+            # whenever they are already current. The SCD2 history catches
+            # up the same way: a crash between the reconciled apply commit
+            # and the history merge lands here with a stale consumed-batch
+            # watermark, and _history_apply folds exactly this batch in.
             self.sync_rollups()
+            if self.history:
+                self._history_apply(events, batch_id)
             return None
 
         for op in evolution or []:
@@ -379,6 +409,10 @@ class ReplayDriver:
             t_r = _time.monotonic()
             self.sync_rollups()
             metrics["rollup_s"] = round(_time.monotonic() - t_r, 6)
+        if self.history:
+            t_h = _time.monotonic()
+            if self._history_apply(events, batch_id):
+                metrics["history_s"] = round(_time.monotonic() - t_h, 6)
         if fenced:
             rec = self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage,
                                    metrics=metrics)
@@ -393,6 +427,38 @@ class ReplayDriver:
             return rec
         return {"batch_id": batch_id, "snapshot_version": m.version,
                 "lineage": lineage, "metrics": metrics}
+
+    def _history_apply(self, events: DataFrame, batch_id: int) -> bool:
+        """Fold this batch into the maintained SCD2 history iff the history
+        hasn't consumed it yet. Exactly-once via a per-source consumed-batch
+        watermark riding the history table's OWN merge commit (the aggmaint
+        contract): re-running the NEWEST batch is idempotent by
+        (merge_keys, tie) identity, while a stale redelivered OLD batch is
+        fenced out by the watermark — it MUST not re-apply, because its
+        intra-batch lead() would mark its last version per key open again
+        and clobber closes written by later batches."""
+        hist, ts_col, tie_col = self.history
+        prop = (f"scd2_consumed_batch.{self.source_id}" if self.source_id
+                else "scd2_consumed_batch")
+        wm = hist.manifest().properties.get(prop)
+        if wm is not None and int(wm) >= batch_id:
+            return False
+        from .scd2 import scd2_apply
+
+        name_map = self._event_names()
+        cols = []
+        for cur, candidates in name_map.items():
+            src = next((n for n in candidates if n in events.columns), None)
+            cols.append(F.col(src).alias(cur) if src else F.lit(None).alias(cur))
+        if "op" in events.columns:
+            cols.append(F.col("op"))
+        for c in (ts_col, tie_col):
+            if c not in name_map and c in events.columns:
+                cols.append(F.col(c))
+        scd2_apply(hist, events.select(*cols), keys=self.cfg.merge_keys,
+                   ts_col=ts_col, tie_col=tie_col,
+                   properties={prop: str(batch_id)})
+        return True
 
     def sync_rollups(self) -> None:
         """Advance every maintained rollup to the base table's current

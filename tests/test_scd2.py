@@ -151,6 +151,95 @@ def test_scd2_composite_key_semijoin_path(spark, warehouse):
                     (1, "a", 3): (None, True)}
 
 
+# ---------------- driver integration (cfg.history) ----------------
+
+from embulk_output_databricks_spark.config import ConfigError, JobConfig  # noqa: E402
+from embulk_output_databricks_spark.streaming.replay import (  # noqa: E402
+    InjectedCrash,
+    ReplayDriver,
+)
+from embulk_output_databricks_spark.synth import synth_binlog  # noqa: E402
+
+HISTORY_CFG = {"name": "versions"}
+PAYLOAD = ["doc_id", "n_tok", "source"]
+
+
+def _hist_oracle(binlog_rows):
+    """Per key: events ordered by (seq_lsn, event_id); every non-delete is a
+    version closed by the key's next event (any op)."""
+    out = []
+    by_key: dict = {}
+    for r in binlog_rows:
+        by_key.setdefault(r["doc_id"], []).append(r)
+    for k, evs in by_key.items():
+        evs.sort(key=lambda r: (r["seq_lsn"], r["event_id"]))
+        for i, e in enumerate(evs):
+            if e["op"] == "D":
+                continue
+            nxt = evs[i + 1]["seq_lsn"] if i + 1 < len(evs) else None
+            out.append((k, e["n_tok"], e["source"], e["seq_lsn"], nxt,
+                        nxt is None))
+    return sorted(out)
+
+
+def test_driver_maintained_history_tracks_replay(spark, warehouse):
+    binlog = synth_binlog(spark, 600, 60, 200, delete_frac=0.1).cache()
+    cfg = JobConfig(mode="merge", n_buckets=4, history=HISTORY_CFG)
+    drv = ReplayDriver(LakeCatalog(spark, f"{warehouse}/hi"), cfg)
+    drv.replay(binlog)
+    hist = drv.history[0]
+    assert hist.name == "sequences__versions"
+    got = sorted(
+        (r["doc_id"], r["n_tok"], r["source"], r[VALID_FROM], r[VALID_TO],
+         r[IS_CURRENT])
+        for r in hist.read().collect())
+    assert got == _hist_oracle(binlog.collect())
+    # the history's current slice IS the main table's state
+    cur = sorted(tuple(r) for r in
+                 scd2_current(hist).select(*PAYLOAD).collect())
+    base = sorted(tuple(r) for r in drv.table.read().select(*PAYLOAD).collect())
+    assert cur == base
+    binlog.unpersist()
+    with pytest.raises(ConfigError):
+        JobConfig(mode="insert", history=HISTORY_CFG)
+    with pytest.raises(ConfigError):
+        JobConfig(mode="merge", history={})
+
+
+def test_history_heals_on_fence_hit_and_fences_stale_batches(spark, warehouse):
+    """Crash between the reconciled apply commit and the history merge →
+    the rerun lands on the fence-hit path and the history catches up there.
+    A stale OLD batch redelivered later is fenced out by the consumed-batch
+    watermark (re-applying it would reopen closed versions)."""
+    b1 = synth_binlog(spark, 300, 40, 300, delete_frac=0.1).cache()
+    b2 = synth_binlog(spark, 300, 40, 300, delete_frac=0.1, start=300).cache()
+    cfg = JobConfig(mode="merge", n_buckets=4, history=HISTORY_CFG)
+    cat = LakeCatalog(spark, f"{warehouse}/hc")
+    drv = ReplayDriver(cat, cfg)
+    drv.run_batch(b1, 0)
+    with pytest.raises(InjectedCrash):
+        drv.run_batch(b2, 1, crash_before_checkpoint=True)
+    # crash landed after the apply snapshot but before the history merge
+    hist = drv.history[0]
+    assert hist.manifest().properties["scd2_consumed_batch"] == "0"
+    # restart: fence reconciles batch 1 as committed; history heals here
+    drv2 = ReplayDriver(cat, cfg)
+    assert drv2.run_batch(b2, 1) is None
+    hist2 = drv2.history[0]
+    assert hist2.manifest().properties["scd2_consumed_batch"] == "1"
+    oracle = _hist_oracle(b1.collect() + b2.collect())
+    got = sorted(
+        (r["doc_id"], r["n_tok"], r["source"], r[VALID_FROM], r[VALID_TO],
+         r[IS_CURRENT])
+        for r in hist2.read().collect())
+    assert got == oracle
+    # stale redelivery of batch 0: fence no-op, history untouched
+    v_before = hist2.current_version()
+    assert drv2.run_batch(b1, 0) is None
+    assert hist2.current_version() == v_before
+    b1.unpersist(); b2.unpersist()
+
+
 def test_scd2_schema_validation(spark, warehouse):
     from embulk_output_databricks_spark.streaming.scd2 import scd2_schema
     with pytest.raises(ValueError, match="ts column"):
