@@ -3740,6 +3740,68 @@ FROM f GROUP BY 1
 """
 
 
+TOKHIST_BASE = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def q_cdc_token_histogram(spark, sf_dir):
+    """Incrementally-maintained token-frequency histogram
+    (streaming/tokmaint.py): the vocabulary stats table is seeded ONCE from
+    the initial corpus state, then a CDC batch edits/deletes documents and
+    the histogram advances purely from the snapshot diff — retract the old
+    array's counts, add the new array's, net per token, O(batch tokens)
+    instead of the full explode+GROUP BY rescan (tok_histogram's shape).
+    The batch exercises every maintenance path: deletes drain token counts
+    (zero deletes the group), edits shift counts between tokens, and the
+    +1000000 remap mints token ids outside the seeded vocabulary (brand-new
+    groups through the MERGE). The oracle recomputes the histogram over the
+    final merged corpus, so any drift fails the gate."""
+    from .streaming.tokmaint import ensure_token_histogram, sync_token_histogram
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        P.f_word_ids(F.col("text")).alias("tokens"),
+        (F.length("text") % 3).alias("m3"),
+    )
+    cat = _fresh_catalog(spark, "tok_hist")
+    base = cat.create_table("t", TOKHIST_BASE, n_buckets=8, bucket_key="doc_id")
+    base.append(d.select("doc_id", "tokens"))
+    hist = ensure_token_histogram(cat, base, "hist")
+    staged = d.filter(F.col("m3") != 2).select(
+        "doc_id",
+        F.when(
+            F.col("m3") == 1,
+            F.transform(F.slice("tokens", 1, 16), lambda x: x + F.lit(1000000)),
+        ).otherwise(F.col("tokens")).alias("tokens"),
+        F.when(F.col("m3") == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    merge_apply(base, staged, keys=["doc_id"], support_deletes=True)
+    sync_token_histogram(base, hist, keys=["doc_id"])
+    return hist.read().select("token", "n_rows")
+
+
+def _sql_token_histogram() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {P.sql_word_ids('text')} AS tokens,
+             length(text) % 3 AS m3
+      FROM documents
+    ), final AS (
+      SELECT CASE WHEN m3 = 1
+                  THEN list_transform(tokens[1:16], x -> x + 1000000)
+                  ELSE tokens END AS tokens
+      FROM toks WHERE m3 <> 0
+    )
+    SELECT token, count(*) AS n_rows
+    FROM (SELECT unnest(tokens) AS token FROM final)
+    GROUP BY token
+    """
+
+
 def q_cdc_stream_tail(spark, sf_dir):
     """End-to-end Structured Streaming CDC: the events table rendered as a
     binlog directory, tailed with readStream -> every micro-batch through
@@ -4938,6 +5000,7 @@ SPARK_QUERIES = {
     "media_frames": q_media_frames,
     "cdc_changelog": q_cdc_changelog,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
+    "cdc_token_histogram": q_cdc_token_histogram,
     "cdc_stream_tail": q_cdc_stream_tail,
     "cdc_scd2": q_cdc_scd2,
 }
@@ -5359,6 +5422,7 @@ def _oracle_sql() -> dict[str, str]:
         "media_frames": _sql_media_frames(),
         "cdc_changelog": _SQL_CHANGELOG,
         "cdc_agg_maintenance": _SQL_AGG_MAINT,
+        "cdc_token_histogram": _sql_token_histogram(),
         "cdc_stream_tail": _SQL_STREAM_TAIL,
     }
 

@@ -1,0 +1,130 @@
+"""Incrementally-maintained token-frequency histogram (vocabulary stats).
+
+A tokenizer/vocab audit over a training corpus is `explode(tokens) ->
+GROUP BY token` (queries.py q_tok_histogram) — a full-corpus pass. On a
+CDC-maintained corpus that recompute is O(corpus) per batch, the exact
+anti-pattern the change feed exists to avoid (the reference can only
+reload everything, README.md:58-61, and has no aggregation story at all).
+The diff-driven plan is O(batch tokens):
+
+    base.diff(v, include_old=True)     # I/U/D rows + __old_tokens
+      -> token_deltas(...)             # retract old array's counts,
+                                       #   add new array's, net per token
+      -> apply_agg_deltas(hist, ...)   # keyed MERGE, delete-on-zero
+                                       #   (streaming/aggmaint.py)
+
+This is the aggmaint contract applied to an EXPLODED measure: the group
+key is the array ELEMENT, so one changed row retracts/adds n_tok group
+contributions. Net-zero tokens (a doc edit that keeps most of its array)
+are filtered out before the MERGE — steady-state write IO is proportional
+to tokens that actually changed count, not tokens touched.
+
+Exactly-once: the consumed-version watermark (WATERMARK_PROP) rides the
+histogram's own MERGE commit, exactly as rollups (aggmaint) and the
+near-dup index (neardup) do — a crash between base apply and sync
+re-derives precisely the missed interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.laketable import LakeTable
+from .aggmaint import N_COL, WATERMARK_PROP, apply_agg_deltas
+
+TOKEN_COL = "token"
+
+
+def _element_type(base_schema: T.StructType, token_col: str) -> T.DataType:
+    by_name = {f.name: f for f in base_schema.fields}
+    if token_col not in by_name:
+        raise ValueError(f"token column {token_col!r} not in base schema")
+    dt = by_name[token_col].dataType
+    if not isinstance(dt, T.ArrayType):
+        raise ValueError(f"token column {token_col!r} is not an array "
+                         f"(got {dt.simpleString()})")
+    return dt.elementType
+
+
+def token_histogram_schema(base_schema: T.StructType,
+                           token_col: str = "tokens") -> T.StructType:
+    """StructType of the histogram: `token` typed as the array's element
+    type, `n_rows` = maintained occurrence count (the aggmaint liveness
+    tracker — zero deletes the group)."""
+    return T.StructType([
+        T.StructField(TOKEN_COL, _element_type(base_schema, token_col)),
+        T.StructField(N_COL, T.LongType()),
+    ])
+
+
+def token_deltas(diff_df: DataFrame, token_col: str = "tokens") -> DataFrame:
+    """Per-token net count deltas from a keyed diff
+    (LakeTable.diff(..., include_old=True)). NULL arrays contribute
+    nothing on either side (explode drops them — matching what a
+    recompute's explode sees). Tokens whose retracts and adds cancel are
+    filtered out: an edit that keeps most of the array costs writes only
+    for the tokens whose count actually moved."""
+    old_col = (f"__old_{token_col}"
+               if f"__old_{token_col}" in diff_df.columns else token_col)
+    adds = (diff_df.filter(F.col("__op").isin("I", "U"))
+            .select(F.explode(token_col).alias(TOKEN_COL))
+            .withColumn(N_COL, F.lit(1).cast("long")))
+    rets = (diff_df.filter(F.col("__op").isin("U", "D"))
+            .select(F.explode(old_col).alias(TOKEN_COL))
+            .withColumn(N_COL, F.lit(-1).cast("long")))
+    return (adds.unionByName(rets)
+            .groupBy(TOKEN_COL).agg(F.sum(N_COL).alias(N_COL))
+            .filter(F.col(N_COL) != 0))
+
+
+def _recompute(base: LakeTable, token_col: str, version=None) -> DataFrame:
+    return (base.read(version=version)
+            .select(F.explode(token_col).alias(TOKEN_COL))
+            .groupBy(TOKEN_COL)
+            .agg(F.count(F.lit(1)).alias(N_COL)))
+
+
+def ensure_token_histogram(catalog, base: LakeTable, name: str,
+                           token_col: str = "tokens",
+                           n_buckets: int = 8) -> LakeTable:
+    """Create (or load) the histogram table for `base`. A fresh histogram
+    is seeded by ONE full explode+count pass over the current base state —
+    the only full pass it will ever take — and stamped with the base
+    version it represents; every later step is incremental."""
+    if catalog.table_exists(name):
+        return catalog.load(name)
+    schema = token_histogram_schema(base.manifest().schema(), token_col)
+    t = catalog.create_table(name, schema, n_buckets=n_buckets,
+                             bucket_key=TOKEN_COL)
+    v = base.current_version()
+    t.append(_recompute(base, token_col, version=v),
+             properties={WATERMARK_PROP: str(v),
+                         "operation": "token-histogram-seed"})
+    return t
+
+
+def sync_token_histogram(base: LakeTable, hist: LakeTable, keys: list[str],
+                         token_col: str = "tokens"):
+    """Advance the histogram to the base table's current version — exactly
+    once, crash-safe: the consumed-version watermark rides the SAME commit
+    as the delta MERGE. Returns the new manifest or None if already
+    current. A churn-only interval (every token's net delta zero) advances
+    the watermark with a metadata-only commit — zero data files written."""
+    upto = hist.manifest().properties.get(WATERMARK_PROP)
+    if upto is None:
+        raise ValueError(f"{hist.name}: not a maintained histogram "
+                         f"(missing {WATERMARK_PROP})")
+    upto, cur = int(upto), base.current_version()
+    if cur <= upto:
+        return None
+    d = base.diff(upto, keys=keys, to_version=cur, include_old=True)
+    deltas = token_deltas(d, token_col).persist()
+    try:
+        props = {WATERMARK_PROP: str(cur)}
+        if deltas.count() == 0:
+            return hist.update_properties(props)
+        return apply_agg_deltas(hist, deltas, [TOKEN_COL], properties=props)
+    finally:
+        deltas.unpersist()
