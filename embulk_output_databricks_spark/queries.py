@@ -549,6 +549,76 @@ def q_cdc_neardup_index(spark, sf_dir):
     return idx.sigs.read()
 
 
+ANN_IDX_INS_OFF = 100000
+
+
+def q_cdc_ann_index(spark, sf_dir):
+    """Incrementally-maintained ANN index (streaming/annmaint.py): the SRP
+    cell table (key, cell, vector) is seeded once from the embeddings
+    corpus, then a CDC batch negates a third of the vectors (every SRP sign
+    flips, so the key MOVES to the complement cell), deletes a third, and
+    inserts reversed copies under new ids; sync() advances the index purely
+    from the snapshot diff — hash work O(changed vectors), exactly-once by
+    the consumed-version watermark riding the MERGE commit. topk then runs
+    the in-cell cosine search from MAINTAINED state, with the candidate
+    read file-skipped to the probed cells (write-sorted bounds + cell
+    bloom). The oracle re-derives the final corpus, re-assigns every cell,
+    and searches in-cell — any drift in maintenance OR search fails."""
+    from .streaming.annmaint import AnnIndex
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    cat = _fresh_catalog(spark, "ann_index")
+    base = cat.create_table(
+        "base",
+        T.StructType([T.StructField("vec_id", T.LongType()),
+                      T.StructField("embedding",
+                                    T.ArrayType(T.FloatType()))]),
+        n_buckets=8, bucket_key="vec_id")
+    base.append(e)
+    idx = AnnIndex(cat, base, "idx", key_col="vec_id", vec_col="embedding",
+                   planes=ANN_PLANES, dim=64)
+    edits = e.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding"),
+        F.lit("U").alias("op"))
+    dels = e.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit("D").alias("op"))
+    ins = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + ANN_IDX_INS_OFF).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"), F.lit("U").alias("op"))
+    merge_apply(base, edits.unionByName(dels).unionByName(ins),
+                keys=["vec_id"], support_deletes=True)
+    if idx.sync() is None or idx.watermark() != base.current_version():
+        raise RuntimeError("ANN index failed to advance")
+    queries = base.read().filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    return idx.topk(queries, k=ANN_K)
+
+
+def _sql_ann_index() -> str:
+    cos = P.sql_cosine("q.v", "n.v")
+    bucket = P.sql_srp_bucket("v", ANN_PLANES)
+    return f"""
+    WITH fin AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 3 = 0 THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS v
+      FROM embeddings WHERE vec_id % 3 <> 1
+      UNION ALL
+      SELECT vec_id + {ANN_IDX_INS_OFF}, list_reverse(embedding)
+      FROM embeddings WHERE vec_id % 7 = 0
+    ), b AS (SELECT vec_id, v, {bucket} AS cell FROM fin)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, n.vec_id) AS rank
+      FROM b q JOIN b n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+      WHERE q.vec_id < {ANN_QUERIES}
+    ) WHERE rank <= {ANN_K}
+    """
+
+
 def q_cdc_constraints(spark, sf_dir):
     """CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog; the
     reference validates config shape only, DatabricksOutputPlugin.java:
@@ -4877,6 +4947,7 @@ SPARK_QUERIES = {
     "cdc_constraints": q_cdc_constraints,
     "cdc_token_lookup": q_cdc_token_lookup,
     "cdc_neardup_index": q_cdc_neardup_index,
+    "cdc_ann_index": q_cdc_ann_index,
     "cdc_stats_skipping": q_cdc_stats_skipping,
     "cdc_agg_pushdown": q_cdc_agg_pushdown,
     "cdc_retention_delete": q_cdc_retention_delete,
@@ -5423,6 +5494,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_changelog": _SQL_CHANGELOG,
         "cdc_agg_maintenance": _SQL_AGG_MAINT,
         "cdc_token_histogram": _sql_token_histogram(),
+        "cdc_ann_index": _sql_ann_index(),
         "cdc_stream_tail": _SQL_STREAM_TAIL,
     }
 
