@@ -751,6 +751,153 @@ def bench_neardup(spark, n_docs: int = 200_000,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_tokmaint(spark, n_docs: int = 1_500_000, n_tok: int = 64,
+                   change_every: int = 375) -> dict:
+    """Incremental token-histogram maintenance payoff: after a batch
+    editing n_docs/change_every docs (each edit swaps one token), sync()
+    (diff -> per-token net deltas -> keyed MERGE) vs the full
+    explode+GROUP BY recompute. Both sides read the corpus once (the diff
+    is a state compare), but the recompute explodes and shuffles EVERY
+    token while sync shuffles only net deltas — the explode fan-out
+    (n_tok rows per doc) is what the incremental plan avoids."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.streaming.tokmaint import (
+        ensure_token_histogram, sync_token_histogram)
+
+    i = F.col("id")
+    docs = spark.range(n_docs).select(
+        i.cast("string").alias("doc_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(n_tok)),
+                    lambda j: F.pmod(i * 31 + j * 7919,
+                                     F.lit(50257)).cast("int")).alias("tokens"))
+    work = tempfile.mkdtemp(prefix="bench_tokm_")
+    try:
+        cat = LakeCatalog(spark, work)
+        base = cat.create_table(
+            "base", T.StructType([T.StructField("doc_id", T.StringType()),
+                                  T.StructField("tokens",
+                                                T.ArrayType(T.IntegerType()))]),
+            n_buckets=32, bucket_key="doc_id")
+        base.append(docs)
+        t0 = time.perf_counter()
+        hist = ensure_token_histogram(cat, base, "hist", n_buckets=32)
+        seed_s = round(time.perf_counter() - t0, 3)
+        upd = (docs.filter(F.pmod(i, F.lit(change_every)) == 0)
+               .withColumn("tokens", F.concat(
+                   F.slice("tokens", 1, n_tok - 1),
+                   F.array(F.lit(999_999).cast("int")))))
+        # batch 1: plain merge -> sync must DIFF (O(table) state compare)
+        merge_apply(base, upd, keys=["doc_id"])
+        t0 = time.perf_counter()
+        sync_token_histogram(base, hist, keys=["doc_id"])
+        diff_sync_s = round(time.perf_counter() - t0, 3)
+        # batch 2: merge with write-time CDF -> sync reads O(batch) rows
+        from embulk_output_databricks_spark.streaming.cdf import apply_with_cdf
+        upd2 = upd.withColumn("tokens", F.concat(
+            F.slice("tokens", 1, n_tok - 1),
+            F.array(F.lit(999_998).cast("int"))))
+        apply_with_cdf(base, upd2, keys=["doc_id"])
+        t0 = time.perf_counter()
+        sync_token_histogram(base, hist, keys=["doc_id"])
+        cdf_sync_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        (base.read().select(F.explode("tokens").alias("token"))
+         .groupBy("token").agg(F.count(F.lit(1)).alias("n_rows"))
+         .write.format("noop").mode("overwrite").save())
+        full_s = round(time.perf_counter() - t0, 3)
+        return {"n_docs": n_docs, "n_tok": n_tok,
+                "changed": n_docs // change_every,
+                "seed_sec": seed_s,
+                "diff_sync_sec": diff_sync_s,
+                "cdf_sync_sec": cdf_sync_s,
+                "full_recompute_sec": full_s,
+                "cdf_speedup_vs_diff": round(diff_sync_s / cdf_sync_s, 2),
+                "cdf_speedup_vs_recompute": round(full_s / cdf_sync_s, 2),
+                # the scale argument is IO, not local CPU: a recompute READS
+                # the corpus (page-cached here, 100 TB in production); the
+                # CDF sync reads only the captured change rows
+                "corpus_rows_read_by_recompute": n_docs,
+                "rows_read_by_cdf_sync": n_docs // change_every}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_annmaint(spark, n_vecs: int = 400_000, dim: int = 32,
+                   change_every: int = 100, n_queries: int = 4) -> dict:
+    """Incremental ANN-index maintenance + probe payoff: sync() after a
+    batch editing n_vecs/change_every vectors vs re-assigning every cell;
+    then a topk probe from the maintained index (file-skipped to the
+    probed cells) with the scan-plan evidence (files read vs live)."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.streaming.annmaint import AnnIndex
+
+    i = F.col("id")
+    vecs = spark.range(n_vecs).select(
+        i.alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda j: F.sin(i * j + j * j).cast("float"))
+        .alias("embedding"))
+    work = tempfile.mkdtemp(prefix="bench_annm_")
+    try:
+        cat = LakeCatalog(spark, work)
+        base = cat.create_table(
+            "base", T.StructType([T.StructField("vec_id", T.LongType()),
+                                  T.StructField("embedding",
+                                                T.ArrayType(T.FloatType()))]),
+            n_buckets=32, bucket_key="vec_id")
+        base.append(vecs)
+        t0 = time.perf_counter()
+        idx = AnnIndex(cat, base, "idx", key_col="vec_id",
+                       vec_col="embedding", planes=8, dim=dim, n_buckets=8,
+                       rows_per_file=3_000)
+        seed_s = round(time.perf_counter() - t0, 3)
+        from embulk_output_databricks_spark.streaming.cdf import apply_with_cdf
+        upd = (vecs.filter(F.pmod(i, F.lit(change_every)) == 0)
+               .withColumn("embedding",
+                           F.transform("embedding", lambda x: -x)))
+        apply_with_cdf(base, upd, keys=["vec_id"])
+        t0 = time.perf_counter()
+        idx.sync()  # CDF-backed: O(batch) captured rows, no diff
+        sync_s = round(time.perf_counter() - t0, 3)
+        # MOR-strategy index: the sync is an O(batch) delta append — no
+        # rewrite of untouched index files (COW rewrites every bucket the
+        # batch's keys hash into, which for a spread key set is ALL of them)
+        idx_mor = AnnIndex(cat, base, "idx_mor", key_col="vec_id",
+                           vec_col="embedding", planes=8, dim=dim,
+                           n_buckets=8, rows_per_file=3_000,
+                           merge_strategy="mor")
+        upd2 = upd.withColumn("embedding",
+                              F.transform("embedding", lambda x: -x))
+        apply_with_cdf(base, upd2, keys=["vec_id"])
+        t0 = time.perf_counter()
+        idx_mor.sync()
+        mor_sync_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        idx._cell_rows(base.read()).write.format("noop") \
+            .mode("overwrite").save()
+        full_s = round(time.perf_counter() - t0, 3)
+        queries = base.read().filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        cells = idx.probe_cells(queries, "qv")
+        st = idx.index.scan_stats(eq_filter={"cell": cells})
+        t0 = time.perf_counter()
+        idx.topk(queries, k=10).write.format("noop").mode("overwrite").save()
+        probe_s = round(time.perf_counter() - t0, 3)
+        return {"n_vecs": n_vecs, "dim": dim,
+                "changed": n_vecs // change_every,
+                "seed_sec": seed_s, "cow_sync_sec": sync_s,
+                "mor_sync_sec": mor_sync_s,
+                "full_reassign_sec": full_s,
+                "mor_speedup_vs_cow": round(sync_s / mor_sync_s, 2),
+                "probe_sec": probe_s, "probe_cells": len(cells),
+                "probe_files_read": st["files_read"],
+                "files_live": st["files_live"],
+                "probe_rows_read": st["rows_read"],
+                "rows_live": st["rows_live"]}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_constraints(spark, n_events: int = 6_000_000,
                       n_batches: int = 3) -> dict:
     """CHECK-constraint cost on the ingest path: the identical MERGE replay
@@ -855,6 +1002,8 @@ def main() -> None:
         incremental = bench_incremental(spark)
         constraints = bench_constraints(spark)
         neardup = bench_neardup(spark)
+        tokmaint = bench_tokmaint(spark)
+        annmaint = bench_annmaint(spark)
         export = bench_export(spark)
         spj = bench_spj(spark)
         diff_prune = bench_diff_prune(spark)
@@ -877,6 +1026,8 @@ def main() -> None:
             "incremental": incremental,
             "constraints": constraints,
             "neardup": neardup,
+            "tokmaint": tokmaint,
+            "annmaint": annmaint,
             "export": export,
             "spj": spj,
             "diff_prune": diff_prune,

@@ -142,6 +142,18 @@ class JobConfig:
                                   # anywhere reruns the batch and the
                                   # history re-apply is idempotent by
                                   # (merge_keys, tie) identity.
+    change_feed: bool = False     # Delta CDF analog (streaming/cdf.py):
+                                  # every merge also persists its change
+                                  # rows (I/U/D + old values) under
+                                  # <table>/cdf/v<N>, so maintenance
+                                  # consumers (rollups, token histogram,
+                                  # near-dup/ANN indexes) sync from O(batch)
+                                  # captured rows instead of an O(table)
+                                  # snapshot diff. Gaps (foreign commits,
+                                  # crash before the sidecar rename) fall
+                                  # back to diff() — a fast path, never a
+                                  # second source of truth. COW merge only;
+                                  # incompatible with merge_rules/guard.
     support_deletes: bool = True  # op='D' extension (FIXTURES.md S12)
     merge_guard_col: str | None = None
                                   # cross-batch stale-writer guard: a matched
@@ -199,6 +211,17 @@ class JobConfig:
             # MOR resolves winners by commit sequence — exactly what an
             # out-of-order redelivery breaks; guarded tables need COW
             raise ConfigError("merge_guard_col requires merge_strategy='cow'")
+        if self.change_feed:
+            if self.mode is not ApplyMode.MERGE:
+                raise ConfigError("change_feed requires mode='merge'")
+            if self.merge_strategy != "cow":
+                # MOR already has a physical change feed (changelog());
+                # write-time capture is the COW counterpart
+                raise ConfigError("change_feed requires merge_strategy='cow'")
+            if self.merge_rules or self.merge_guard_col:
+                raise ConfigError("change_feed is incompatible with "
+                                  "merge_rules/merge_guard_col (capture "
+                                  "cannot re-derive their applied rows)")
         if self.mor_compact_every < 0:
             raise ConfigError("mor_compact_every must be >= 0")
         if self.checkpoint_fold_every < 0:

@@ -98,6 +98,17 @@ def apply_batch(
                 support_deletes=cfg.support_deletes,
                 properties=properties,
             )
+        elif cfg.change_feed:
+            from ..streaming.cdf import apply_with_cdf
+
+            m = apply_with_cdf(
+                table,
+                staged,
+                keys=cfg.merge_keys,
+                support_deletes=cfg.support_deletes,
+                properties=properties,
+                broadcast_threshold_rows=cfg.broadcast_merge_threshold,
+            )
         else:
             m = merge_apply(
                 table,

@@ -3732,6 +3732,59 @@ WHERE s.user_id IS NOT NULL
 """
 
 
+def q_cdc_change_feed(spark, sf_dir):
+    """Write-time change data feed (Delta CDF analog, streaming/cdf.py):
+    the merge itself persists its applied change rows — true I/U/D with
+    old images — under cdf/v<N>, one atomic dir rename after the commit;
+    consumers read O(batch) captured rows instead of diffing O(table)
+    snapshots, falling back to diff() on any gap. The oracle re-derives
+    the same change set from scratch (full outer join of the two states
+    with old images), so both the capture's classification and its old
+    values are value-checked."""
+    from .streaming.cdf import apply_with_cdf, change_feed
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "change_feed")
+    tbl.append(_lww(t_half))
+    v1 = tbl.current_version()
+    s_half = s_half.withColumn(
+        "op", F.when(F.col("event_type") == "error",
+                     F.lit("D")).otherwise(F.lit("U")))
+    apply_with_cdf(tbl, _lww(s_half, extra=["op"]), keys=["user_id"])
+    feed = change_feed(tbl, v1)
+    if feed is None:
+        raise RuntimeError("merge left a gap in its own change feed")
+    return feed.select(
+        "__op", *_STATE_COLS,
+        "__old_ts_us", "__old_event_type", "__old_value", "__old_props")
+
+
+_SQL_CHANGE_FEED = f"""
+WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
+     s AS (SELECT * FROM {_sql_lww("event_id % 2 = 1", ", event_type = 'error' AS del")})
+SELECT CASE WHEN s.del THEN 'D'
+            WHEN t.user_id IS NULL THEN 'I'
+            ELSE 'U' END AS __op,
+       coalesce(s.user_id, t.user_id) AS user_id,
+       CASE WHEN s.del THEN t.ts_us ELSE s.ts_us END AS ts_us,
+       CASE WHEN s.del THEN t.event_type ELSE s.event_type END AS event_type,
+       CASE WHEN s.del THEN t.value ELSE s.value END AS value,
+       CASE WHEN s.del THEN t.props ELSE s.props END AS props,
+       t.ts_us AS __old_ts_us,
+       t.event_type AS __old_event_type,
+       t.value AS __old_value,
+       t.props AS __old_props
+FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+WHERE s.user_id IS NOT NULL
+  AND NOT (s.del AND t.user_id IS NULL)
+  AND (s.del OR t.user_id IS NULL
+       OR t.ts_us IS DISTINCT FROM s.ts_us
+       OR t.event_type IS DISTINCT FROM s.event_type
+       OR t.value IS DISTINCT FROM s.value
+       OR t.props IS DISTINCT FROM s.props)
+"""
+
+
 def q_cdc_changelog(spark, sf_dir):
     """Row-level change feed of a merge-on-read interval: the delta rows a
     downstream consumer replays as an upsert/delete stream — O(interval)
@@ -5070,6 +5123,7 @@ SPARK_QUERIES = {
     "cdc_table_follow": q_cdc_table_follow,
     "media_frames": q_media_frames,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_change_feed": q_cdc_change_feed,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
     "cdc_token_histogram": q_cdc_token_histogram,
     "cdc_stream_tail": q_cdc_stream_tail,
@@ -5492,6 +5546,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "media_frames": _sql_media_frames(),
         "cdc_changelog": _SQL_CHANGELOG,
+        "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_agg_maintenance": _SQL_AGG_MAINT,
         "cdc_token_histogram": _sql_token_histogram(),
         "cdc_ann_index": _sql_ann_index(),

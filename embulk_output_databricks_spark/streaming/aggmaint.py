@@ -193,7 +193,8 @@ def sync_rollup(base: LakeTable, agg_tbl: LakeTable, keys: list[str],
     upto, cur = int(upto), base.current_version()
     if cur <= upto:
         return None
-    d = base.diff(upto, keys=keys, to_version=cur, include_old=True)
+    from .cdf import keyed_changes  # write-time CDF when available
+    d = keyed_changes(base, upto, keys, to_version=cur)
     deltas = agg_deltas(d, group_cols, _sum_measures(sum_cols)).persist()
     try:
         props = {WATERMARK_PROP: str(cur)}

@@ -58,14 +58,20 @@ class AnnIndex:
     def __init__(self, catalog, base: LakeTable, name: str,
                  key_col: str, vec_col: str,
                  planes: int = 4, dim: int = 64, n_buckets: int = 8,
-                 rows_per_file: int | None = None):
+                 rows_per_file: int | None = None,
+                 merge_strategy: str = "cow"):
+        if merge_strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_strategy {merge_strategy!r}")
         self.base = base
         self.key_col, self.vec_col = key_col, vec_col
         self.planes, self.dim = planes, dim
+        self.merge_strategy = merge_strategy
         if catalog.table_exists(name):
             self.index = catalog.load(name)
-            if WATERMARK_PROP not in self.index.manifest().properties:
+            props = self.index.manifest().properties
+            if WATERMARK_PROP not in props:
                 raise ValueError(f"{name}: not an ANN index table")
+            self.merge_strategy = props.get("ann_strategy", merge_strategy)
             return
         by_name = {f.name: f for f in base.manifest().schema().fields}
         for c in (key_col, vec_col):
@@ -82,7 +88,8 @@ class AnnIndex:
         self.index = catalog.create_table(
             name, schema, n_buckets=n_buckets, bucket_key=key_col,
             properties={"merge_keys": key_col,
-                        "ann_planes": str(planes), "ann_dim": str(dim)})
+                        "ann_planes": str(planes), "ann_dim": str(dim),
+                        "ann_strategy": merge_strategy})
         # probe-side skipping: every write clusters its bucket by cell
         # (footer bounds become a live per-file cell range) and harvests a
         # cell bloom — both ride all future merge rewrites, so the probe
@@ -112,11 +119,20 @@ class AnnIndex:
         new manifest, or None when already current. The hash work runs
         only over changed vectors; a changed assignment MOVES the key
         between cells through the ordinary keyed MERGE (old row updated in
-        place — the key, not the cell, is the identity)."""
+        place — the key, not the cell, is the identity).
+
+        merge_strategy='mor' writes the sync as O(batch) delta appends
+        instead of COW bucket rewrites — the right posture at scale, where
+        a batch's keys hash into EVERY index bucket and COW would rewrite
+        the whole index per sync. Cost moves to the probe (delta-holding
+        buckets resolve winners and skip nothing) until `compact()` folds
+        the deltas back and restores sorted, bloom-indexed files."""
         upto, cur = self.watermark(), self.base.current_version()
         if cur <= upto:
             return None
-        d = self.base.diff(upto, keys=[self.key_col], to_version=cur)
+        from .cdf import keyed_changes  # write-time CDF when available
+        d = keyed_changes(self.base, upto, [self.key_col], to_version=cur,
+                          include_old=False, dedup_last_per_key=True)
         ups = (self._cell_rows(d.filter(F.col("__op").isin("I", "U")))
                .withColumn(OP_COL, F.lit("U")))
         vec_t = next(f.dataType for f in self.index.manifest().schema().fields
@@ -127,10 +143,20 @@ class AnnIndex:
             F.lit(None).cast(vec_t).alias(self.vec_col),
             F.lit("D").alias(OP_COL),
         )
-        return merge_apply(
-            self.index, ups.unionByName(dels),
-            keys=[self.key_col], support_deletes=True,
-            properties={WATERMARK_PROP: str(cur), "operation": "ann-sync"})
+        props = {WATERMARK_PROP: str(cur), "operation": "ann-sync"}
+        staged = ups.unionByName(dels)
+        if self.merge_strategy == "mor":
+            from ..plans.merge import merge_apply_mor
+
+            return merge_apply_mor(self.index, staged, keys=[self.key_col],
+                                   support_deletes=True, properties=props)
+        return merge_apply(self.index, staged, keys=[self.key_col],
+                           support_deletes=True, properties=props)
+
+    def compact(self):
+        """Fold outstanding MOR deltas back into sorted, bloom-indexed base
+        files (probe skipping fully restored). No-op for a COW index."""
+        return self.index.compact_deltas()
 
     def probe_cells(self, queries: DataFrame, vec_col: str) -> list[int]:
         """Distinct cells the query batch hashes to — bounded by 2^planes,

@@ -111,7 +111,9 @@ class NearDupIndex:
         upto, cur = self.watermark(), self.base.current_version()
         if cur <= upto:
             return None
-        d = self.base.diff(upto, keys=[self.key_col], to_version=cur)
+        from .cdf import keyed_changes  # write-time CDF when available
+        d = keyed_changes(self.base, upto, [self.key_col], to_version=cur,
+                          include_old=False, dedup_last_per_key=True)
         ups = (self._sig_rows(d.filter(F.col("__op").isin("I", "U")))
                .withColumn(OP_COL, F.lit("U")))
         dels = (d.filter(F.col("__op") == "D")

@@ -119,7 +119,8 @@ def sync_token_histogram(base: LakeTable, hist: LakeTable, keys: list[str],
     upto, cur = int(upto), base.current_version()
     if cur <= upto:
         return None
-    d = base.diff(upto, keys=keys, to_version=cur, include_old=True)
+    from .cdf import keyed_changes  # write-time CDF when available
+    d = keyed_changes(base, upto, keys, to_version=cur)
     deltas = token_deltas(d, token_col).persist()
     try:
         props = {WATERMARK_PROP: str(cur)}

@@ -138,6 +138,35 @@ def test_not_an_index_and_bad_columns(spark, warehouse):
         AnnIndex(cat, base, "idx3", key_col="embedding", vec_col="vec_id")
 
 
+def test_mor_index_tracks_and_compacts(spark, warehouse):
+    cat, base, _ = _mk(spark, warehouse, n=50)
+    idx = AnnIndex(cat, base, "idx_mor", key_col="vec_id",
+                   vec_col="embedding", planes=PLANES, dim=DIM,
+                   merge_strategy="mor")
+    ev = base.read()
+    edit = ev.filter(F.col("vec_id") % 4 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    dels = ev.filter(F.col("vec_id") % 4 == 1).select(
+        "vec_id", F.lit(None).cast(BASE["embedding"].dataType).alias("embedding"))
+    merge_apply(base, _staged(spark, edit, "U")
+                .unionByName(_staged(spark, dels, "D")),
+                keys=["vec_id"], support_deletes=True)
+    assert idx.sync() is not None
+    # MOR: the sync appended deltas, never rewrote base index files
+    assert any(f.get("kind") == "delta"
+               for f in idx.index.manifest().files)
+    assert _state(idx.index.read()) == _state(_assignments(base))
+    # compaction folds deltas away; resolved state unchanged
+    idx.compact()
+    assert not any(f.get("kind") == "delta"
+                   for f in idx.index.manifest().files)
+    assert _state(idx.index.read()) == _state(_assignments(base))
+    # reload restores the strategy from table properties
+    again = AnnIndex(cat, base, "idx_mor", key_col="vec_id",
+                     vec_col="embedding")
+    assert again.merge_strategy == "mor"
+
+
 def test_reload_keeps_watermark(spark, warehouse):
     cat, base, idx = _mk(spark, warehouse, n=10)
     again = AnnIndex(cat, base, "idx", key_col="vec_id", vec_col="embedding",
