@@ -2536,6 +2536,49 @@ FROM events c JOIN events p
 """
 
 
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup by event id
+    (dropDuplicatesWithinWatermark): the source delivers EVERY event
+    twice (an at-least-once upstream), the stream keeps per-id state
+    bounded by the watermark, and the drained output must hold each event
+    exactly once. A duplicate inside the state horizon dedups against
+    state; one arriving after the watermark passed its event time is
+    dropped as late — either way it never re-emits, which is the
+    at-least-once -> exactly-once contract. State is O(rate x horizon),
+    keyed on the high-cardinality event_id (skew-free by construction)."""
+    base = f"{WORK_ROOT}/sdedup/{uuid.uuid4().hex}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_id", "user_id",
+        "event_type", "value")
+    ev.coalesce(1).write.parquet(f"{base}/src")
+    ev.coalesce(1).write.mode("append").parquet(f"{base}/src")  # dup feed
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/src")
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+                "event_type", _CENTS_S(F.col("value")).alias("cents"))
+    )
+    q = (
+        out.writeStream
+        .foreachBatch(lambda df, _e: df.write.mode("append")
+                      .parquet(f"{base}/out"))
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{base}/out")
+
+
+_SQL_STREAM_DEDUP = f"""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       {_cents_sql('value')} AS cents
+FROM events
+"""
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
@@ -5070,6 +5113,7 @@ SPARK_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_session_stream": q_events_session_stream,
     "events_stream_join": q_events_stream_join,
+    "events_stream_dedup": q_events_stream_dedup,
     "events_asof": q_events_asof,
     "events_asof_bucketed": q_events_asof_bucketed,
     "events_range_join": q_events_range_join,
@@ -5471,6 +5515,7 @@ def _oracle_sql() -> dict[str, str]:
         "events_sessionize": _SQL_SESSIONIZE,
         "events_session_stream": _SQL_SESSIONIZE,
         "events_stream_join": _SQL_STREAM_JOIN,
+        "events_stream_dedup": _SQL_STREAM_DEDUP,
         "events_asof": _SQL_ASOF,
         "events_asof_bucketed": _SQL_ASOF,
         "events_range_join": _SQL_RANGE_JOIN,

@@ -704,6 +704,56 @@ class LakeCatalog:
         os.rename(self._root(old), self._root(new))
         return self.load(new)
 
+    def pin_snapshot(self, names: list[str] | None = None
+                     ) -> "CatalogSnapshot":
+        """Consistent cross-table READ set (BEGIN ... snapshot-isolation
+        analog for readers): capture each table's current version NOW;
+        every later `read(name)` through the pin serves exactly that
+        version no matter how many commits land meanwhile. A multi-table
+        report (fact join dim, corpus join its rollup) sees one instant of
+        the catalog instead of each scan racing the writers — per-table
+        snapshot atomicity lifted to a read-only transaction. The pin
+        holds no locks; expire_snapshots on a pinned version makes that
+        table's reads fail (pin long-lived reports with tags instead)."""
+        names = self.list_tables() if names is None else names
+        return CatalogSnapshot(
+            {n: (self.load(n), self.load(n).current_version())
+             for n in names})
+
+
+class CatalogSnapshot:
+    """A pinned {table -> version} read set from LakeCatalog.pin_snapshot."""
+
+    def __init__(self, pinned: dict):
+        self._pinned = pinned
+
+    def versions(self) -> dict[str, int]:
+        return {n: v for n, (_, v) in self._pinned.items()}
+
+    def read(self, name: str, **kw) -> DataFrame:
+        """read() of the pinned version; accepts the same keyword surface
+        as LakeTable.read (stats_filter/eq_filter/... ), version excluded."""
+        if name not in self._pinned:
+            raise ValueError(f"table {name!r} not in this snapshot pin")
+        t, v = self._pinned[name]
+        return t.read(version=v, **kw)
+
+    def sql(self, query: str) -> DataFrame:
+        """Spark SQL over the pinned read set: every pinned table is
+        registered as a temp view of its pinned version, then the query
+        plans against those — ad-hoc multi-table SQL with snapshot
+        isolation (the SELECT half of a warehouse transaction). Temp views
+        are session-scoped and overwritten per call; Catalyst still gets
+        the full declarative plan (joins reordered, filters pushed into
+        the resolved scans)."""
+        spark = None
+        for n, (t, v) in self._pinned.items():
+            spark = t.spark
+            t.read(version=v).createOrReplaceTempView(n)
+        if spark is None:
+            raise ValueError("empty snapshot pin")
+        return spark.sql(query)
+
 
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str, name: str,
@@ -3588,6 +3638,13 @@ class LakeTable:
             removed = self.remove_orphan_files()
             report["expire"] = {"snapshots_dropped": len(dropped),
                                 "orphans_removed": len(removed)}
+            # change-data-feed sidecars (streaming/cdf.py) follow snapshot
+            # retention: a cdf dir for an expired version feeds no one
+            from ..streaming.cdf import prune_change_feed
+
+            pruned = prune_change_feed(self)
+            if pruned:
+                report["expire"]["cdf_pruned"] = len(pruned)
         return report
 
     def expire_snapshots(self, keep_last: int = 1,

@@ -202,6 +202,9 @@ def keyed_changes(table: LakeTable, since_version: int, keys: list[str],
     if dedup_last_per_key:
         from ..operators.lww import lww_dedup
         d = lww_dedup(d, keys=keys, order=["__commit_version"])
+        d = d.drop("__commit_version")  # one net row per key: diff parity
+    if not include_old:
+        d = d.drop(*[c for c in d.columns if c.startswith("__old_")])
     return d
 
 

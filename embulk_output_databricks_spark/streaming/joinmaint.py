@@ -127,8 +127,12 @@ def sync_join_view(fact: LakeTable, dim: LakeTable, view: LakeTable,
 
     legs: list[DataFrame] = []
     d_a = None
+    from .cdf import keyed_changes  # write-time CDF when available
+
     if va > upto_a:
-        d_a = fact.diff(upto_a, keys=[fact_key], to_version=va).persist()
+        d_a = keyed_changes(fact, upto_a, [fact_key], to_version=va,
+                            include_old=False,
+                            dedup_last_per_key=True).persist()
         changed = d_a.filter(F.col("__op").isin("I", "U")).select(*payload)
         # fact churn: re-enrich exactly those rows against the current dim
         legs.append(_enrich(changed, dim, fk, dim_key, dim_cols)
@@ -140,7 +144,8 @@ def sync_join_view(fact: LakeTable, dim: LakeTable, view: LakeTable,
               for c in dim_cols],
             F.lit("D").alias(OP_COL)))
     if vb > upto_b:
-        d_b = dim.diff(upto_b, keys=[dim_key], to_version=vb)
+        d_b = keyed_changes(dim, upto_b, [dim_key], to_version=vb,
+                            include_old=False, dedup_last_per_key=True)
         keys_df = d_b.select(F.col(dim_key)).distinct().persist()
         key_rows = keys_df.limit(_EQ_FILTER_MAX_KEYS + 1).collect()
         if len(key_rows) <= _EQ_FILTER_MAX_KEYS:

@@ -159,7 +159,10 @@ class TableFollower:
                 best = v
             to = best
         if self.keys:
-            return (self.table.diff(cur, keys=self.keys, to_version=to),
+            from .cdf import keyed_changes  # write-time CDF when available
+
+            return (keyed_changes(self.table, cur, self.keys, to_version=to,
+                                  include_old=False, dedup_last_per_key=True),
                     cur, to)
         return self.table.changed_since(cur, version=to), cur, to
 

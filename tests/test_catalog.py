@@ -59,3 +59,59 @@ def test_expire_snapshots_by_age(spark, warehouse):
     assert t.expire_snapshots(keep_last=2, older_than_us=now_us) == []
     assert t.expire_snapshots(keep_last=1, older_than_us=now_us) == [3]
     assert t.row_count() == 4
+
+
+def test_pin_snapshot_consistent_multi_table_read(spark, warehouse):
+    """pin_snapshot: a multi-table read set pinned at one instant is
+    immune to every commit that lands afterwards — per-table snapshot
+    atomicity lifted to a read-only transaction."""
+    cat = LakeCatalog(spark, f"{warehouse}/pin")
+    a = cat.create_table("a", SEQUENCES_SCHEMA, n_buckets=2,
+                         bucket_key="doc_id")
+    b = cat.create_table("b", SEQUENCES_SCHEMA, n_buckets=2,
+                         bucket_key="doc_id")
+    a.append(seq_rows(spark, range(3)))
+    b.append(seq_rows(spark, range(5)))
+
+    pin = cat.pin_snapshot()          # default: every table
+    assert pin.versions() == {"a": a.current_version(),
+                              "b": b.current_version()}
+    # writers race ahead on both tables
+    a.append(seq_rows(spark, range(3, 10)))
+    b.append(seq_rows(spark, range(5, 6)))
+    # the pin still serves the old instant, live reads see the new one
+    assert pin.read("a").count() == 3 and pin.read("b").count() == 5
+    assert a.read().count() == 10 and b.read().count() == 6
+    # read kwargs pass through (pruning surface intact under the pin)
+    assert pin.read("a", buckets={0}).count() <= 3
+    with pytest.raises(ValueError, match="not in this snapshot pin"):
+        cat.pin_snapshot(["a"]).read("b")
+
+
+def test_pin_snapshot_sql_and_maintain_prunes_cdf(spark, warehouse):
+    """pin.sql(): multi-table SQL planned against the pinned versions; and
+    maintain(expire_keep_last=...) drops change-feed sidecars that fall
+    below the retained-snapshot floor."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from embulk_output_databricks_spark.streaming.cdf import apply_with_cdf
+
+    cat = LakeCatalog(spark, f"{warehouse}/pinsql")
+    a = cat.create_table("ta", SEQUENCES_SCHEMA, n_buckets=2,
+                         bucket_key="doc_id")
+    a.append(seq_rows(spark, range(4)))
+    pin = cat.pin_snapshot(["ta"])
+    for i in range(3):
+        apply_with_cdf(a, seq_rows(spark, range(4 + i, 5 + i))
+                       .withColumn("op", F.lit("U")),
+                       keys=["doc_id"])
+    # SQL over the pin sees the pinned instant, not the new commits
+    assert pin.sql("SELECT count(*) AS c FROM ta").first()["c"] == 4
+    assert a.read().count() == 7
+    # retention: cdf sidecars below the retained floor are pruned
+    n_before = len(os.listdir(os.path.join(a.root, "cdf")))
+    rep = a.maintain(expire_keep_last=1)
+    assert rep["expire"]["cdf_pruned"] >= 1
+    assert len(os.listdir(os.path.join(a.root, "cdf"))) < n_before

@@ -160,6 +160,75 @@ def test_consumers_sync_from_cdf(spark, warehouse):
     assert got == want
 
 
+def test_follower_keyed_feed_from_cdf(spark, warehouse, tmp_path):
+    """TableFollower keys mode served from write-time capture: a replica
+    applying the frames converges to the table state across CDF-captured
+    commits, multi-commit frames, and a mixed interval with a foreign
+    commit (fallback to diff inside the same feed)."""
+    from embulk_output_databricks_spark.streaming.tail import TableFollower
+
+    cat, t = _mk(spark, warehouse)
+    f = TableFollower(t, str(tmp_path / "c.json"), from_version=0,
+                      keys=["k"])
+    replica: dict = {}
+
+    def apply_feed():
+        out = f.poll()
+        if out is None:
+            return
+        df, _frm, to = out
+        for r in df.collect():
+            if r["__op"] == "D":
+                replica.pop(r["k"], None)
+            else:
+                replica[r["k"]] = (r["grp"], r["v"])
+        f.advance(to)
+
+    apply_feed()  # seed state (no CDF for the initial append: diff path)
+    apply_with_cdf(t, _staged(spark, BATCH), keys=["k"])
+    apply_with_cdf(t, _staged(spark, [(5, "C", 55, "U"), (1, "A", 12, "D"),
+                                      (7, "D", 70, "U")]), keys=["k"])
+    apply_feed()  # two captured commits in one frame
+    assert replica == {r["k"]: (r["grp"], r["v"]) for r in t.read().collect()}
+    # mixed interval: captured + foreign commit -> diff fallback, same state
+    apply_with_cdf(t, _staged(spark, [(7, "D", 71, "U")]), keys=["k"])
+    merge_apply(t, _staged(spark, [(8, "E", 80, "U")]), keys=["k"])
+    apply_feed()
+    assert replica == {r["k"]: (r["grp"], r["v"]) for r in t.read().collect()}
+
+
+def test_joinmaint_view_from_cdf(spark, warehouse):
+    """Incremental join-view maintenance over CDF-captured churn on BOTH
+    sources equals the SQL join of the final states."""
+    from embulk_output_databricks_spark.streaming.joinmaint import (
+        ensure_join_view, sync_join_view)
+
+    cat = LakeCatalog(spark, f"{warehouse}/jm")
+    fact = cat.create_table("fact", BASE, n_buckets=4, bucket_key="k")
+    dim_schema = T.StructType([T.StructField("grp", T.StringType()),
+                               T.StructField("label", T.StringType())])
+    dim = cat.create_table("dim", dim_schema, n_buckets=2, bucket_key="grp")
+    fact.append(spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20), (3, "B", 30)], BASE))
+    dim.append(spark.createDataFrame([("A", "alpha"), ("B", "beta")],
+                                     dim_schema))
+    view = ensure_join_view(cat, fact, dim, "v", fact_key="k", fk="grp",
+                            dim_key="grp", dim_cols=["label"])
+    apply_with_cdf(fact, _staged(spark, [(1, "B", 11, "U"), (3, "B", 30, "D"),
+                                         (4, "A", 40, "U")]), keys=["k"])
+    apply_with_cdf(dim, spark.createDataFrame(
+        [("A", "ALPHA", "U")], "grp string, label string, op string"),
+        keys=["grp"])
+    sync_join_view(fact, dim, view, fact_key="k", fk="grp",
+                   dim_key="grp", dim_cols=["label"])
+    want = sorted(tuple(r) for r in fact.read().join(
+        dim.read(), on="grp", how="left")
+        .select("k", "grp", "v", "label").collect())
+    got = sorted(tuple(r) for r in view.read()
+                 .select("k", "grp", "v", "label").collect())
+    assert got == want
+
+
 def test_config_knob_validation_and_driver_path(spark, warehouse):
     with pytest.raises(ConfigError):
         JobConfig(mode="insert", change_feed=True)
