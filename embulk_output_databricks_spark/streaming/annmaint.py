@@ -174,6 +174,13 @@ class AnnIndex:
         the join is an equi-join on cell — shuffle-partitionable, with the
         same semantics as the static srp_bucketed_topk."""
         cells = self.probe_cells(queries, vec_col)
+        if not cells:  # empty query batch: empty result, zero index IO
+            empty = self.index.read().limit(0)
+            return (empty.select(
+                F.col(self.key_col).alias("query_id"),
+                F.col(self.key_col).alias("neighbor_id"))
+                .withColumn("rank", F.lit(0))
+                .withColumn("cos", F.lit(0.0)).limit(0))
         q = queries.select(
             F.col(id_col).alias("__qid"),
             F.col(vec_col).alias("__qv"),

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -220,10 +221,18 @@ def prune_change_feed(table: LakeTable) -> list[str]:
     floor = min(retained) if retained else 0
     removed = []
     for fn in sorted(os.listdir(root)):
+        p = os.path.join(root, fn)
         if fn.startswith("v") and fn[1:].isdigit() and int(fn[1:]) < floor:
-            shutil.rmtree(os.path.join(root, fn), ignore_errors=True)
+            shutil.rmtree(p, ignore_errors=True)
             removed.append(fn)
         elif fn.startswith("_tmp-"):
-            shutil.rmtree(os.path.join(root, fn), ignore_errors=True)
-            removed.append(fn)
+            # only reap ABANDONED staging (crashed captures): an in-flight
+            # apply_with_cdf's tmp dir is minutes old at most
+            try:
+                age_s = time.time() - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age_s > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(fn)
     return removed

@@ -223,3 +223,64 @@ def test_bucket_join_matches_spark_join(spark, tmp_path_factory, case):
         (tuple(r[c] for c in sorted(df.columns)) for r in df.collect()),
         key=repr)
     assert canon(got) == canon(want)
+
+
+# ---------------- write-time CDF capture vs diff (streaming/cdf.py) ----
+
+import uuid as _uuid
+
+from pyspark.sql import types as _T
+
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+from embulk_output_databricks_spark.streaming.cdf import (
+    apply_with_cdf,
+    change_feed,
+)
+
+_CDF_SCHEMA = _T.StructType([
+    _T.StructField("k", _T.LongType()),
+    _T.StructField("grp", _T.StringType()),
+    _T.StructField("v", _T.LongType()),
+])
+
+initial_state = st.dictionaries(
+    st.integers(min_value=0, max_value=7),
+    st.tuples(st.sampled_from(["A", "B", None]),
+              st.one_of(st.none(), st.integers(-9, 9))),
+    max_size=8,
+)
+staged_batch = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.tuples(st.sampled_from(["A", "B", "C", None]),
+              st.one_of(st.none(), st.integers(-9, 9)),
+              st.sampled_from(["U", "D"])),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(initial_state, staged_batch)
+def test_cdf_capture_equals_diff(spark, tmp_path_factory, init, batch):
+    """Store-on-write capture == compute-on-read diff for ANY initial
+    state and staged batch (overlapping keys, NULL payloads, no-op
+    updates, deletes of absent keys) — two independent derivations of the
+    same change set."""
+    wh = str(tmp_path_factory.mktemp("cdfprop") / _uuid.uuid4().hex)
+    cat = LakeCatalog(spark, wh)
+    t = cat.create_table("t", _CDF_SCHEMA, n_buckets=2, bucket_key="k")
+    if init:
+        t.append(spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in init.items()], _CDF_SCHEMA))
+    v1 = t.current_version()
+    staged = spark.createDataFrame(
+        [(k, g, v, op) for k, (g, v, op) in batch.items()],
+        "k long, grp string, v long, op string")
+    apply_with_cdf(t, staged, keys=["k"])
+    feed = change_feed(t, v1)
+    assert feed is not None
+    cols = ["__op", "k", "grp", "v", "__old_grp", "__old_v"]
+    got = sorted(tuple(r[c] for c in cols) for r in feed.collect())
+    want = sorted(tuple(r[c] for c in cols)
+                  for r in t.diff(v1, keys=["k"], include_old=True).collect())
+    assert got == want
