@@ -1697,6 +1697,41 @@ FROM (
 """
 
 
+def q_cdc_txn_commit(spark, sf_dir):
+    """Catalog-level multi-table transaction (sources/txn.py, Nessie /
+    Iceberg-REST catalog-commit analog): one batch MERGEs into two tables
+    through per-table txn branches, then commit() publishes both heads
+    all-or-nothing (intent record -> O(1) pointer swaps, crash recovery
+    rolls forward). The staged state is asserted invisible before the
+    commit; the oracle recomputes both tables' merged final states."""
+    t_half, s_half = _halves(spark, sf_dir)
+    cat = _fresh_catalog(spark, "txn")
+    names = (("even", 0), ("odd", 1))
+    for name, par in names:
+        t = cat.create_table(name, STATE_SCHEMA, n_buckets=4,
+                             bucket_key="user_id",
+                             properties={"merge_keys": "user_id"})
+        t.append(_lww(t_half.filter(F.col("user_id") % 2 == par)))
+    pre = {name: cat.load(name).current_version() for name, _ in names}
+    txn = cat.begin([n for n, _ in names])
+    for name, par in names:
+        merge_apply(txn.table(name),
+                    _lww(s_half.filter(F.col("user_id") % 2 == par)),
+                    keys=["user_id"])
+        if cat.load(name).current_version() != pre[name]:
+            raise RuntimeError("staged txn write leaked to the main head")
+    txn.commit()
+    parts = [cat.load(name).read().withColumn("tbl", F.lit(name))
+             for name, _ in names]
+    return parts[0].unionByName(parts[1])
+
+
+_SQL_TXN_COMMIT = f"""
+SELECT m.*, CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tbl
+FROM ({_sql_merge(_UPSERT_COLS)}) m
+"""
+
+
 def q_cdc_stateful_stream(spark, sf_dir):
     """True-streaming stateful LWW (streaming/stateful.py,
     applyInPandasWithState): events streamed file-by-file through the
@@ -5085,6 +5120,7 @@ SPARK_QUERIES = {
     "cdc_export_sync": q_cdc_export_sync,
     "cdc_complex_types": q_cdc_complex_types,
     "cdc_multi_table": q_cdc_multi_table,
+    "cdc_txn_commit": q_cdc_txn_commit,
     "cdc_stateful_stream": q_cdc_stateful_stream,
     "cdc_tsv_ingest": q_cdc_tsv_ingest,
     "cdc_value_types": q_cdc_value_types,
@@ -5188,6 +5224,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_export_sync": _SQL_EXPORT,
         "cdc_complex_types": _SQL_COMPLEX,
         "cdc_multi_table": _SQL_MULTI_TABLE,
+        "cdc_txn_commit": _SQL_TXN_COMMIT,
         "cdc_stateful_stream": f"SELECT user_id, ts_us, event_type FROM {_sql_lww()}",
         "cdc_tsv_ingest": _SQL_TSV_INGEST,
         "cdc_value_types": _SQL_VALUE_TYPES,

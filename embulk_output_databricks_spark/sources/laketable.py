@@ -704,6 +704,20 @@ class LakeCatalog:
         os.rename(self._root(old), self._root(new))
         return self.load(new)
 
+    def begin(self, names: list[str]) -> "CatalogTransaction":
+        """Open a multi-table transaction (sources/txn.py): stage commits
+        on per-table txn branches, publish them all-or-nothing. Call
+        recover_transactions() at startup to roll crashed commits
+        forward."""
+        from .txn import CatalogTransaction
+
+        return CatalogTransaction(self, names)
+
+    def recover_transactions(self, **kw) -> dict:
+        from .txn import recover_transactions
+
+        return recover_transactions(self, **kw)
+
     def pin_snapshot(self, names: list[str] | None = None
                      ) -> "CatalogSnapshot":
         """Consistent cross-table READ set (BEGIN ... snapshot-isolation
