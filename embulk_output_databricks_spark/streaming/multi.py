@@ -49,6 +49,11 @@ class MultiTableReplayDriver:
             raise ConfigError(f"unknown_tables must be 'error'|'ignore', got {unknown_tables!r}")
         self.table_col = table_col
         self.unknown_tables = unknown_tables
+        self.catalog = catalog
+        self._schemas = {
+            c.table: (schemas or {}).get(c.table, SEQUENCES_SCHEMA)
+            for c in configs
+        }
         # deterministic apply order (sorted) so crash/resume points are stable
         self.drivers: dict[str, ReplayDriver] = {
             c.table: ReplayDriver(
@@ -125,6 +130,84 @@ class MultiTableReplayDriver:
                 raise InjectedCrash(
                     f"crash after table {name!r} committed batch {batch_id}"
                 )
+        return out
+
+    def run_batch_txn(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        evolution: dict[str, list[EvolutionOp]] | None = None,
+        collect_metrics: bool | str = True,
+        crash_before_publish: bool = False,
+        crash_before_checkpoints: bool = False,
+    ) -> dict[str, dict | None]:
+        """run_batch, but ATOMIC across targets: every table's apply lands
+        on a catalog-transaction branch, one publish makes them all
+        visible together (sources/txn.py), and only then are the per-table
+        fence checkpoints written. A reader (or a crash) can no longer
+        observe table A carrying batch k while table B does not — the
+        cross-table torn state run_batch documents away is gone.
+
+        Crash matrix: before publish -> branches reap, nothing visible,
+        rerun applies everything fresh; after publish before checkpoints ->
+        every table's reconciliation trusts its snapshot's batch stamp and
+        repairs its fence on the next driver startup (or the fence-miss
+        path of this rerun). Exactly-once either way.
+
+        Maintained side tables (cfg.rollups / cfg.history) write OUTSIDE
+        the transaction and are refused — sync them from the published
+        state instead."""
+        for name, drv in self.drivers.items():
+            if drv.cfg.rollups or drv.cfg.history:
+                raise ConfigError(
+                    f"{name}: transactional fan-out does not support "
+                    "rollups/history (they commit to side tables outside "
+                    "the transaction)")
+        if self.unknown_tables == "error":
+            stray = (
+                events.filter(~F.col(self.table_col).isin(list(self.drivers)))
+                .select(self.table_col).limit(1).collect()
+            )
+            if stray:
+                raise ValueError(
+                    f"batch {batch_id}: events for unconfigured table "
+                    f"{stray[0][0]!r} (configured: {sorted(self.drivers)})")
+        txn = self.catalog.begin(sorted(self.drivers))
+        pend: dict[str, dict | None] = {}
+        try:
+            for name, drv in self.drivers.items():
+                bdrv = ReplayDriver(self.catalog, drv.cfg,
+                                    self._schemas[name],
+                                    table=txn.table(name),
+                                    source_id=drv.source_id)
+                pend[name] = bdrv.run_batch(
+                    events.filter(F.col(self.table_col) == name)
+                    .drop(self.table_col),
+                    batch_id,
+                    evolution=(evolution or {}).get(name),
+                    collect_metrics=collect_metrics,
+                    defer_checkpoint=True,
+                )
+            if crash_before_publish:
+                raise InjectedCrash(
+                    f"crash before publishing txn batch {batch_id}")
+            if all(p is None for p in pend.values()):
+                txn.rollback()   # every table fenced: nothing staged
+                return pend
+            txn.commit()
+        except InjectedCrash:
+            raise            # simulated process death: leave state torn
+        except BaseException:
+            txn.rollback()
+            raise
+        if crash_before_checkpoints:
+            raise InjectedCrash(
+                f"crash after publishing txn batch {batch_id}, "
+                "before checkpoints")
+        out: dict[str, dict | None] = {}
+        for name, p in pend.items():
+            out[name] = (self.drivers[name].commit_deferred(p)
+                         if p is not None and p.get("__deferred__") else p)
         return out
 
     def replay(

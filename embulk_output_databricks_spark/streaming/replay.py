@@ -195,7 +195,8 @@ class ReplayDriver:
     def run_batch(self, events: DataFrame, batch_id: int,
                   evolution: list[EvolutionOp] | None = None,
                   crash_before_checkpoint: bool = False,
-                  collect_metrics: bool | str = True) -> dict | None:
+                  collect_metrics: bool | str = True,
+                  defer_checkpoint: bool = False) -> dict | None:
         """Apply one batch exactly once. Returns the checkpoint record, or
         None if the fence rejected a replayed batch.
 
@@ -203,6 +204,15 @@ class ReplayDriver:
         pass; 'light' piggy-backs (count, lsn range) on the apply job itself
         via the Observation API — ZERO extra passes over the batch, the
         steady-state production mode; False skips metrics entirely.
+
+        defer_checkpoint: apply everything but do NOT write the fence
+        checkpoint; instead return a pending record the caller later hands
+        to commit_deferred(). The transactional fan-out uses this: the
+        apply lands on a txn branch, the catalog publish makes it visible,
+        and only THEN may the fence say "committed" (a fence written
+        before publish would skip a batch whose data never became
+        visible). The crash window publish->checkpoint stays safe the same
+        way as ever: reconciliation trusts the snapshot's batch stamp.
         """
         fenced = self.cfg.mode is not ApplyMode.INSERT_DIRECT
         if fenced and self.ckpt.is_committed(batch_id):
@@ -414,19 +424,38 @@ class ReplayDriver:
             if self._history_apply(events, batch_id):
                 metrics["history_s"] = round(_time.monotonic() - t_h, 6)
         if fenced:
+            if defer_checkpoint:
+                return {"__deferred__": True, "batch_id": batch_id,
+                        "lsn_from": lo, "lsn_to": hi + 1,
+                        "snapshot_version": m.version,
+                        "lineage": lineage, "metrics": metrics}
             rec = self.ckpt.commit(batch_id, lo, hi + 1, m.version, lineage,
                                    metrics=metrics)
-            # fence-metadata housekeeping: collapse old per-batch files into
-            # the span file so recovery/audits stay O(1) over a long tail
-            fe = self.cfg.checkpoint_fold_every
-            if fe > 0:
-                self._committed_since_fold += 1
-                if self._committed_since_fold >= fe:
-                    self.ckpt.fold()
-                    self._committed_since_fold = 0
+            self._after_checkpoint()
             return rec
         return {"batch_id": batch_id, "snapshot_version": m.version,
                 "lineage": lineage, "metrics": metrics}
+
+    def commit_deferred(self, pending: dict) -> dict:
+        """Write the fence checkpoint for a defer_checkpoint apply — call
+        strictly AFTER the apply's commits became visible (txn publish)."""
+        rec = self.ckpt.commit(pending["batch_id"], pending["lsn_from"],
+                               pending["lsn_to"],
+                               pending["snapshot_version"],
+                               pending["lineage"],
+                               metrics=pending["metrics"])
+        self._after_checkpoint()
+        return rec
+
+    def _after_checkpoint(self) -> None:
+        # fence-metadata housekeeping: collapse old per-batch files into
+        # the span file so recovery/audits stay O(1) over a long tail
+        fe = self.cfg.checkpoint_fold_every
+        if fe > 0:
+            self._committed_since_fold += 1
+            if self._committed_since_fold >= fe:
+                self.ckpt.fold()
+                self._committed_since_fold = 0
 
     def _history_apply(self, events: DataFrame, batch_id: int) -> bool:
         """Fold this batch into the maintained SCD2 history iff the history

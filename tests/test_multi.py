@@ -178,3 +178,94 @@ def test_duplicate_targets_rejected(spark, cat):
         MultiTableReplayDriver(
             cat, [JobConfig(table="t"), JobConfig(table="t")]
         )
+
+
+# ---------------- transactional fan-out (sources/txn.py integration) ----
+
+
+def test_txn_fan_out_atomic_and_fenced(spark, cat):
+    binlog = tagged_binlog(spark).cache()
+    mt = MultiTableReplayDriver(
+        cat,
+        [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+         JobConfig(table="seq_b", mode="merge", n_buckets=4)],
+    )
+    for b in (0, 1, 2):
+        recs = mt.run_batch_txn(binlog.filter(F.col("batch_id") == b), b)
+        assert set(recs) == {"seq_a", "seq_b"}
+        assert all(r is not None for r in recs.values())
+    want = oracles(binlog)
+    for t, drv in mt.drivers.items():
+        assert table_state(drv.table) == want[t]
+        assert drv.ckpt.committed_batch_ids() == [0, 1, 2]
+        assert drv.table.list_branches() == []  # txn branches cleaned
+    # rerun: fully fenced, rollback path (nothing staged), no new versions
+    vs = {t: d.table.current_version() for t, d in mt.drivers.items()}
+    recs = mt.run_batch_txn(binlog.filter(F.col("batch_id") == 1), 1)
+    assert all(r is None for r in recs.values())
+    assert {t: d.table.current_version() for t, d in mt.drivers.items()} == vs
+    binlog.unpersist()
+
+
+def test_txn_crash_before_publish_leaves_nothing(spark, cat):
+    binlog = tagged_binlog(spark).cache()
+    mt = MultiTableReplayDriver(
+        cat,
+        [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+         JobConfig(table="seq_b", mode="merge", n_buckets=4)],
+    )
+    mt.run_batch_txn(binlog.filter(F.col("batch_id") == 0), 0)
+    vs = {t: d.table.current_version() for t, d in mt.drivers.items()}
+    with pytest.raises(InjectedCrash):
+        mt.run_batch_txn(binlog.filter(F.col("batch_id") == 1), 1,
+                         crash_before_publish=True)
+    # nothing visible on main, batch unfenced on every table
+    for t, drv in mt.drivers.items():
+        assert drv.table.current_version() == vs[t]
+        assert drv.ckpt.committed_batch_ids() == [0]
+    cat.recover_transactions(reap_abandoned_after_s=0)
+    assert all(d.table.list_branches() == [] for d in mt.drivers.values())
+    # rerun completes the batch everywhere
+    recs = mt.run_batch_txn(binlog.filter(F.col("batch_id") == 1), 1)
+    assert all(r is not None for r in recs.values())
+    mt.run_batch_txn(binlog.filter(F.col("batch_id") == 2), 2)
+    want = oracles(binlog)
+    for t, drv in mt.drivers.items():
+        assert table_state(drv.table) == want[t]
+    binlog.unpersist()
+
+
+def test_txn_crash_before_checkpoints_reconciles(spark, cat, warehouse):
+    binlog = tagged_binlog(spark).cache()
+    cfgs = [JobConfig(table="seq_a", mode="merge", n_buckets=4),
+            JobConfig(table="seq_b", mode="merge", n_buckets=4)]
+    mt = MultiTableReplayDriver(cat, cfgs)
+    mt.run_batch_txn(binlog.filter(F.col("batch_id") == 0), 0)
+    with pytest.raises(InjectedCrash):
+        mt.run_batch_txn(binlog.filter(F.col("batch_id") == 1), 1,
+                         crash_before_checkpoints=True)
+    # data IS published (the txn committed) but the fences are torn
+    # "restart": fresh drivers -> CheckpointStore reconciliation trusts the
+    # snapshots' batch stamps and repairs both fences
+    mt2 = MultiTableReplayDriver(cat, cfgs)
+    for t, drv in mt2.drivers.items():
+        assert drv.ckpt.committed_batch_ids() == [0, 1]
+    recs = mt2.run_batch_txn(binlog.filter(F.col("batch_id") == 1), 1)
+    assert all(r is None for r in recs.values())  # fenced, no double-apply
+    mt2.run_batch_txn(binlog.filter(F.col("batch_id") == 2), 2)
+    want = oracles(binlog)
+    for t, drv in mt2.drivers.items():
+        assert table_state(drv.table) == want[t]
+    binlog.unpersist()
+
+
+def test_txn_refuses_side_table_maintenance(spark, cat):
+    mt = MultiTableReplayDriver(
+        cat,
+        [JobConfig(table="seq_a", mode="merge", n_buckets=4,
+                   rollups=[{"name": "r", "group_by": ["source"],
+                             "sums": ["n_tok"]}]),
+         JobConfig(table="seq_b", mode="merge", n_buckets=4)],
+    )
+    with pytest.raises(ConfigError, match="transactional fan-out"):
+        mt.run_batch_txn(tagged_binlog(spark, n=40, docs=10, per_batch=40), 0)
