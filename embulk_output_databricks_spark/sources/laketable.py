@@ -459,6 +459,23 @@ def _bloom_keep(m: "Manifest", files: list[dict], eq_filter: dict) -> list[dict]
                     keep = False
                     break
                 continue
+            # bounds pre-check: a value outside the file's footer min/max
+            # provably never matches (writer-side max truncation rounds UP,
+            # min rounds down — same conservatism _stats_keep relies on),
+            # so most files drop without paying the bloom-blob decode.
+            # Sound for scalars only; array columns harvest no bounds, so
+            # st is None there and every value goes to the bloom.
+            st = f.get("stats", {}).get(pf["name"])
+            if st is not None and st[0] is not None and st[1] is not None:
+                def _in_bounds(v, lo=st[0], hi=st[1]):
+                    try:
+                        return lo <= v <= hi
+                    except TypeError:
+                        return True  # mixed types: no proof, keep probing
+                vals = [v for v in vals if _in_bounds(v)]
+                if not vals:
+                    keep = False
+                    break
             blob = f.get("bloom", {}).get(pf["name"])
             if blob is None:
                 continue
@@ -824,10 +841,14 @@ class LakeTable:
         best = None
         for fn in sorted(os.listdir(self._meta())):
             if fn.startswith("v") and fn.endswith(".json"):
-                m = self.manifest(int(fn[1:-5]))
-                at = m.properties.get("committed_at_us")
-                if at is not None and at <= ts_us and (best is None or m.version > best):
-                    best = m.version
+                # properties only — materializing each version's full file
+                # list (manifest()) would make this O(versions x files)
+                with open(self._meta(fn)) as f:
+                    d = json.load(f)
+                v = int(fn[1:-5])
+                at = d.get("properties", {}).get("committed_at_us")
+                if at is not None and at <= ts_us and (best is None or v > best):
+                    best = v
         if best is None:
             raise ValueError(
                 f"{self.name}: no retained snapshot at or before ts_us={ts_us}")
@@ -1807,6 +1828,7 @@ class LakeTable:
                 current_sv=base.current_sv if current_sv is None else current_sv,
                 schema_versions=schema_versions or base.schema_versions,
                 files=[{k: v for k, v in f.items() if k != "__fr_new"}
+                       if "__fr_new" in f else f
                        for f in files],
                 properties=props,
                 next_field_id=base.next_field_id if next_field_id is None else next_field_id,
