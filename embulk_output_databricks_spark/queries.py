@@ -5053,6 +5053,44 @@ FROM (
 """
 
 
+def q_cdc_ndv_stats(spark, sf_dir):
+    """Incremental ANALYZE: per-file KMV distinct-count sketches harvested
+    at write time fold into table-level COUNT(DISTINCT) with zero data IO
+    (sources/sketch.py + LakeTable.analyze — the Iceberg Puffin/Theta
+    analog; the reference has no statistics story at all, it is a
+    write-only sink, DatabricksOutputPlugin.java:166-186). KMV is EXACT
+    below its k (1024): the low-cardinality corpus dimensions queried
+    here answer precisely, so the result is oracle-comparable; the
+    files_scanned == 0 assert pins that no data was re-read."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    tbl = _new_table(spark, "ndv_stats", schema=schema, n_buckets=4,
+                     bucket_key="doc_id",
+                     properties={"ndv_columns": "lang,source"})
+    for j in range(3):  # several commits -> several files per bucket
+        tbl.append(docs.filter(F.col("doc_id") % 3 == j))
+    got = tbl.analyze()
+    assert all(v["exact"] for v in got.values()), "cardinality exceeded k"
+    assert all(v["files_scanned"] == 0 for v in got.values()), \
+        "write-side sketches missing: analyze re-read data"
+    return spark.createDataFrame(
+        sorted((c, int(v["ndv"])) for c, v in got.items()),
+        "column_name string, ndv bigint")
+
+
+_SQL_NDV = """
+SELECT 'lang' AS column_name, CAST(COUNT(DISTINCT lang) AS BIGINT) AS ndv
+FROM documents
+UNION ALL
+SELECT 'source' AS column_name, CAST(COUNT(DISTINCT source) AS BIGINT) AS ndv
+FROM documents
+"""
+
+
 # ================================================================ registry
 
 SPARK_QUERIES = {
@@ -5077,6 +5115,7 @@ SPARK_QUERIES = {
     "cdc_add_files": q_cdc_add_files,
     "cdc_constraints": q_cdc_constraints,
     "cdc_token_lookup": q_cdc_token_lookup,
+    "cdc_ndv_stats": q_cdc_ndv_stats,
     "cdc_neardup_index": q_cdc_neardup_index,
     "cdc_ann_index": q_cdc_ann_index,
     "cdc_stats_skipping": q_cdc_stats_skipping,
@@ -5289,6 +5328,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "cdc_zorder_compact": _SQL_ZORDER,
         "cdc_bloom_lookup": _SQL_BLOOM,
+        "cdc_ndv_stats": _SQL_NDV,
         "cdc_cluster_compact": """
             WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
                        FROM events)

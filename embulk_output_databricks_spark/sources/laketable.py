@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import bloom
+from . import bloom, sketch
 
 _BUCKET_COL = "__bucket"
 
@@ -799,6 +799,7 @@ class LakeTable:
         self.ref = ref
         self.last_commit_s = 0.0  # snapshot-publish latency of the last _commit
         self._seg_cache: dict[str, list[dict]] = {}  # immutable segment files
+        self._manifest_cache: dict[int, tuple] = {}  # version -> merged view
 
     # ---------- snapshot resolution ----------
 
@@ -856,19 +857,35 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
-        with open(self._meta(f"v{v:012d}.json")) as f:
-            d = json.load(f)
-        segments = d.pop("segments", None)
-        removed = d.pop("removed", [])
-        d["schema_versions"] = [SchemaVersion(**sv) for sv in d["schema_versions"]]
-        if d.get("files") is None and segments is not None:
-            by_path: dict[str, dict] = {}
-            for seg in segments:
-                for e in self._read_segment(seg):
-                    by_path[e["path"]] = e  # later segment wins (entry updates)
-            gone = set(removed)
-            d["files"] = [e for p, e in by_path.items() if p not in gone]
-        m = Manifest(**d)
+        hit = self._manifest_cache.get(v)
+        if hit is None:
+            with open(self._meta(f"v{v:012d}.json")) as f:
+                d = json.load(f)
+            segments = d.pop("segments", None)
+            removed = d.pop("removed", [])
+            d["schema_versions"] = [SchemaVersion(**sv)
+                                    for sv in d["schema_versions"]]
+            if d.get("files") is None and segments is not None:
+                by_path: dict[str, dict] = {}
+                for seg in segments:
+                    for e in self._read_segment(seg):
+                        by_path[e["path"]] = e  # later segment wins (entry updates)
+                gone = set(removed)
+                d["files"] = [e for p, e in by_path.items() if p not in gone]
+            hit = (d, segments, list(removed))
+            # version files are immutable once written (O_EXCL create), so
+            # the merged view is cacheable forever; keep a small window —
+            # the replay loop re-reads the same head several times per batch
+            # and at 100k files each re-merge costs ~0.1 s of driver time
+            self._manifest_cache[v] = hit
+            while len(self._manifest_cache) > 8:
+                self._manifest_cache.pop(next(iter(self._manifest_cache)))
+        d, segments, removed = hit
+        # fresh list + properties dict per call: callers build new manifests
+        # from these (never mutate entries in place), but the top-level
+        # containers must not alias across calls
+        m = Manifest(**{**d, "files": list(d["files"]),
+                        "properties": dict(d["properties"])})
         m._segments = segments  # type: ignore[attr-defined]  # None = legacy inline
         m._removed = list(removed)  # type: ignore[attr-defined]
         return m
@@ -1721,6 +1738,10 @@ class LakeTable:
         bloom_cols = {
             c for c in (m.properties.get("bloom_columns") or "").split(",") if c
         } & {f.name for f in cur.fields}
+        ndv_cols = {
+            c for c in (m.properties.get("ndv_columns") or "").split(",") if c
+        } & {f.name for f in cur.fields}
+        ndv_k = int(m.properties.get("ndv_k") or 0) or sketch.KMV_K
         entries: list[dict] = []
         for dirpath, _dirs, fnames in os.walk(tmp):
             for fn in fnames:
@@ -1762,6 +1783,20 @@ class LakeTable:
                             pass  # unsupported type: no bloom = no skipping
                     if blooms:
                         entry["bloom"] = blooms
+                if ndv_cols:
+                    # distinct-count index (Iceberg Puffin analog): one KMV
+                    # sketch per column over the same distinct pass the
+                    # bloom uses; analyze() folds these to a table NDV with
+                    # zero data IO (sources/sketch.py)
+                    kmvs = {}
+                    for c in ndv_cols:
+                        try:
+                            kmvs[c] = sketch.build(
+                                bloom.distinct_column_values(pf, c), ndv_k)
+                        except TypeError:
+                            pass  # unsupported type: no sketch = scan later
+                    if kmvs:
+                        entry["kmv"] = kmvs
                 rel = f"data/{uuid.uuid4().hex}.parquet"
                 os.replace(src, os.path.join(self.root, rel))
                 entry["path"] = rel
@@ -3728,6 +3763,7 @@ class LakeTable:
                     if at is not None and at >= older_than_us:
                         continue
                 os.unlink(self._meta(fn))
+                self._manifest_cache.pop(v, None)  # expired: reads must fail
                 expired.append(v)
         return expired
 
@@ -3785,6 +3821,164 @@ class LakeTable:
             props["bloom_bits"] = str(bits)
         props.setdefault("operation", "set-bloom-columns")
         return self._commit(base, base.files, props)
+
+    def set_ndv_columns(self, cols: list[str],
+                        properties: dict | None = None,
+                        k: int | None = None) -> Manifest:
+        """Enable per-file KMV distinct-count sketches for `cols` on FUTURE
+        writes (metadata-only commit; sources/sketch.py — the Iceberg
+        Puffin/ANALYZE analog). Existing files carry no sketch until
+        analyze(persist=True) or compact() harvests one — the same lazy
+        migration as set_bloom_columns. `k` sizes the sketch (table
+        property ndv_k, default 1024): exact answers below k distinct,
+        ~1/sqrt(k) relative error above."""
+        base = self.manifest()
+        names = {f["name"] for f in base.schema_version.fields}
+        unknown = set(cols) - names
+        if unknown:
+            raise ValueError(f"ndv_columns not in schema: {sorted(unknown)}")
+        props = dict(properties or {})
+        props["ndv_columns"] = ",".join(cols)
+        if k is not None:
+            if k < 16:
+                raise ValueError(f"ndv k must be >= 16, got {k}")
+            props["ndv_k"] = str(k)
+        props.setdefault("operation", "set-ndv-columns")
+        return self._commit(base, base.files, props)
+
+    def analyze(self, cols: list[str] | None = None,
+                version: int | None = None,
+                persist: bool = False) -> dict[str, dict]:
+        """Table-level COUNT(DISTINCT col) from per-file KMV sketches —
+        the metadata answer to the statistics question every CBO asks
+        (join-side choice, skew diagnosis, dictionary decisions). At
+        100 TB the full-scan alternative is exactly the anti-pattern
+        agg_push exists to avoid for COUNT/MIN/MAX; NDV needs its own
+        machinery because distinct counts don't fold from bounds.
+
+        Semantics: NDV over every value in LIVE row-holding files (data +
+        MOR deltas). Rows later deleted or superseded still count until
+        compaction folds them away — the same upper-bound contract
+        Iceberg's Puffin sketches have, exact again after maintenance.
+        NULLs never count (COUNT(DISTINCT) ignores them); ARRAY columns
+        count distinct ELEMENTS (the bloom contract — e.g. vocabulary
+        size of a token corpus).
+
+        Cost: zero data IO for sketch-carrying files; files missing the
+        sketch (written before set_ndv_columns) are harvested by ONE
+        distributed job reading only the probed columns of those files —
+        O(missing files), and persist=True commits the harvested sketches
+        back as entry updates so the NEXT analyze is pure metadata.
+        Resolution is by field id: sketches survive renames and widens.
+
+        Returns {col: {"ndv": int, "exact": bool, "files_from_sketch": n,
+        "files_scanned": n}}.
+        """
+        m = self.manifest(version)
+        if cols is None:
+            cols = [c for c in
+                    (m.properties.get("ndv_columns") or "").split(",") if c]
+        if not cols:
+            raise ValueError(
+                "no columns to analyze: pass cols= or set_ndv_columns first")
+        if persist and version is not None:
+            raise ValueError("persist=True analyzes the current version")
+        k = int(m.properties.get("ndv_k") or 0) or sketch.KMV_K
+        cur_by_name = {c["name"]: c for c in m.schema_version.fields}
+        unknown = set(cols) - set(cur_by_name)
+        if unknown:
+            raise ValueError(f"analyze of unknown columns: {sorted(unknown)}")
+        svs = {s.sv: s for s in m.schema_versions}
+        blobs: dict[str, list[str]] = {c: [] for c in cols}
+        from_sketch: dict[str, int] = {c: 0 for c in cols}
+        need: dict[str, dict[str, str]] = {}  # rel path -> {col: phys name}
+        for f in _live_data(m.files):
+            phys_by_id = svs[f["sv"]].by_id()
+            for c in cols:
+                cf = cur_by_name[c]
+                pf = phys_by_id.get(cf["id"])
+                if pf is None:
+                    # column added after this file: every row reads the
+                    # initial default — one distinct value (or none)
+                    d = cf.get("default")
+                    if d is not None and f.get("rows"):
+                        blobs[c].append(sketch.build([d], k))
+                    continue
+                blob = f.get("kmv", {}).get(pf["name"])
+                if blob is not None:
+                    blobs[c].append(blob)
+                    from_sketch[c] += 1
+                else:
+                    need.setdefault(f["path"], {})[c] = pf["name"]
+        harvested: dict[str, dict[str, str]] = {}
+        if need:
+            harvested = self._harvest_kmv(need, k)
+            for rel, phys_map in need.items():
+                got = harvested.get(rel, {})
+                for c, phys in phys_map.items():
+                    blob = got.get(phys)
+                    if blob is None:
+                        raise ValueError(
+                            f"column {c!r} has a type KMV cannot sketch")
+                    blobs[c].append(blob)
+        if persist and harvested:
+            updated = []
+            changed = 0
+            for f in m.files:
+                got = harvested.get(f["path"])
+                if got:
+                    nf = dict(f)
+                    nf["kmv"] = {**f.get("kmv", {}), **got}
+                    updated.append(nf)
+                    changed += 1
+                else:
+                    updated.append(f)
+            self._commit(m, updated, {"operation": "analyze",
+                                      "analyzed_files": changed})
+        out: dict[str, dict] = {}
+        for c in cols:
+            if not blobs[c]:
+                out[c] = {"ndv": 0, "exact": True,
+                          "files_from_sketch": 0, "files_scanned": len(need)}
+                continue
+            est, ex = sketch.estimate(sketch.merge(blobs[c], k))
+            out[c] = {"ndv": int(round(est)), "exact": ex,
+                      "files_from_sketch": from_sketch[c],
+                      "files_scanned": len(need)}
+        return out
+
+    def _harvest_kmv(self, need: dict[str, dict[str, str]],
+                     k: int) -> dict[str, dict[str, str]]:
+        """Distributed sketch harvest for files that predate ndv_columns:
+        one Spark job, each task opens only ITS files and reads only the
+        probed columns (pyarrow column IO on the executor) — never a
+        whole-table scan. Returns {rel_path: {phys_col: blob}}."""
+        rows = [(os.path.join(self.root, rel), rel,
+                 json.dumps(sorted(set(phys.values()))))
+                for rel, phys in sorted(need.items())]
+        sdf = self.spark.createDataFrame(rows, "abs string, rel string, cols string")
+        k_ = k
+
+        def gen(pdfs):
+            import pandas as pd
+            import pyarrow.parquet as pq
+            for pdf in pdfs:
+                out = []
+                for r in pdf.itertuples():
+                    pf = pq.ParquetFile(r.abs)
+                    got = {}
+                    for c in json.loads(r.cols):
+                        try:
+                            got[c] = sketch.build(
+                                bloom.distinct_column_values(pf, c), k_)
+                        except TypeError:
+                            pass  # unsupported type: caller raises per-col
+                    out.append({"rel": r.rel, "kmv": json.dumps(got)})
+                yield pd.DataFrame(out, columns=["rel", "kmv"])
+
+        got = (sdf.repartition(max(1, min(len(rows), 64)))
+               .mapInPandas(gen, "rel string, kmv string").collect())
+        return {r["rel"]: json.loads(r["kmv"]) for r in got}
 
     def set_sort_order(self, cols: list[str],
                        rows_per_file: int | None = None,
