@@ -945,6 +945,54 @@ def bench_constraints(spark, n_events: int = 6_000_000,
     return res
 
 
+def bench_metadata_plane(spark) -> dict:
+    """Driver-plane planning cost at high file count: REAL planner code
+    (commit, eq_filter plan, cold manifest load) over shape-identical
+    synthetic entries, zero data IO. 20k files here keeps the per-round
+    record cheap; the full protocol and 100k-file results live in
+    BENCH/metadata_plane.py + BENCH/BASELINE.md."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "metadata_plane",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "metadata_plane.py"))
+    mp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mp)
+    from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA
+
+    wh = tempfile.mkdtemp(prefix="meta_bench_")
+    try:
+        cat = LakeCatalog(spark, wh)
+        t = cat.create_table("seq", SEQUENCES_SCHEMA, bucket_key="doc_id",
+                             n_buckets=128,
+                             properties={"bloom_columns": "doc_id"})
+        n_files, commits = 20_000, 8
+        per = n_files // commits
+        commit_s = None
+        for c in range(commits):
+            ents = mp.fabricate_entries(per, 128, start=c * per)
+            base = t.manifest()
+            t0 = time.perf_counter()
+            t._commit(base, base.files + ents)
+            commit_s = time.perf_counter() - t0
+        mid = (n_files // 2) * mp.ROWS_PER_FILE
+        t0 = time.perf_counter()
+        st = t.scan_stats(eq_filter={"doc_id": f"d{mid:012d}"})
+        plan_bloom_s = time.perf_counter() - t0
+        fresh = type(t)(spark, t.root, t.name)
+        t0 = time.perf_counter()
+        fresh.manifest()
+        load_cold_s = time.perf_counter() - t0
+        return {"files": n_files,
+                "commit_s": round(commit_s, 3),
+                "plan_bloom_s": round(plan_bloom_s, 4),
+                "plan_files_read": st["files_read"],
+                "load_cold_s": round(load_cold_s, 3)}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from __spark_entry__ import queries
 
@@ -1009,6 +1057,7 @@ def main() -> None:
         diff_prune = bench_diff_prune(spark)
         resync = bench_resync(spark)
         merge_fileprune = bench_merge_fileprune(spark)
+        metadata_plane = bench_metadata_plane(spark)
         q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
@@ -1033,6 +1082,7 @@ def main() -> None:
             "diff_prune": diff_prune,
             "resync": resync,
             "merge_fileprune": merge_fileprune,
+            "metadata_plane": metadata_plane,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))

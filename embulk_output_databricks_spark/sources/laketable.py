@@ -3679,7 +3679,11 @@ class LakeTable:
              `target_file_bytes` switches victim selection to file sizes);
           3. compact_posdels — when more than `max_posdel_files` sidecars
              remain outstanding (a compact may already have folded them);
-          4. expire_snapshots + remove_orphan_files — when
+          4. analyze(persist=True) — when `ndv_columns` is set and live
+             data files still lack sketches (pre-property files the
+             compaction above did not touch): the statistics index stays
+             complete without a dedicated job, cost O(missing files);
+          5. expire_snapshots + remove_orphan_files — when
              `expire_keep_last` is given (metadata/history retention;
              `expire_older_than_us` adds the wall-clock age bound).
 
@@ -3703,6 +3707,18 @@ class LakeTable:
                 report["compact_posdels"] = {
                     "version": m.version,
                     "merged": m.properties["posdels_merged"]}
+        mm = self.manifest()
+        ndv_cols = [c for c in
+                    (mm.properties.get("ndv_columns") or "").split(",") if c]
+        if ndv_cols:
+            # per-column sketch gaps are resolved by field id inside
+            # analyze(); with nothing missing this is a pure metadata pass
+            got = self.analyze(persist=True)
+            scanned = max(v["files_scanned"] for v in got.values())
+            if scanned:
+                report["analyze"] = {
+                    "files_scanned": scanned,
+                    "ndv": {c: v["ndv"] for c, v in got.items()}}
         if expire_keep_last is not None:
             dropped = self.expire_snapshots(keep_last=expire_keep_last,
                                             older_than_us=expire_older_than_us)

@@ -152,3 +152,14 @@ def test_compact_migrates_sketches(spark, warehouse):
     got = t.analyze()
     assert got["cat"]["files_scanned"] == 0
     assert got["cat"]["ndv"] == 5 and got["cat"]["exact"]
+
+
+def test_maintain_fires_analyze_until_complete(spark, warehouse):
+    t = _mk(spark, warehouse, "f")
+    t.append(spark.createDataFrame(_rows(200), SCHEMA))
+    t.set_ndv_columns(["cat"])
+    rep = t.maintain(max_files_per_bucket=100)  # only the analyze leg fires
+    assert rep["analyze"]["files_scanned"] > 0
+    assert rep["analyze"]["ndv"] == {"cat": 5}
+    # sketches persisted: the next pass is pure metadata, no action logged
+    assert "analyze" not in t.maintain(max_files_per_bucket=100)
