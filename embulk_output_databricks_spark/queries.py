@@ -2516,6 +2516,41 @@ def q_events_tumbling_stream(spark, sf_dir):
     return spark.read.parquet(f"{base}/out")
 
 
+def q_events_stream_enrich(spark, sf_dir):
+    """STREAM-STATIC broadcast enrichment — the remaining §2.C streaming
+    join shape (stream-stream is events_stream_join): a readStream of
+    change events joins a small static dimension (nation) that Spark
+    broadcasts to every task, so the unbounded side never shuffles and no
+    state store exists — the planner re-resolves the static side per
+    micro-batch (the dim can be swapped between batches; here it is
+    fixed, so the drained result must equal the batch join+agg). Complete
+    mode keeps the per-nation aggregate finite without a watermark.
+    At 10^10 events this is the canonical enrich pattern: the 25-row dim
+    rides the closure, the binlog side stays partition-local."""
+    base = f"{WORK_ROOT}/senrich/{uuid.uuid4().hex}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "value")
+    ev.coalesce(1).write.parquet(f"{base}/src")
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/src")
+    enriched = stream.join(
+        F.broadcast(dim), F.pmod(F.col("user_id"), F.lit(25)) == F.col("n_nationkey"))
+    agg = (enriched.groupBy("n_name")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(_CENTS_S(F.col("value"))).alias("value_cents")))
+    q = (
+        agg.writeStream
+        .foreachBatch(lambda df, _e: df.write.mode("overwrite").parquet(f"{base}/out"))
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{base}/out")
+
+
 def q_events_stream_join(spark, sf_dir):
     """Watermarked STREAM-STREAM interval join (streaming/stream_join.py):
     click->purchase attribution per user within 24h, both sides true
@@ -5185,6 +5220,7 @@ SPARK_QUERIES = {
     "top_revenue_orders": q_top_revenue_orders,
     "events_tumbling": q_events_tumbling,
     "events_tumbling_stream": q_events_tumbling_stream,
+    "events_stream_enrich": q_events_stream_enrich,
     "events_sessionize": q_events_sessionize,
     "events_session_stream": q_events_session_stream,
     "events_stream_join": q_events_stream_join,
@@ -5588,6 +5624,13 @@ def _oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_stream_enrich": """
+            SELECT n_name, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events JOIN nation ON user_id % 25 = n_nationkey
+            GROUP BY n_name
         """,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_session_stream": _SQL_SESSIONIZE,
