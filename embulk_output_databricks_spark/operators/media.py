@@ -190,3 +190,42 @@ def frame_sample(decoded: DataFrame, every: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+EMBED_DIM = 8
+
+EMBED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("emb", T.ArrayType(T.IntegerType())),
+])
+
+
+def _fake_embed(payload: bytes, dim: int) -> list[int]:
+    """STUB encoder: a dim-wide signature vector from md5(payload) — one
+    byte (0..255) per component. Deterministic and portable (the DuckDB
+    oracle recomputes it from md5(text)); the real integration point
+    (CLIP/wav2vec/...) replaces exactly this function, the Arrow batch
+    plumbing around it is production-real."""
+    h = hashlib.md5(payload).hexdigest()
+    return [int(h[2 * i:2 * i + 2], 16) for i in range(dim)]
+
+
+def embed_media(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Feature extraction over binary payloads — the embed leg of the
+    multimodal pipeline (decode -> features -> ANN/dedup downstream).
+    Arrow-batched mapInPandas like decode_media; NULL payloads yield NULL
+    vectors (encoder-failure semantics). The output array feeds the
+    similarity operators (ann_*/emb_neardup) unchanged."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "emb": [None if p is None else _fake_embed(bytes(p), dim)
+                        for p in pdf["payload"]],
+            })
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, EMBED_SCHEMA)

@@ -2247,6 +2247,16 @@ def q_media_decode(spark, sf_dir):
     return decode_media(media_from_docs(_docs(spark, sf_dir)))
 
 
+def q_media_embed(spark, sf_dir):
+    """binary payload -> Arrow-batched feature-extraction kernel -> signature
+    vector (the embed leg of the multimodal pipeline; the stub encoder is
+    md5-derived so the oracle recomputes it, the batch plumbing is real).
+    Output feeds the ANN/near-dup operators unchanged."""
+    from .operators.media import embed_media, media_from_docs
+
+    return embed_media(media_from_docs(_docs(spark, sf_dir)))
+
+
 def _sql_hexint(e: str, start: int, n: int) -> str:
     hex_ = "0123456789abcdef"
     return (
@@ -2324,6 +2334,18 @@ def _sql_media_decode() -> str:
            CAST(16 + {_sql_hexint('text', 1, 4)} % 2032 AS INTEGER) AS width,
            CAST(16 + {_sql_hexint('text', 5, 4)} % 2032 AS INTEGER) AS height,
            CAST(1 + {_sql_hexint('text', 9, 2)} % 64 AS INTEGER) AS n_frames
+    FROM documents
+    """
+
+
+def _sql_media_embed() -> str:
+    comps = ", ".join(
+        f"CAST({_sql_hexint('text', 2 * i + 1, 2)} AS INTEGER)"
+        for i in range(8))
+    return f"""
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+           [{comps}] AS emb
     FROM documents
     """
 
@@ -5211,6 +5233,7 @@ SPARK_QUERIES = {
     "tok_pack": q_tok_pack,
     "tok_epoch_shuffle": q_tok_epoch_shuffle,
     "media_decode": q_media_decode,
+    "media_embed": q_media_embed,
     "media_resize": q_media_resize,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -5580,6 +5603,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         # tok_pack: stateful greedy packing (applyInPandas) — rows-only check
         "media_decode": _sql_media_decode(),
+        "media_embed": _sql_media_embed(),
         "media_resize": _sql_media_resize(),
         "ann_cosine_topk": _sql_ann(),
         "ann_lsh_topk": _sql_ann_lsh(),

@@ -149,3 +149,31 @@ class TestIVF:
         for q, rows in by_q.items():
             ranks = sorted(r["rank"] for r in rows)
             assert ranks == list(range(1, len(rows) + 1))
+
+
+class TestEmbed:
+    def test_embed_matches_reference_hash_and_feeds_ann(self, spark, docs):
+        from embulk_output_databricks_spark.operators.media import (
+            embed_media, media_from_docs)
+
+        m = media_from_docs(docs.limit(8))
+        out = {r["media_id"]: r["emb"] for r in embed_media(m).collect()}
+        for r in docs.limit(8).collect():
+            h = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+            assert out[r["doc_id"]] == [
+                int(h[2 * i:2 * i + 2], 16) for i in range(8)]
+        # NULL payload -> NULL vector (encoder-failure semantics)
+        nm = spark.createDataFrame(
+            [(1, "image", None, None)],
+            "media_id long, kind string, payload binary, meta map<string,string>",
+        )
+        assert embed_media(nm).first()["emb"] is None
+        # the signature vector rides the similarity operators unchanged
+        from embulk_output_databricks_spark.operators.similarity import (
+            cosine_topk)
+
+        vecs = embed_media(media_from_docs(docs.limit(64))).select(
+            F.col("media_id").alias("vec_id"),
+            F.col("emb").cast("array<float>").alias("embedding"))
+        top = cosine_topk(vecs, n_queries=2, k=3)
+        assert top.count() == 2 * 3
