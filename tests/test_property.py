@@ -284,3 +284,37 @@ def test_cdf_capture_equals_diff(spark, tmp_path_factory, init, batch):
     want = sorted(tuple(r[c] for c in cols)
                   for r in t.diff(v1, keys=["k"], include_old=True).collect())
     assert got == want
+
+
+_vals = st.lists(
+    st.one_of(st.integers(min_value=-10**12, max_value=10**12),
+              st.text(max_size=12),
+              st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    max_size=300)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_vals, st.lists(st.integers(min_value=0, max_value=4), min_size=0,
+                       max_size=300),
+       st.integers(min_value=16, max_value=128))
+def test_kmv_merge_equals_global_build(vals, assign, k):
+    """KMV union property on arbitrary typed values and arbitrary splits:
+    merging per-chunk sketches is bit-identical to sketching everything,
+    and the exact flag is truthful below k (sources/sketch.py)."""
+    from embulk_output_databricks_spark.sources import sketch
+
+    chunks = [[] for _ in range(5)]
+    for v, a in zip(vals, assign):
+        chunks[a].append(v)
+    used = [c for c in chunks if c]
+    merged = sketch.merge([sketch.build(c, k) for c in used], k) \
+        if used else sketch.build([], k)
+    flat = [v for c in used for v in c]
+    assert merged == sketch.build(flat, k)
+    est, exact = sketch.estimate(merged)
+    # typed-byte normalization may unify e.g. 2 and 2.0 — compare hashes
+    true_n = len({sketch._h64(v) for v in flat})
+    if true_n <= k:
+        assert exact and est == true_n
+    else:
+        assert not exact
