@@ -4060,6 +4060,76 @@ def _sql_token_histogram() -> str:
     """
 
 
+def q_cdc_inverted_index(spark, sf_dir):
+    """Incrementally-maintained EXACT inverted token index
+    (streaming/invindex.py): postings (token, doc_id) seeded once from the
+    corpus, then a CDC batch (deletes + token remaps) advances them purely
+    from the change feed — presence transitions, O(changed postings), the
+    tokens a document keeps write nothing. The index table IS the search
+    structure (bucketed + write-sorted + bloom-indexed on token); the
+    probe for the 5 smallest remapped token ids must file-skip (asserted)
+    and return exactly the final corpus's postings for those tokens —
+    IO O(posting lists), never O(corpus). Complements cdc_token_lookup
+    (probabilistic bloom scan) and cdc_token_histogram (counts, no doc
+    identity)."""
+    from .streaming.invindex import (
+        ensure_inverted_index,
+        probe,
+        sync_inverted_index,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        P.f_word_ids(F.col("text")).alias("tokens"),
+        (F.length("text") % 3).alias("m3"),
+    )
+    cat = _fresh_catalog(spark, "inv_idx")
+    base = cat.create_table("t", TOKHIST_BASE, n_buckets=8, bucket_key="doc_id")
+    base.append(d.select("doc_id", "tokens"))
+    idx = ensure_inverted_index(cat, base, "idx", keys=["doc_id"],
+                                rows_per_file=2000)
+    staged = d.filter(F.col("m3") != 2).select(
+        "doc_id",
+        F.when(
+            F.col("m3") == 1,
+            F.transform(F.slice("tokens", 1, 16), lambda x: x + F.lit(1000000)),
+        ).otherwise(F.col("tokens")).alias("tokens"),
+        F.when(F.col("m3") == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    merge_apply(base, staged, keys=["doc_id"], support_deletes=True)
+    sync_inverted_index(base, idx, keys=["doc_id"])
+    toks = [r["token"] for r in
+            idx.read().filter(F.col("token") >= 1000000)
+            .select("token").distinct().orderBy("token").limit(5).collect()]
+    st = idx.scan_stats(eq_filter={"token": toks})
+    assert st["files_read"] < st["files_live"], "probe enabled no skipping"
+    return probe(idx, toks, keys=["doc_id"])
+
+
+def _sql_inverted_index() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {P.sql_word_ids('text')} AS tokens,
+             length(text) % 3 AS m3
+      FROM documents
+    ), final AS (
+      SELECT doc_id,
+             CASE WHEN m3 = 1
+                  THEN list_transform(tokens[1:16], x -> x + 1000000)
+                  ELSE tokens END AS tokens
+      FROM toks WHERE m3 <> 0
+    ), posts AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest(tokens) AS token FROM final)
+    ), pr AS (
+      SELECT DISTINCT token FROM posts WHERE token >= 1000000
+      ORDER BY token LIMIT 5
+    )
+    SELECT p.token AS token, p.doc_id AS doc_id
+    FROM posts p JOIN pr USING (token)
+    """
+
+
 def q_cdc_stream_tail(spark, sf_dir):
     """End-to-end Structured Streaming CDC: the events table rendered as a
     binlog directory, tailed with readStream -> every micro-batch through
@@ -5304,6 +5374,7 @@ SPARK_QUERIES = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_agg_maintenance": q_cdc_agg_maintenance,
     "cdc_token_histogram": q_cdc_token_histogram,
+    "cdc_inverted_index": q_cdc_inverted_index,
     "cdc_stream_tail": q_cdc_stream_tail,
     "cdc_scd2": q_cdc_scd2,
 }
@@ -5738,6 +5809,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_agg_maintenance": _SQL_AGG_MAINT,
         "cdc_token_histogram": _sql_token_histogram(),
+        "cdc_inverted_index": _sql_inverted_index(),
         "cdc_ann_index": _sql_ann_index(),
         "cdc_stream_tail": _SQL_STREAM_TAIL,
     }
