@@ -148,10 +148,27 @@ def sync_inverted_index(base: LakeTable, idx: LakeTable, keys: list[str],
 
 
 def probe(idx: LakeTable, tokens, keys: list[str]) -> DataFrame:
-    """Posting lookup: (token, *keys) rows for the probed token(s).
-    eq_filter drives the full skip stack (bucket is NOT prunable — the
-    probe value's bucket is derivable, but bounds+bloom already reduce
-    the read to the posting files) — IO O(posting lists), not O(index)."""
+    """Posting lookup: (token, *keys) rows for the probed token(s), at the
+    full skip stack — the probe values' buckets are computed with the
+    write side's own hash (one trivial Spark job over the probe list, so
+    the type-sensitive xxhash64 can never drift from routing), then
+    bounds+bloom prune within the surviving buckets. IO O(posting
+    lists), not O(index); files under an old bucket spec stay
+    conservatively selected (the rebucket contract)."""
     vals = list(tokens) if isinstance(tokens, (list, tuple, set)) else [tokens]
-    return (idx.read(eq_filter={TOKEN_COL: vals})
+    # NULL never equals anything: drop it from the probe set (an all-NULL
+    # probe becomes the empty IN-list, which matches nothing)
+    vals = [v for v in vals if v is not None]
+    m = idx.manifest()
+    buckets = None
+    if vals and m.bucket_key == TOKEN_COL:
+        from ..sources.laketable import _type_of, bucket_expr
+
+        tok_type = next(f["type"] for f in m.schema_version.fields
+                        if f["name"] == TOKEN_COL)
+        sch = T.StructType([T.StructField(TOKEN_COL, _type_of(tok_type))])
+        buckets = {r[0] for r in
+                   idx.spark.createDataFrame([(v,) for v in vals], sch)
+                   .select(bucket_expr(TOKEN_COL, m.n_buckets)).collect()}
+    return (idx.read(buckets=buckets, eq_filter={TOKEN_COL: vals})
             .select(TOKEN_COL, *keys))

@@ -139,3 +139,24 @@ def test_ensure_is_idempotent(spark, warehouse):
     i2 = ensure_inverted_index(cat, base, "idx", keys=["doc_id"])
     assert i1.name == i2.name
     assert _state(i2.read()) == [(1, "a"), (2, "a")]
+
+
+def test_probe_bucket_prunes_and_matches_unpruned_read(spark, warehouse):
+    cat, base = _mk(spark, warehouse)
+    base.append(_rows(spark, [(f"d{i}", [i, i + 100]) for i in range(60)]))
+    idx = ensure_inverted_index(cat, base, "idx", keys=["doc_id"],
+                                n_buckets=8)
+    got = _state(probe(idx, [7, 33], keys=["doc_id"]))
+    want = _state(idx.read()
+                  .filter(F.col("token").isin([7, 33])))
+    assert got == want and len(got) == 2
+    # the probed buckets are a strict subset at this bucket count
+    from embulk_output_databricks_spark.sources.laketable import bucket_expr
+    from pyspark.sql import types as TT
+    bks = {r[0] for r in spark.createDataFrame(
+        [(7,), (33,)], TT.StructType([TT.StructField("token", TT.IntegerType())]))
+        .select(bucket_expr("token", 8)).collect()}
+    st = idx.scan_stats(buckets=bks, eq_filter={"token": [7, 33]})
+    assert st["pruned_bucket"] > 0
+    # NULL probe values match nothing and don't break bucket computation
+    assert probe(idx, [None, 7], keys=["doc_id"]).count() == 1
