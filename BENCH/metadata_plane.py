@@ -28,12 +28,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from embulk_output_databricks_spark.schema import SEQUENCES_SCHEMA  # noqa: E402
 from embulk_output_databricks_spark.session import build_session  # noqa: E402

@@ -41,6 +41,19 @@ from .streaming.replay import EvolutionOp, ReplayDriver
 
 WORK_ROOT = "/tmp/spark_graft_entry"
 
+
+def _drain(q, timeout_s: int = 300) -> None:
+    """Block until a streaming query finishes; FAIL LOUDLY on timeout.
+    awaitTermination returns False on timeout with the query still
+    running — ignoring that, the subsequent read of the sink dir races a
+    mid-overwrite foreachBatch and yields a confusing downstream error
+    instead of the real one."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after "
+            f"{timeout_s}s — sink output would be incomplete")
+
 # ---------------------------------------------------------------- helpers
 
 _STATE_COLS = ["user_id", "ts_us", "event_type", "value", "props"]
@@ -520,7 +533,11 @@ def q_cdc_token_lookup(spark, sf_dir):
     m = tbl.manifest()
     kept = _bloom_keep(m, m.files, {"tokens": probe})
     assert 0 < len(kept) < len(m.files), "token bloom skipped no files"
-    return tbl.read(eq_filter={"tokens": probe})
+    # harness-safe projection (see q_tok_derive): the matched rows' token
+    # arrays come back as fingerprints, the north rule's equality check
+    return tbl.read(eq_filter={"tokens": probe}).select(
+        "user_id", "ts_us",
+        P.f_tokens_fingerprint(F.col("tokens")).alias("tok_fp"))
 
 
 def q_cdc_neardup_index(spark, sf_dir):
@@ -1768,7 +1785,7 @@ def q_cdc_stateful_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     out = spark.read.schema(CHANGELOG_SCHEMA).parquet(f"{base}/out")
     win = lww_dedup(out, keys=["doc_id"], order=["seq_lsn", "event_id"])
     return win.select(
@@ -2142,11 +2159,15 @@ def _doc_tokens(spark, sf_dir):
 
 def q_tok_derive(spark, sf_dir):
     """Deterministic tokenizer + token-array validation fingerprint
-    (JVM higher-order expressions end-to-end)."""
+    (JVM higher-order expressions end-to-end). The token ARRAY itself
+    stays internal: query outputs project it through f_tokens_fingerprint
+    because the driver harness canonicalizes results via pandas sort,
+    where list-typed cells are unhashable (round-1 cdc_token_lookup
+    failure mode) — and the fingerprint IS the north rule's row-equality
+    check for token payloads."""
     t = _doc_tokens(spark, sf_dir)
     return t.select(
         "doc_id",
-        "tokens",
         F.size("tokens").alias("n_tok"),
         P.f_tokens_fingerprint(F.col("tokens")).alias("fp"),
     )
@@ -2164,18 +2185,28 @@ def q_tok_fingerprint_arrow(spark, sf_dir):
     return t.select("doc_id", tokens_fingerprint_arrow(F.col("tokens")).alias("fp"))
 
 
+def _fp_chunks(chunked):
+    # harness-safe projection: chunk arrays -> validation fingerprints
+    return chunked.select(
+        "doc_id", "chunk_id", "n_tok",
+        P.f_tokens_fingerprint(F.col("tokens")).alias("fp"))
+
+
 def q_tok_chunks(spark, sf_dir):
-    """Token re-chunking to <=32-token training chunks (JVM slice+posexplode)."""
+    """Token re-chunking to <=32-token training chunks (JVM slice+posexplode).
+    Chunk arrays are projected to fingerprints for the harness (see
+    q_tok_derive); the operator itself returns real arrays."""
     from .transforms import chunk_tokens
 
-    return chunk_tokens(_doc_tokens(spark, sf_dir), TOK_CHUNK_LEN)
+    return _fp_chunks(chunk_tokens(_doc_tokens(spark, sf_dir), TOK_CHUNK_LEN))
 
 
 def q_tok_chunks_arrow(spark, sf_dir):
     """mapInPandas twin of tok_chunks (Arrow batch path, same oracle)."""
     from .transforms import chunk_tokens_arrow
 
-    return chunk_tokens_arrow(_doc_tokens(spark, sf_dir), TOK_CHUNK_LEN)
+    return _fp_chunks(
+        chunk_tokens_arrow(_doc_tokens(spark, sf_dir), TOK_CHUNK_LEN))
 
 
 PACK_LEN, PACK_GROUPS = 512, 16
@@ -2251,10 +2282,14 @@ def q_media_embed(spark, sf_dir):
     """binary payload -> Arrow-batched feature-extraction kernel -> signature
     vector (the embed leg of the multimodal pipeline; the stub encoder is
     md5-derived so the oracle recomputes it, the batch plumbing is real).
-    Output feeds the ANN/near-dup operators unchanged."""
+    The operator's array output feeds ANN/near-dup unchanged; the QUERY
+    projects it to a fingerprint for the harness (see q_tok_derive)."""
     from .operators.media import embed_media, media_from_docs
 
-    return embed_media(media_from_docs(_docs(spark, sf_dir)))
+    emb = embed_media(media_from_docs(_docs(spark, sf_dir)))
+    return emb.select(
+        "media_id", "kind",
+        P.f_tokens_fingerprint(F.col("emb")).alias("emb_fp"))
 
 
 def _sql_hexint(e: str, start: int, n: int) -> str:
@@ -2281,7 +2316,8 @@ def _sql_tok_chunks() -> str:
            FROM d WHERE len(toks) > 0
          )
     SELECT doc_id, CAST(u.chunk_id AS INTEGER) AS chunk_id,
-           u.tokens AS tokens, len(u.tokens) AS n_tok
+           len(u.tokens) AS n_tok,
+           {P.sql_tokens_fingerprint('u.tokens')} AS fp
     FROM c
     """
 
@@ -2345,7 +2381,7 @@ def _sql_media_embed() -> str:
     return f"""
     SELECT doc_id AS media_id,
            (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
-           [{comps}] AS emb
+           {P.sql_tokens_fingerprint(f'[{comps}]')} AS emb_fp
     FROM documents
     """
 
@@ -2534,7 +2570,7 @@ def q_events_tumbling_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(f"{base}/out")
 
 
@@ -2569,7 +2605,7 @@ def q_events_stream_enrich(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(f"{base}/out")
 
 
@@ -2612,7 +2648,7 @@ def q_events_stream_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(f"{base}/out")
 
 
@@ -2660,7 +2696,7 @@ def q_events_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(f"{base}/out")
 
 
@@ -2747,7 +2783,7 @@ def q_events_session_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     per_session = spark.read.parquet(f"{base}/out")
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -4162,13 +4198,17 @@ def q_cdc_stream_tail(spark, sf_dir):
     driver = ReplayDriver(cat, cfg)
     q = tail_binlog_dir(spark, f"{base}/binlog/part*", driver,
                         f"{base}/ckpt", max_files_per_trigger=1)
-    q.awaitTermination(300)
-    return driver.table.read().select("doc_id", "tokens", "n_tok", "source")
+    _drain(q)
+    # harness-safe projection (see q_tok_derive): token-array equality is
+    # checked through the fingerprint, not the raw list column
+    return driver.table.read().select(
+        "doc_id", P.f_tokens_fingerprint(F.col("tokens")).alias("tok_fp"),
+        "n_tok", "source")
 
 
-_SQL_STREAM_TAIL = """
+_SQL_STREAM_TAIL = f"""
 SELECT CAST(user_id AS VARCHAR) AS doc_id,
-       [CAST(round(value * 100) AS INTEGER)] AS tokens,
+       {P.sql_tokens_fingerprint('[CAST(round(value * 100) AS INTEGER)]')} AS tok_fp,
        1 AS n_tok,
        event_type AS source
 FROM (
@@ -5446,10 +5486,11 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "cdc_token_lookup": f"""
             SELECT user_id, ts_us,
-                   [CAST((user_id % 4) * 1000 + user_id % 2 AS INTEGER),
-                    CAST((user_id % 4) * 1000 + 100 + user_id % 17 AS INTEGER),
-                    CAST((user_id % 4) * 1000 + 200 + user_id % 19 AS INTEGER)
-                   ] AS tokens
+                   {P.sql_tokens_fingerprint(
+                       "[CAST((user_id % 4) * 1000 + user_id % 2 AS INTEGER), "
+                       "CAST((user_id % 4) * 1000 + 100 + user_id % 17 AS INTEGER), "
+                       "CAST((user_id % 4) * 1000 + 200 + user_id % 19 AS INTEGER)]"
+                   )} AS tok_fp
             FROM {_sql_lww()}
             WHERE list_contains(
                 [(user_id % 4) * 1000 + user_id % 2,
@@ -5651,7 +5692,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash_pairs": _sql_simhash_pairs(),
         "tok_derive": f"""
-            SELECT doc_id, {P.sql_word_ids('text')} AS tokens,
+            SELECT doc_id,
                    len({P.sql_word_ids('text')}) AS n_tok,
                    {P.sql_tokens_fingerprint(P.sql_word_ids('text'))} AS fp
             FROM documents

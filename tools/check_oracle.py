@@ -13,8 +13,10 @@ import sys
 import time
 
 import duckdb
+from pyspark.sql import types as ST
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -60,7 +62,22 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            # the DRIVER harness canonicalizes via pandas sort_values,
+            # where list/dict cells raise "unhashable type" (round-1
+            # cdc_token_lookup): reject complex-typed output columns here
+            # so the local gate catches them before the driver does
+            complex_cols = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if isinstance(f.dataType,
+                              (ST.ArrayType, ST.MapType, ST.StructType))]
+            if complex_cols:
+                raise TypeError(
+                    f"harness-unsafe output columns {complex_cols}: project "
+                    "arrays through portable.f_tokens_fingerprint (or "
+                    "another scalarizer) in BOTH the query and its oracle")
+            sdf = df.toPandas()
         except Exception as ex:
             fails.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL {name}: spark error: {ex}")
