@@ -338,19 +338,25 @@ def sql_tokens_fingerprint(e: str) -> str:
 
 # ---------- sign-random-projection LSH (ANN scale path) ----------
 
-def srp_weights(planes: int = 8, dim: int = 64) -> list[list[float]]:
+def srp_weights(planes: int = 8, dim: int = 64,
+                offset: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1000, 1000]: shared
-    Python-side constants embedded as literals on both engines."""
+    Python-side constants embedded as literals on both engines. `offset`
+    selects a disjoint plane family (planes offset..offset+planes-1) so
+    multi-table LSH (OR-amplification) gets independent hash tables from
+    the same generator."""
     return [
-        [float(((p * KNUTH + j * 40503) % 2001) - 1000) for j in range(dim)]
+        [float((((p + offset) * KNUTH + j * 40503) % 2001) - 1000)
+         for j in range(dim)]
         for p in range(planes)
     ]
 
 
-def f_srp_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
+def f_srp_bucket(vec: Column, planes: int = 8, dim: int = 64,
+                 offset: int = 0) -> Column:
     """LSH bucket id: bit p of the id is sign(dot(vec, plane_p)) — cosine
     neighbors collide with high probability; bucket count = 2^planes."""
-    ws = srp_weights(planes, dim)
+    ws = srp_weights(planes, dim, offset)
     bucket = F.lit(0)
     for p in range(planes):
         wa = F.array(*[F.lit(w) for w in ws[p]])
@@ -363,8 +369,9 @@ def f_srp_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
     return bucket
 
 
-def sql_srp_bucket(e: str, planes: int = 8, dim: int = 64) -> str:
-    ws = srp_weights(planes, dim)
+def sql_srp_bucket(e: str, planes: int = 8, dim: int = 64,
+                   offset: int = 0) -> str:
+    ws = srp_weights(planes, dim, offset)
     parts = []
     for p in range(planes):
         arr = "[" + ", ".join(f"{w}::DOUBLE" for w in ws[p]) + "]"

@@ -94,9 +94,26 @@ def minhash_lsh_pairs(
     k: int = 16,
     n: int = 3,
     bands: int = 4,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing any LSH band."""
+    """Candidate near-dup pairs (doc_a < doc_b) sharing any LSH band.
+
+    `max_band_bucket` caps the degenerate hot band: N identical docs land
+    in ONE (band, digest) bucket and would emit N^2 candidate pairs — at
+    corpus scale a single boilerplate page can be millions of rows. With
+    the cap, each band bucket keeps only its `max_band_bucket` smallest
+    doc ids (deterministic window rank, one extra shuffle on the bucket
+    key) before pairing, bounding per-bucket work to cap^2. Capped-out
+    docs still dedup transitively through the connected-components step
+    as long as the kept representatives chain. None = exact candidates
+    (the oracle-checked default)."""
     e = minhash_band_digests(docs, text_col, id_col, k, n, bands)
+    if max_band_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("b", "digest").orderBy("doc_id")
+        e = (e.withColumn("__rk", F.row_number().over(w))
+             .filter(F.col("__rk") <= max_band_bucket).drop("__rk"))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -140,19 +157,63 @@ def simhash_docs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def hamming_band_pairs(sigs: DataFrame, max_hamming: int, bits: int = 32,
+                       id_col: str = "doc_id",
+                       sig_col: str = "simhash") -> DataFrame:
+    """EXACT Hamming-distance pair search (id_a < id_b, distance <=
+    max_hamming) as an equi-join — the Manku/Google simhash block scheme.
+
+    Pigeonhole: split the `bits`-wide signature into max_hamming+1 bit
+    blocks; two signatures within Hamming distance max_hamming disagree
+    in at most max_hamming blocks, so they agree EXACTLY on at least one
+    block. Candidates are therefore pairs sharing (block_idx,
+    block_value) for any block — a plain equi-join the planner shuffles
+    on the block key (AQE-skew-splittable) — then the exact popcount
+    filter keeps true pairs and `distinct` collapses multi-block hits.
+    Identical output to the O(n^2) theta join, never materializing it.
+
+    Scale knobs: selectivity per block is 2^(bits/(max_hamming+1))
+    buckets — wider signatures (64/128-bit) buy exponentially thinner
+    buckets at the same max_hamming, which is how production simhash
+    (64-bit, k=3 -> 4 blocks of 16 bits) keeps block buckets tiny."""
+    blocks = max_hamming + 1
+    if blocks > bits:
+        raise ValueError(f"max_hamming {max_hamming} needs {blocks} blocks "
+                         f"but the signature has only {bits} bits")
+    bounds = [round(i * bits / blocks) for i in range(blocks + 1)]
+    spans = [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(blocks)]
+    sig = F.col(sig_col).cast("bigint")
+    e = sigs.select(
+        F.col(id_col).alias("__id"),
+        sig.alias("__sig"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(sig, lo)
+                .bitwiseAND(F.lit((1 << w) - 1)).alias("bv"))
+            for i, (lo, w) in enumerate(spans)])).alias("x"),
+    ).select("__id", "__sig", "x.blk", "x.bv")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("doc_a"),
+                F.col("b.__id").alias("doc_b"),
+                F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance (small-N exact variant;
-    at scale, pre-bucket by rotated prefixes before pairing)."""
-    s = simhash_docs(docs, text_col, id_col)
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    """SimHash near-dup pairs by Hamming distance — exact output via the
+    pigeonhole block banding above (no all-pairs join at any scale)."""
+    return hamming_band_pairs(
+        simhash_docs(docs, text_col, id_col),
+        max_hamming=max_hamming, bits=32, id_col="doc_id", sig_col="simhash")
 
 
 def neardup_components(

@@ -88,6 +88,56 @@ def ivf_topk(emb: DataFrame, n_queries: int, k: int, n_centroids: int = 8,
     )
 
 
+def srp_neardup_pairs(emb: DataFrame, tau: float,
+                      planes: int = 4, tables: int = 2, dim: int = 64,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      max_bucket: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= tau) with
+    LSH candidate generation — the scale replacement for the all-pairs
+    theta join (O(n^2) at any scale; the round-1 shape this retires).
+
+    AND-OR amplification, the standard production near-dup scheme: each of
+    `tables` independent hash tables buckets every vector by `planes`
+    sign-random-projections (disjoint plane families via the offset
+    parameter of portable.srp_weights); candidates are pairs sharing ANY
+    table's bucket (equi-join on (table, bucket) — shuffle-partitionable,
+    AQE-skew-splittable), then the exact cosine confirms. The SEMANTIC is
+    the candidate predicate too — the DuckDB oracle evaluates the same
+    shared-bucket disjunction, so the gate is exact. Recall against the
+    ideal all-pairs output is the documented LSH tradeoff: collision prob
+    per pair is 1-(1-p^planes)^tables with p = 1 - theta/pi — raise
+    `tables` (more work) or lower `planes` (bigger buckets) to push it up;
+    genuine near-dups (cos -> 1) collide with prob -> 1. Work per bucket
+    is sum of squares of bucket sizes ~ n^2/2^planes for uniform data;
+    `max_bucket` caps a degenerate hot bucket like minhash_lsh_pairs."""
+    b = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                P.f_srp_bucket(F.col(vec_col), planes, dim,
+                               offset=t * planes).alias("bkt"))
+            for t in range(tables)])).alias("x"),
+    ).select("__id", "__v", "x.t", "x.bkt")
+    if max_bucket is not None:
+        w = Window.partitionBy("t", "bkt").orderBy("__id")
+        b = (b.withColumn("__rk", F.row_number().over(w))
+             .filter(F.col("__rk") <= max_bucket).drop("__rk"))
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("vec_a"), F.col("b.__id").alias("vec_b"),
+                F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb"))
+        .distinct()
+        .withColumn("cos", P.f_cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= tau)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 def srp_bucketed_topk(emb: DataFrame, n_queries: int, k: int,
                       planes: int = 4, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

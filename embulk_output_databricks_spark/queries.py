@@ -2473,19 +2473,23 @@ def _sql_ann() -> str:
 
 
 EMB_TAU = 0.4  # data-informed: embeddings are near-orthogonal (max pair cos ~0.51)
+EMB_PLANES, EMB_TABLES = 4, 2  # AND-OR LSH: 2 tables x 4-plane buckets
 
 
 def q_emb_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (a<b, cos >= tau)."""
+    """Embedding-cosine near-duplicate pairs (a<b, cos >= tau) via AND-OR
+    SRP-LSH candidate generation + exact-cosine confirm
+    (operators/similarity.py srp_neardup_pairs). The round-1 version was
+    `a.join(b, vec_a < vec_b)` — a BroadcastNestedLoop/cartesian, O(n^2)
+    at any scale; this plan's candidate join is an equi-join on
+    (table, bucket). The oracle evaluates the SAME candidate predicate
+    (shared bucket in either table), so the gate stays exact while the
+    recall-vs-work tradeoff is carried by the LSH knobs, not hidden."""
+    from .operators.similarity import srp_neardup_pairs
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", P.f_cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= EMB_TAU)
-        .select("vec_a", "vec_b", "cos")
-    )
+    return srp_neardup_pairs(e, tau=EMB_TAU,
+                             planes=EMB_PLANES, tables=EMB_TABLES)
 
 
 # ================================================================ Group D
@@ -5721,9 +5725,16 @@ def _oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "emb_neardup": f"""
+            WITH z AS (SELECT vec_id, embedding,
+                              {P.sql_srp_bucket('embedding', EMB_PLANES, 64,
+                                                offset=0)} AS b0,
+                              {P.sql_srp_bucket('embedding', EMB_PLANES, 64,
+                                                offset=EMB_PLANES)} AS b1
+                       FROM embeddings)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    {P.sql_cosine('a.embedding', 'b.embedding')} AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM z a JOIN z b ON a.vec_id < b.vec_id
+                             AND (a.b0 = b.b0 OR a.b1 = b.b1)
             WHERE {P.sql_cosine('a.embedding', 'b.embedding')} >= {EMB_TAU}
         """,
         "pricing_summary": f"""
