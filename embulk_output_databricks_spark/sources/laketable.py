@@ -881,10 +881,14 @@ class LakeTable:
             while len(self._manifest_cache) > 8:
                 self._manifest_cache.pop(next(iter(self._manifest_cache)))
         d, segments, removed = hit
-        # fresh list + properties dict per call: callers build new manifests
-        # from these (never mutate entries in place), but the top-level
-        # containers must not alias across calls
-        m = Manifest(**{**d, "files": list(d["files"]),
+        # fresh list + properties dict per call AND a shallow copy of each
+        # file entry: the codebase has in-place entry-mutation idioms
+        # (e["ridc"]=True, e["kind"]="delta") that today only target
+        # freshly-written entries, but one future caller mutating a CACHED
+        # entry would silently corrupt every later read of this version.
+        # dict(f) per entry costs ~30 ms at 100k files — noise next to the
+        # ~1.4 s cold merge the cache avoids (BENCH/metadata_plane.py).
+        m = Manifest(**{**d, "files": [dict(f) for f in d["files"]],
                         "properties": dict(d["properties"])})
         m._segments = segments  # type: ignore[attr-defined]  # None = legacy inline
         m._removed = list(removed)  # type: ignore[attr-defined]
@@ -3715,10 +3719,16 @@ class LakeTable:
             # analyze(); with nothing missing this is a pure metadata pass
             got = self.analyze(persist=True)
             scanned = max(v["files_scanned"] for v in got.values())
-            if scanned:
+            skipped = sorted(c for c, v in got.items()
+                             if v.get("unsupported"))
+            if scanned or skipped:
                 report["analyze"] = {
                     "files_scanned": scanned,
-                    "ndv": {c: v["ndv"] for c, v in got.items()}}
+                    "ndv": {c: v["ndv"] for c, v in got.items()
+                            if not v.get("unsupported")}}
+                if skipped:
+                    # legacy/unsketchable columns: noted, never fatal
+                    report["analyze"]["unsupported"] = skipped
         if expire_keep_last is not None:
             dropped = self.expire_snapshots(keep_last=expire_keep_last,
                                             older_than_us=expire_older_than_us)
@@ -3838,6 +3848,21 @@ class LakeTable:
         props.setdefault("operation", "set-bloom-columns")
         return self._commit(base, base.files, props)
 
+    @staticmethod
+    def _kmv_sketchable(type_str: str) -> bool:
+        """Types the KMV harvest can hash (sketch.build via
+        bloom._normalize: bool/int/float/str/bytes, arrays thereof —
+        arrays sketch their ELEMENTS). Everything else (map, struct,
+        timestamp, date, decimal) raises TypeError at harvest time, so it
+        is rejected up front instead of turning maintain() into a
+        guaranteed-failing job for a config the API accepted."""
+        t = type_str.strip().lower()
+        while t.startswith("array<") and t.endswith(">"):
+            t = t[6:-1].strip()
+        return t in {"boolean", "tinyint", "byte", "smallint", "short",
+                     "int", "integer", "bigint", "long", "float", "double",
+                     "string", "varchar", "binary"}
+
     def set_ndv_columns(self, cols: list[str],
                         properties: dict | None = None,
                         k: int | None = None) -> Manifest:
@@ -3849,10 +3874,16 @@ class LakeTable:
         property ndv_k, default 1024): exact answers below k distinct,
         ~1/sqrt(k) relative error above."""
         base = self.manifest()
-        names = {f["name"] for f in base.schema_version.fields}
-        unknown = set(cols) - names
+        by_name = {f["name"]: f for f in base.schema_version.fields}
+        unknown = set(cols) - set(by_name)
         if unknown:
             raise ValueError(f"ndv_columns not in schema: {sorted(unknown)}")
+        bad = [c for c in cols if not self._kmv_sketchable(by_name[c]["type"])]
+        if bad:
+            raise ValueError(
+                f"ndv_columns of unsketchable type: "
+                f"{[(c, by_name[c]['type']) for c in bad]} — KMV sketches "
+                "support bool/int/float/string/binary and arrays of those")
         props = dict(properties or {})
         props["ndv_columns"] = ",".join(cols)
         if k is not None:
@@ -3905,6 +3936,13 @@ class LakeTable:
         if unknown:
             raise ValueError(f"analyze of unknown columns: {sorted(unknown)}")
         svs = {s.sv: s for s in m.schema_versions}
+        # legacy escape hatch: ndv_columns set before type validation
+        # existed (or a widen to an unsupported type) must not turn every
+        # later analyze/maintain into a guaranteed crash — report the
+        # column as unsupported instead and sketch the rest
+        unsupported = [c for c in cols
+                       if not self._kmv_sketchable(cur_by_name[c]["type"])]
+        cols = [c for c in cols if c not in unsupported]
         blobs: dict[str, list[str]] = {c: [] for c in cols}
         from_sketch: dict[str, int] = {c: 0 for c in cols}
         need: dict[str, dict[str, str]] = {}  # rel path -> {col: phys name}
@@ -3961,6 +3999,9 @@ class LakeTable:
             out[c] = {"ndv": int(round(est)), "exact": ex,
                       "files_from_sketch": from_sketch[c],
                       "files_scanned": len(need)}
+        for c in unsupported:
+            out[c] = {"ndv": None, "exact": False, "unsupported": True,
+                      "files_from_sketch": 0, "files_scanned": 0}
         return out
 
     def _harvest_kmv(self, need: dict[str, dict[str, str]],

@@ -66,8 +66,18 @@ def posting_deltas(diff_df: DataFrame, keys: list[str],
     per-document duplicates collapse via array_distinct, so a +1 here
     means "posting appears" and -1 "posting disappears" — tokens present
     in both versions of an edited document cancel and write nothing."""
-    old_col = (f"__old_{token_col}"
-               if f"__old_{token_col}" in diff_df.columns else token_col)
+    old_col = f"__old_{token_col}"
+    if old_col not in diff_df.columns:
+        # tokmaint's histogram can tolerate a lenient fallback (net counts
+        # still cancel); an EXACT postings index cannot: without the old
+        # array, a 'U' row's adds and retracts explode the SAME array and
+        # cancel, so updates would write nothing and the index silently
+        # diverges from the base. Reject instead (include_old=True is the
+        # documented contract; sync_inverted_index always passes it).
+        raise ValueError(
+            f"posting_deltas requires the {old_col!r} column "
+            "(diff/keyed_changes with include_old=True): without old "
+            "values, updates and deletes would corrupt the index")
     adds = (diff_df.filter(F.col("__op").isin("I", "U"))
             .select(*keys,
                     F.explode(F.array_distinct(token_col)).alias(TOKEN_COL))

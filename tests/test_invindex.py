@@ -160,3 +160,15 @@ def test_probe_bucket_prunes_and_matches_unpruned_read(spark, warehouse):
     assert st["pruned_bucket"] > 0
     # NULL probe values match nothing and don't break bucket computation
     assert probe(idx, [None, 7], keys=["doc_id"]).count() == 1
+
+
+def test_posting_deltas_requires_old_column(spark, warehouse):
+    # an exact postings index corrupts silently if a U row lacks the old
+    # array (adds and retracts cancel): the helper must reject, not guess
+    cat, base = _mk(spark, warehouse)
+    base.append(_rows(spark, [("a", [1, 2])]))
+    merge_apply(base, _staged(spark, [("a", [2, 3], "U")]),
+                keys=["doc_id"], support_deletes=True)
+    d = base.diff(0, keys=["doc_id"], include_old=False)
+    with pytest.raises(ValueError, match="__old_tokens"):
+        posting_deltas(d, keys=["doc_id"])

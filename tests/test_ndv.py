@@ -163,3 +163,44 @@ def test_maintain_fires_analyze_until_complete(spark, warehouse):
     assert rep["analyze"]["ndv"] == {"cat": 5}
     # sketches persisted: the next pass is pure metadata, no action logged
     assert "analyze" not in t.maintain(max_files_per_bucket=100)
+
+
+def test_set_ndv_rejects_unsketchable_types(spark, warehouse):
+    # map/struct/timestamp columns cannot be KMV-hashed: reject at config
+    # time instead of crashing every later maintain() (round-1 advice)
+    cat = LakeCatalog(spark, f"{warehouse}/ndv")
+    sch = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t = cat.create_table("badtypes", sch, n_buckets=2, bucket_key="k")
+    for col in ("m", "ts"):
+        with pytest.raises(ValueError, match="unsketchable"):
+            t.set_ndv_columns([col])
+    t.set_ndv_columns(["k"])  # sketchable ones still fine
+
+
+def test_analyze_and_maintain_skip_legacy_unsupported_column(spark, warehouse):
+    # simulate a legacy table whose ndv_columns predate type validation:
+    # analyze reports the column unsupported, maintain() notes it and
+    # keeps running instead of raising on every pass
+    cat = LakeCatalog(spark, f"{warehouse}/ndv")
+    sch = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+    ])
+    t = cat.create_table("legacy", sch, n_buckets=2, bucket_key="k")
+    t.append(spark.createDataFrame([("a", {"x": 1}), ("b", {"y": 2})], sch))
+    m = t.manifest()
+    t._commit(m, m.files, {"ndv_columns": "k,m",
+                           "operation": "legacy-ndv-config"})
+    got = t.analyze()
+    assert got["m"]["unsupported"] and got["m"]["ndv"] is None
+    assert got["k"]["ndv"] == 2
+    rep = t.maintain(max_files_per_bucket=100)
+    assert rep["analyze"]["unsupported"] == ["m"]
+    assert rep["analyze"]["ndv"] == {"k": 2}
+    # second pass: k's sketches persisted, m still skipped, never raises
+    rep2 = t.maintain(max_files_per_bucket=100)
+    assert rep2.get("analyze", {}).get("unsupported") == ["m"]
