@@ -54,7 +54,22 @@ _ALLOWED_TYPES = {
 class JobConfig:
     table: str = "sequences"
     mode: ApplyMode = ApplyMode.MERGE
-    merge_keys: list[str] = field(default_factory=lambda: ["doc_id"])
+    merge_keys: list[str] | None = None
+                                  # None = DISCOVER: the reference derives
+                                  # merge keys from the target's primary key
+                                  # when merge_keys is omitted (README.md:36,
+                                  # TestDatabaseMetadata.java:51-56); the
+                                  # lake analog is the Iceberg-style
+                                  # `identifier_fields` table property,
+                                  # falling back to ["doc_id"] when the
+                                  # target is new or unannotated. Explicit
+                                  # keys always win; explicit [] is an error
+                                  # under merge. Resolution happens at
+                                  # driver/apply time (plans/apply.py
+                                  # resolve_merge_keys) and newly created
+                                  # merge targets are stamped with
+                                  # identifier_fields so later omitted-key
+                                  # jobs discover the same keys.
     merge_rules: dict[str, str] = field(default_factory=dict)
     before_load: str | None = None
     after_load: str | None = None
@@ -191,11 +206,14 @@ class JobConfig:
         if not self.table or len(self.table) > 127:
             # max identifier length 127: DatabricksOutputPlugin.java:111
             raise ConfigError("table name must be 1..127 chars")
-        if self.mode is ApplyMode.MERGE and not self.merge_keys:
+        if self.mode is ApplyMode.MERGE and self.merge_keys is not None \
+                and not self.merge_keys:
             # merge requires keys (ref README.md:36: required when the table
-            # has no primary key; our lake format has no PK concept so the
-            # default ['doc_id'] plays the PK-discovery role, SURVEY B7)
-            raise ConfigError("merge mode requires non-empty merge_keys")
+            # has no primary key). None means discover-from-metadata
+            # (identifier_fields property, then the ['doc_id'] default,
+            # SURVEY B7); an EXPLICIT empty list is always a config error.
+            raise ConfigError("merge mode requires non-empty merge_keys "
+                              "(or None to discover from identifier_fields)")
         for col, typ in self.column_types.items():
             if typ.lower() not in _ALLOWED_TYPES:
                 raise ConfigError(f"column_types[{col!r}]: unsupported type {typ!r}")

@@ -35,6 +35,33 @@ def _run_hook(table: LakeTable, sql: str | None) -> None:
     table.spark.sql(sql).collect()
 
 
+DEFAULT_MERGE_KEYS = ["doc_id"]
+
+
+def resolve_merge_keys(cfg: JobConfig, table: LakeTable | None) -> list[str]:
+    """Merge-key discovery (ref README.md:36 derives keys from the target
+    PK when merge_keys is omitted, TestDatabaseMetadata.java:51-56): the
+    lake analog reads the Iceberg-style `identifier_fields` table
+    property. Precedence: explicit config > table property > ["doc_id"].
+    Property names are validated against the live schema so a stale
+    annotation fails fast instead of merging on a ghost column."""
+    if cfg.merge_keys is not None:
+        return cfg.merge_keys
+    if table is not None:
+        m = table.manifest()
+        prop = m.properties.get("identifier_fields")
+        if prop:
+            keys = [c.strip() for c in prop.split(",") if c.strip()]
+            names = {f["name"] for f in m.schema_version.fields}
+            missing = [k for k in keys if k not in names]
+            if missing:
+                raise ConfigError(
+                    f"identifier_fields names columns not in the target "
+                    f"schema: {missing} (property {prop!r})")
+            return keys
+    return list(DEFAULT_MERGE_KEYS)
+
+
 def ensure_table(catalog: LakeCatalog, cfg: JobConfig, schema) -> LakeTable:
     """Auto-create the target when missing (ref B11: auto-create target,
     README.md:51,55,67). cfg.column_types overrides per-column types at
@@ -54,8 +81,17 @@ def ensure_table(catalog: LakeCatalog, cfg: JobConfig, schema) -> LakeTable:
             if f.name in cfg.column_types else f
             for f in schema.fields
         ])
-    bucket_key = cfg.merge_keys[0] if cfg.merge_keys else None
-    return catalog.create_table(cfg.table, schema, n_buckets=cfg.n_buckets, bucket_key=bucket_key)
+    keys = resolve_merge_keys(cfg, None) if cfg.mode is ApplyMode.MERGE \
+        else (cfg.merge_keys or [])
+    bucket_key = keys[0] if keys else None
+    props = None
+    if cfg.mode is ApplyMode.MERGE and keys:
+        # advertise the merge keys on the created table (identifier_fields)
+        # so a later job with merge_keys omitted discovers the same keys —
+        # the metadata round-trip the reference gets from the PK catalog
+        props = {"identifier_fields": ",".join(keys)}
+    return catalog.create_table(cfg.table, schema, n_buckets=cfg.n_buckets,
+                                bucket_key=bucket_key, properties=props)
 
 
 def apply_batch(
@@ -90,11 +126,12 @@ def apply_batch(
         drop = [c for c in staged.columns if c == "op"]
         m = table.replace(staged.drop(*drop), properties=properties)
     elif mode is ApplyMode.MERGE:
+        keys = resolve_merge_keys(cfg, table)
         if cfg.merge_strategy == "mor":
             m = merge_apply_mor(
                 table,
                 staged,
-                keys=cfg.merge_keys,
+                keys=keys,
                 support_deletes=cfg.support_deletes,
                 properties=properties,
             )
@@ -104,7 +141,7 @@ def apply_batch(
             m = apply_with_cdf(
                 table,
                 staged,
-                keys=cfg.merge_keys,
+                keys=keys,
                 support_deletes=cfg.support_deletes,
                 properties=properties,
                 broadcast_threshold_rows=cfg.broadcast_merge_threshold,
@@ -113,7 +150,7 @@ def apply_batch(
             m = merge_apply(
                 table,
                 staged,
-                keys=cfg.merge_keys,
+                keys=keys,
                 merge_rules=cfg.merge_rules,
                 support_deletes=cfg.support_deletes,
                 properties=properties,

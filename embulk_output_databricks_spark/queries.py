@@ -167,6 +167,26 @@ def q_cdc_merge_upsert(spark, sf_dir):
     return tbl.read()
 
 
+def q_cdc_identifier_keys(spark, sf_dir):
+    """B7: merge-key DISCOVERY from table metadata — merge_keys omitted
+    (None), the target's identifier_fields property supplies them (the
+    reference derives keys from the target PK when merge_keys is absent,
+    README.md:36, TestDatabaseMetadata.java:51-56). Same final state as
+    cdc_merge_upsert proves the discovered keys drove the merge."""
+    from .plans.apply import apply_batch, resolve_merge_keys
+
+    t_half, s_half = _halves(spark, sf_dir)
+    tbl = _new_table(spark, "ident_keys",
+                     properties={"identifier_fields": "user_id"})
+    tbl.append(_lww(t_half))
+    cfg = JobConfig(table="t", mode="merge", merge_keys=None,
+                    support_deletes=False)
+    if resolve_merge_keys(cfg, tbl) != ["user_id"]:
+        raise RuntimeError("identifier_fields discovery failed")
+    apply_batch(tbl, _lww(s_half), cfg)
+    return tbl.read()
+
+
 def _sql_merge(staged_wins_cols: str, where: str = "", staged_extra: str = "") -> str:
     return f"""
     WITH t AS (SELECT * FROM {_sql_lww("event_id % 2 = 0")}),
@@ -5270,6 +5290,7 @@ SPARK_QUERIES = {
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_lww_window": q_cdc_lww_window,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "cdc_identifier_keys": q_cdc_identifier_keys,
     "cdc_merge_composite": q_cdc_merge_composite,
     "cdc_merge_rules": q_cdc_merge_rules,
     "cdc_merge_partial": q_cdc_merge_partial,
@@ -5446,6 +5467,7 @@ def _oracle_sql() -> dict[str, str]:
         "cdc_lww_window": lww,
         "cdc_scd2": _SQL_SCD2,
         "cdc_merge_upsert": _sql_merge(_UPSERT_COLS),
+        "cdc_identifier_keys": _sql_merge(_UPSERT_COLS),
         "cdc_table_follow": _sql_merge(_UPSERT_COLS),
         "cdc_merge_composite": _SQL_MERGE_COMPOSITE,
         "cdc_merge_rules": _sql_merge(_RULES_COLS),

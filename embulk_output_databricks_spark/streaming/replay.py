@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import ApplyMode, JobConfig
 from ..operators.lww import lww_dedup
-from ..plans.apply import apply_batch, ensure_table
+from ..plans.apply import apply_batch, ensure_table, resolve_merge_keys
 from ..schema import BINLOG_SCHEMA, PAYLOAD_COLUMNS, SEQUENCES_SCHEMA
 from ..sources.laketable import LakeCatalog, LakeTable
 from .checkpoint import CheckpointStore
@@ -74,6 +74,14 @@ class ReplayDriver:
         # batch-id sequence, fence namespace, and crash reconciliation.
         self.table = table if table is not None else ensure_table(
             catalog, cfg, target_schema)
+        if cfg.merge_keys is None:
+            # merge-key discovery (ref README.md:36 PK-derivation analog):
+            # resolve ONCE against the live target and pin the result on
+            # the cfg — every later consumer (dedup, quarantine, SCD2,
+            # rollups) sees the same concrete key list, and re-resolving
+            # mid-run could not change it anyway (identifier_fields is a
+            # creation-time stamp)
+            cfg.merge_keys = resolve_merge_keys(cfg, self.table)
         self.source_id = source_id
         self.ckpt = CheckpointStore(self.table, source_id=source_id)
         self._applied_since_compact = 0  # mor auto-compact cadence counter

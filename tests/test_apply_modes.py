@@ -122,8 +122,11 @@ def test_s8_merge_rules(spark, cat):
 
 
 def test_s9_merge_keys_defaulted(spark, cat):
-    cfg = JobConfig(mode="merge")  # merge_keys defaults to ['doc_id'] (ref B7)
-    assert cfg.merge_keys == ["doc_id"]
+    # merge_keys omitted (None) -> discovery: no identifier_fields on the
+    # target, so the ['doc_id'] default applies at apply time (ref B7;
+    # discovery itself is pinned by tests/test_identifier_keys.py)
+    cfg = JobConfig(mode="merge")
+    assert cfg.merge_keys is None
     t = mk(cat, cfg, staged(spark, [("x", [0], 1, "old", None)]).drop("op"))
     apply_batch(t, staged(spark, [("x", [1], 1, "new", "U")]), cfg)
     assert state(t)["x"] == ([1], 1, "new")
