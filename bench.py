@@ -122,11 +122,19 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
 
 
 def bench_steady_state(spark, table_events: int = 10_000_000,
-                       batch: int = 200_000, n_batches: int = 4) -> dict:
+                       batch: int = 200_000, n_batches: int = 4,
+                       read_ahead: int = 2) -> dict:
     """Steady-state CDC regime (small batch into a large table): the
     broadcast merge plan's home turf — target scanned map-only, zero target
     shuffle. Reported separately from the north metric, whose 6M batches
-    are comparable to the table and correctly take the shuffle plan."""
+    are comparable to the table and correctly take the shuffle plan.
+
+    Also measures batch READ-AHEAD (replay_pipelined): the same batches
+    applied while the next batches' sources materialize on a prefetch
+    thread — the reference's encode ∥ upload ∥ COPY overlap
+    (DatabricksCopyBatchInsert.java:88-93). Small steady-state batches are
+    where the per-batch fixed cost (source build + plan + commit) is the
+    throughput floor, so this is exactly where the overlap pays."""
     from embulk_output_databricks_spark.operators.lww import lww_dedup
 
     work = tempfile.mkdtemp(prefix="bench_steady_")
@@ -137,24 +145,67 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
         seed = synth_binlog(spark, table_events, table_events // 4,
                             table_events, delete_frac=0.0, partitions=64)
         drv.table.append(lww_dedup(seed).select("doc_id", "tokens", "n_tok", "source"))
+
+        def mk(b):
+            return lambda: synth_binlog(spark, batch, table_events // 4,
+                                        batch,
+                                        start=table_events + b * batch,
+                                        delete_frac=0.05, partitions=16)
+
         times = []
         for b in range(n_batches):
-            ev = synth_binlog(spark, batch, table_events // 4, batch,
-                              start=table_events + b * batch,
-                              delete_frac=0.05, partitions=16)
+            ev = mk(b)()
             t0 = time.perf_counter()
             drv.run_batch(ev, b, collect_metrics=False)
             times.append(round(time.perf_counter() - t0, 3))
         timed = times[1:]  # first batch pays plan/codegen warmup
+        seq_eps = round(batch * len(timed) / sum(timed), 1)
+        # pipelined leg: same regime (table has grown <1%), warm plans
+        t0 = time.perf_counter()
+        drv.replay_pipelined(
+            [(n_batches + b, mk(n_batches + b)) for b in range(n_batches)],
+            read_ahead=read_ahead, collect_metrics=False)
+        ra_total = time.perf_counter() - t0
+        ra_eps = round(batch * n_batches / ra_total, 1)
+        # MOR leg: the floor-lifting lever for this regime — COW's cost is
+        # write amplification (every bucket rewritten per small batch, the
+        # measured ~30-40k ev/s floor of round 1); MOR appends O(batch)
+        # delta files instead. Sequential, because the apply is then so
+        # short (~1.3 s) that prefetch jobs queuing ahead of it under FIFO
+        # scheduling slow it down — read-ahead pays when source build is a
+        # real share of the batch (COW above, or expensive remote sources),
+        # not when the apply itself is already minimal.
+        cat2 = LakeCatalog(spark, work + "_mor")
+        drv2 = ReplayDriver(cat2, JobConfig(
+            table="sequences", mode="merge", merge_keys=["doc_id"],
+            n_buckets=64, merge_strategy="mor"))
+        drv2.table.append(lww_dedup(seed).select(
+            "doc_id", "tokens", "n_tok", "source"))
+        mor_times = []
+        for b in range(n_batches):
+            ev = mk(b)()
+            t0 = time.perf_counter()
+            drv2.run_batch(ev, b, collect_metrics=False)
+            mor_times.append(round(time.perf_counter() - t0, 3))
+        mor_timed = mor_times[1:]
+        mor_eps = round(batch * len(mor_timed) / sum(mor_timed), 1)
         return {
             "table_rows": drv.table.row_count(),
             "events_per_batch": batch,
             "batch_sec": times,
-            "events_per_sec": round(batch * len(timed) / sum(timed), 1),
+            "events_per_sec": seq_eps,
+            "read_ahead": read_ahead,
+            "read_ahead_total_sec": round(ra_total, 3),
+            "read_ahead_events_per_sec": ra_eps,
+            "read_ahead_speedup": round(ra_eps / seq_eps, 2),
+            "mor_batch_sec": mor_times,
+            "mor_events_per_sec": mor_eps,
+            "floor_speedup_mor_vs_cow": round(mor_eps / seq_eps, 2),
             "plan": "broadcast (batch <= broadcast_merge_threshold)",
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work + "_mor", ignore_errors=True)
 
 
 def bench_merge_fileprune(spark, n_rows: int = 2_000_000,

@@ -510,20 +510,98 @@ class ReplayDriver:
 
     def replay(self, binlog: DataFrame, batch_ids: list[int] | None = None,
                evolution_plan: dict[int, list[EvolutionOp]] | None = None,
-               collect_metrics: bool = True) -> list[dict]:
-        """Replay the binlog batch by batch (resumes past committed batches)."""
+               collect_metrics: bool = True, read_ahead: int = 0) -> list[dict]:
+        """Replay the binlog batch by batch (resumes past committed batches).
+
+        read_ahead > 0 overlaps MATERIALIZING batch k+1..k+read_ahead's
+        source slice with the apply of batch k (replay_pipelined below) —
+        the analog of the reference's encode ∥ upload ∥ COPY pipeline
+        (DatabricksCopyBatchInsert.java:88-93). Applies stay strictly
+        ordered; only source reads move off the critical path."""
         if batch_ids is None:
             batch_ids = [r["batch_id"] for r in
                          binlog.select("batch_id").distinct().orderBy("batch_id").collect()]
-        out = []
-        for b in batch_ids:
-            rec = self._retrying(lambda b=b: self.run_batch(
-                binlog.filter(F.col("batch_id") == b), b,
-                evolution=(evolution_plan or {}).get(b),
-                collect_metrics=collect_metrics,
-            ))
-            if rec is not None:
-                out.append(rec)
+        return self.replay_pipelined(
+            [(b, (lambda b=b: binlog.filter(F.col("batch_id") == b)))
+             for b in batch_ids],
+            read_ahead=read_ahead, evolution_plan=evolution_plan,
+            collect_metrics=collect_metrics)
+
+    def replay_pipelined(self, batches, read_ahead: int = 1,
+                         evolution_plan: dict[int, list[EvolutionOp]] | None = None,
+                         collect_metrics: bool = True) -> list[dict]:
+        """Apply (batch_id, thunk) pairs in order, PREFETCHING future
+        batches' sources on a background thread pool — the reference
+        overlaps encode(k+1) ∥ upload(k) ∥ COPY(k−1) per file
+        (DatabricksCopyBatchInsert.java:88-93,120-184); here the unit is
+        the micro-batch and the overlap is source materialization
+        (synthesize / pruned scan / Kafka decode + the cluster-side cache
+        build) against the previous batch's dedup+MERGE+commit.
+
+        What may NOT overlap: the applies themselves. Exactly-once and
+        LWW ordering require batch k's snapshot to commit before batch
+        k+1's merge plans against it, so the apply chain stays serial —
+        exactly the reference's posture (one COPY at a time, uploads
+        pipelined). Spark's scheduler is thread-safe: prefetch jobs run
+        concurrently with the apply job from a second driver thread.
+
+        Each prefetched source is persisted (MEMORY_AND_DISK) and counted
+        to force materialization, then unpersisted after its apply —
+        crash/retry semantics are unchanged because the fence, not the
+        prefetch, decides what applies. A thunk is only ever called once;
+        read_ahead bounds both the thread pool and the cached batches."""
+        items = list(batches)
+        if read_ahead <= 0:
+            out = []
+            for b, thunk in items:
+                rec = self._retrying(lambda b=b, thunk=thunk: self.run_batch(
+                    thunk(), b, evolution=(evolution_plan or {}).get(b),
+                    collect_metrics=collect_metrics,
+                ))
+                if rec is not None:
+                    out.append(rec)
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import StorageLevel
+
+        def fetch(thunk):
+            df = thunk().persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # force the build off the apply's critical path
+            return df
+
+        pool = ThreadPoolExecutor(max_workers=read_ahead,
+                                  thread_name_prefix="replay-prefetch")
+        futures: dict[int, object] = {}
+        out: list[dict] = []
+        try:
+            for i, (b, _t) in enumerate(items):
+                # keep the window [i, i+read_ahead] submitted (the current
+                # batch's own fetch rides the pool too on the first turn)
+                for j in range(i, min(i + read_ahead + 1, len(items))):
+                    bj, tj = items[j]
+                    if bj not in futures:
+                        futures[bj] = pool.submit(fetch, tj)
+                df = futures.pop(b).result()
+                try:
+                    rec = self._retrying(lambda b=b, df=df: self.run_batch(
+                        df, b, evolution=(evolution_plan or {}).get(b),
+                        collect_metrics=collect_metrics,
+                    ))
+                finally:
+                    df.unpersist()
+                if rec is not None:
+                    out.append(rec)
+        finally:
+            for f in futures.values():
+                f.cancel()
+            pool.shutdown(wait=True)
+            for f in futures.values():  # release outstanding prefetch cache
+                if f.done() and not f.cancelled():
+                    try:
+                        f.result().unpersist()
+                    except Exception:
+                        pass
         return out
 
     def _retrying(self, fn):
