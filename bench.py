@@ -837,11 +837,14 @@ def bench_tokmaint(spark, n_docs: int = 1_500_000, n_tok: int = 64,
                .withColumn("tokens", F.concat(
                    F.slice("tokens", 1, n_tok - 1),
                    F.array(F.lit(999_999).cast("int")))))
-        # batch 1: plain merge -> sync must DIFF (O(table) state compare)
+        # batch 1: plain merge (no CDF) -> the cost model must pick the
+        # recompute plan (the diff compare measured 0.39x a recompute last
+        # round; with the model, the uncovered sync never loses to it)
         merge_apply(base, upd, keys=["doc_id"])
         t0 = time.perf_counter()
-        sync_token_histogram(base, hist, keys=["doc_id"])
-        diff_sync_s = round(time.perf_counter() - t0, 3)
+        m1 = sync_token_histogram(base, hist, keys=["doc_id"])
+        uncovered_sync_s = round(time.perf_counter() - t0, 3)
+        uncovered_plan = m1.properties.get("operation")
         # batch 2: merge with write-time CDF -> sync reads O(batch) rows
         from embulk_output_databricks_spark.streaming.cdf import apply_with_cdf
         upd2 = upd.withColumn("tokens", F.concat(
@@ -849,8 +852,17 @@ def bench_tokmaint(spark, n_docs: int = 1_500_000, n_tok: int = 64,
             F.array(F.lit(999_998).cast("int"))))
         apply_with_cdf(base, upd2, keys=["doc_id"])
         t0 = time.perf_counter()
-        sync_token_histogram(base, hist, keys=["doc_id"])
+        m2 = sync_token_histogram(base, hist, keys=["doc_id"])
         cdf_sync_s = round(time.perf_counter() - t0, 3)
+        cdf_plan = m2.properties.get("operation")
+        # control: legacy diff path (cost model off) on a third batch
+        upd3 = upd.withColumn("tokens", F.concat(
+            F.slice("tokens", 1, n_tok - 1),
+            F.array(F.lit(999_997).cast("int"))))
+        merge_apply(base, upd3, keys=["doc_id"])
+        t0 = time.perf_counter()
+        sync_token_histogram(base, hist, keys=["doc_id"], cost_based=False)
+        diff_sync_s = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         (base.read().select(F.explode("tokens").alias("token"))
          .groupBy("token").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -859,8 +871,11 @@ def bench_tokmaint(spark, n_docs: int = 1_500_000, n_tok: int = 64,
         return {"n_docs": n_docs, "n_tok": n_tok,
                 "changed": n_docs // change_every,
                 "seed_sec": seed_s,
-                "diff_sync_sec": diff_sync_s,
+                "uncovered_sync_sec": uncovered_sync_s,
+                "uncovered_plan": uncovered_plan,
                 "cdf_sync_sec": cdf_sync_s,
+                "cdf_plan": cdf_plan,
+                "diff_sync_sec_no_cost_model": diff_sync_s,
                 "full_recompute_sec": full_s,
                 "cdf_speedup_vs_diff": round(diff_sync_s / cdf_sync_s, 2),
                 "cdf_speedup_vs_recompute": round(full_s / cdf_sync_s, 2),

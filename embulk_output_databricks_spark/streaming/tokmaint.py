@@ -105,13 +105,52 @@ def ensure_token_histogram(catalog, base: LakeTable, name: str,
     return t
 
 
+def _cdf_interval(base: LakeTable, upto: int, cur: int) -> tuple[bool, int]:
+    """(covered, captured_rows): whether every commit in (upto, cur] has a
+    write-time CDF sidecar, and the total captured change rows — read from
+    parquet FOOTERS only (O(commits) metadata, zero data IO). The cost
+    model's inputs; schema-evolution edge cases that later force a diff
+    anyway are rare and merely make the estimate optimistic."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .cdf import _cdf_path
+
+    total = 0
+    for v in range(upto + 1, cur + 1):
+        p = _cdf_path(base, v)
+        if not os.path.isdir(p):
+            return False, 0
+        for fn in os.listdir(p):
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(p, fn)).metadata.num_rows
+    return True, total
+
+
 def sync_token_histogram(base: LakeTable, hist: LakeTable, keys: list[str],
-                         token_col: str = "tokens"):
+                         token_col: str = "tokens",
+                         cost_based: bool = True,
+                         recompute_ratio: float = 0.5):
     """Advance the histogram to the base table's current version — exactly
     once, crash-safe: the consumed-version watermark rides the SAME commit
-    as the delta MERGE. Returns the new manifest or None if already
-    current. A churn-only interval (every token's net delta zero) advances
-    the watermark with a metadata-only commit — zero data files written."""
+    as the delta MERGE (or the recompute overwrite). Returns the new
+    manifest or None if already current. A churn-only interval (every
+    token's net delta zero) advances the watermark with a metadata-only
+    commit — zero data files written.
+
+    Cost-based plan choice (`cost_based`): the incremental path reads
+    O(captured rows) when the interval is CDF-covered, but the diff
+    fallback is an O(table) state COMPARE (two snapshot scans + shuffle) —
+    measured 0.39x a plain recompute at bench scale. So when the interval
+    is NOT covered, or the captured rows exceed `recompute_ratio` x base
+    rows (a backfill/restatement interval — deltas would churn most
+    groups anyway), the sync recomputes the histogram from the base
+    snapshot and atomically OVERWRITES it (operation
+    'token-histogram-recompute'), which reads the corpus ONCE and never
+    loses to the diff. Estimates come from manifest row counts and CDF
+    parquet footers — zero data IO to decide."""
     upto = hist.manifest().properties.get(WATERMARK_PROP)
     if upto is None:
         raise ValueError(f"{hist.name}: not a maintained histogram "
@@ -119,11 +158,17 @@ def sync_token_histogram(base: LakeTable, hist: LakeTable, keys: list[str],
     upto, cur = int(upto), base.current_version()
     if cur <= upto:
         return None
+    props = {WATERMARK_PROP: str(cur)}
+    if cost_based:
+        covered, captured = _cdf_interval(base, upto, cur)
+        if not covered or captured >= recompute_ratio * max(base.row_count(), 1):
+            df = _recompute(base, token_col, version=cur)
+            return hist.overwrite(df, {**props,
+                                       "operation": "token-histogram-recompute"})
     from .cdf import keyed_changes  # write-time CDF when available
     d = keyed_changes(base, upto, keys, to_version=cur)
     deltas = token_deltas(d, token_col).persist()
     try:
-        props = {WATERMARK_PROP: str(cur)}
         if deltas.count() == 0:
             return hist.update_properties(props)
         return apply_agg_deltas(hist, deltas, [TOKEN_COL], properties=props)

@@ -69,19 +69,71 @@ def test_histogram_tracks_base_through_edit_delete_insert(spark, warehouse):
 
 
 def test_churn_only_interval_is_metadata_only(spark, warehouse):
+    """Metadata-only churn advance holds on the CDF-covered incremental
+    path (the cost model's choice for covered+small intervals); without
+    coverage the cost model deliberately recomputes instead of paying the
+    O(table) diff compare (see test_cost_based_plan_choice)."""
+    from embulk_output_databricks_spark.streaming.cdf import apply_with_cdf
+
     cat, base = _mk(spark, warehouse)
-    base.append(_rows(spark, [("a", [7, 8]), ("b", [8, 7])]))
+    # enough filler rows that a 1-row change stays under the cost model's
+    # recompute_ratio (captured << base): the covered path must be chosen
+    base.append(_rows(spark, [("a", [7, 8]), ("b", [8, 7])]
+                      + [(f"f{i}", [100 + i]) for i in range(20)]))
     hist = ensure_token_histogram(cat, base, "hist")
-    files_before = hist.files().count()
-    # permute a's array: the ROW changes (diff emits a U) but every token's
-    # net delta is zero -> watermark must advance with no data files written
-    merge_apply(base, _staged(spark, [("a", [8, 7], "U")]),
-                keys=["doc_id"], support_deletes=True)
+    snap = {f["path"] for f in hist.manifest().files}
+    # permute a's array: the ROW changes (capture emits a U) but every
+    # token's net delta is zero -> watermark advances, no data written
+    apply_with_cdf(base, _staged(spark, [("a", [8, 7], "U")]),
+                   keys=["doc_id"])
     assert sync_token_histogram(base, hist, keys=["doc_id"]) is not None
-    assert hist.files().count() == files_before
+    assert {f["path"] for f in hist.manifest().files} == snap
     assert int(hist.manifest().properties[WATERMARK_PROP]) == \
         base.current_version()
-    assert _state(hist.read()) == [(7, 2), (8, 2)]
+    assert _state(hist.read()) == _state(_recompute(base))
+    # the uncovered equivalent (cost_based off forces the diff path):
+    # still metadata-only, still correct
+    merge_apply(base, _staged(spark, [("b", [7, 8], "U")]),
+                keys=["doc_id"], support_deletes=True)
+    assert sync_token_histogram(base, hist, keys=["doc_id"],
+                                cost_based=False) is not None
+    assert {f["path"] for f in hist.manifest().files} == snap
+    assert _state(hist.read()) == _state(_recompute(base))
+
+
+def test_cost_based_plan_choice(spark, warehouse):
+    """The sync picks its plan from cheap estimates: uncovered interval ->
+    full recompute (the diff compare is O(table), measured 0.39x a plain
+    recompute); covered + small batch -> CDF delta sync; covered but
+    restatement-sized -> recompute. Every path converges to the true
+    histogram and advances the watermark."""
+    from embulk_output_databricks_spark.streaming.cdf import apply_with_cdf
+
+    cat, base = _mk(spark, warehouse)
+    base.append(_rows(spark, [(f"d{i}", [i % 7, 7 + i % 3])
+                              for i in range(40)]))
+    hist = ensure_token_histogram(cat, base, "hist")
+    # 1) plain merge (no CDF sidecar) -> recompute overwrite
+    merge_apply(base, _staged(spark, [("d0", [99], "U")]),
+                keys=["doc_id"], support_deletes=True)
+    m = sync_token_histogram(base, hist, keys=["doc_id"])
+    assert m.properties["operation"] == "token-histogram-recompute"
+    assert _state(hist.read()) == _state(_recompute(base))
+    # 2) CDF-covered small batch -> incremental MERGE (not a recompute)
+    apply_with_cdf(base, _staged(spark, [("d1", [98], "U")]),
+                   keys=["doc_id"])
+    m = sync_token_histogram(base, hist, keys=["doc_id"])
+    assert m.properties["operation"] != "token-histogram-recompute"
+    assert _state(hist.read()) == _state(_recompute(base))
+    # 3) CDF-covered but most rows changed -> recompute despite coverage
+    apply_with_cdf(base, _staged(
+        spark, [(f"d{i}", [50 + i % 5], "U") for i in range(40)]),
+        keys=["doc_id"])
+    m = sync_token_histogram(base, hist, keys=["doc_id"])
+    assert m.properties["operation"] == "token-histogram-recompute"
+    assert _state(hist.read()) == _state(_recompute(base))
+    assert int(hist.manifest().properties[WATERMARK_PROP]) == \
+        base.current_version()
 
 
 def test_null_arrays_contribute_nothing(spark, warehouse):
