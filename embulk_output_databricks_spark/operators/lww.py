@@ -29,6 +29,11 @@ Four strategies, selectable per JobConfig.dedup_strategy:
 All return one row per key with the original column set. The order columns
 must totally order events within a key (tie-break via a unique event_id,
 FIXTURES.md S10) — with ties, maxby's pick among equals is unspecified.
+
+Column references go through qcol/qname (sources/laketable.py): every
+name here is user data, and parsed contexts (F.col, select/groupBy
+strings) would otherwise choke on a literal backtick in a column name —
+the identifier-quoting parity with the reference's quoteIdentifierString.
 """
 
 from __future__ import annotations
@@ -36,18 +41,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.laketable import qcol, qname
+
 _W = "__lww"
 _SALT = "__salt"
 
 
 def _order_struct(df: DataFrame, keys: list[str], order: list[str]) -> "F.Column":
     payload = [c for c in df.columns if c not in keys and c not in order]
-    return F.struct(*[F.col(c) for c in order], *[F.col(c) for c in payload])
+    return F.struct(*[qcol(c) for c in order], *[qcol(c) for c in payload])
 
 
 def _unpack(agg: DataFrame, df_cols: list[str], keys: list[str]) -> DataFrame:
     others = [c for c in df_cols if c not in keys]
-    return agg.select(*keys, *[F.col(f"{_W}.{c}").alias(c) for c in others]).select(*df_cols)
+    return agg.select(
+        *[qcol(k) for k in keys],
+        *[F.col(f"{_W}.{qname(c)}").alias(c) for c in others],
+    ).select(*[qcol(c) for c in df_cols])
 
 
 def lww_dedup(
@@ -60,7 +70,8 @@ def lww_dedup(
     keys = keys or ["doc_id"]
     order = order or ["seq_lsn", "event_id"]
     if strategy == "window":
-        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+        w = Window.partitionBy(*[qcol(k) for k in keys]) \
+            .orderBy(*[qcol(c).desc() for c in order])
         return (
             df.withColumn(_W, F.row_number().over(w))
             .filter(F.col(_W) == 1)
@@ -68,22 +79,25 @@ def lww_dedup(
         )
     if strategy == "maxby":
         others = [c for c in df.columns if c not in keys]
-        agg = df.groupBy(*keys).agg(
-            F.max_by(F.struct(*others), F.struct(*[F.col(c) for c in order])).alias(_W)
+        agg = df.groupBy(*[qcol(k) for k in keys]).agg(
+            F.max_by(F.struct(*[qcol(c) for c in others]),
+                     F.struct(*[qcol(c) for c in order])).alias(_W)
         )
         return _unpack(agg, df.columns, keys)
     s = _order_struct(df, keys, order)
     if strategy == "salted":
         phase1 = (
-            df.withColumn(_SALT, F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt)))
-            .groupBy(*keys, _SALT)
+            df.withColumn(_SALT, F.pmod(
+                F.xxhash64(*[qcol(c) for c in order]), F.lit(salt)))
+            .groupBy(*[qcol(k) for k in keys], _SALT)
             .agg(F.max(s).alias(_W))
         )
         # re-expand the struct to columns so phase 2 reuses the same shape
         mid = _unpack(phase1.drop(_SALT), df.columns, keys)
-        agg = mid.groupBy(*keys).agg(F.max(_order_struct(mid, keys, order)).alias(_W))
+        agg = mid.groupBy(*[qcol(k) for k in keys]).agg(
+            F.max(_order_struct(mid, keys, order)).alias(_W))
         return _unpack(agg, df.columns, keys)
     if strategy != "maxstruct":
         raise ValueError(f"unknown lww strategy {strategy!r}")
-    agg = df.groupBy(*keys).agg(F.max(s).alias(_W))
+    agg = df.groupBy(*[qcol(k) for k in keys]).agg(F.max(s).alias(_W))
     return _unpack(agg, df.columns, keys)

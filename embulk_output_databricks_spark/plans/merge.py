@@ -30,12 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources.laketable import (LAST_SEQ, ROW_ID, LakeTable, Manifest,
+                                 qcol as _qc, qname as _qn,
                                  _file_nb, _live_data, _merge_key_prunable,
                                  _split_files, bucket_expr)
 
 OP_COL = "op"
 _T_HIT = "__t_present"
 _S_HIT = "__s_present"
+
 
 
 def _guard_ok(guard_col: str):
@@ -45,9 +47,9 @@ def _guard_ok(guard_col: str):
     guard never wins; a NULL target guard loses to any non-NULL staged one
     (the committed row has no recorded version to defend)."""
     g_ok = (
-        F.when(F.col(f"T.{guard_col}").isNull(),
-               F.col(f"S.{guard_col}").isNotNull())
-        .otherwise(F.col(f"S.{guard_col}") > F.col(f"T.{guard_col}"))
+        F.when(F.col(f"T.{_qn(guard_col)}").isNull(),
+               F.col(f"S.{_qn(guard_col)}").isNotNull())
+        .otherwise(F.col(f"S.{_qn(guard_col)}") > F.col(f"T.{_qn(guard_col)}"))
     )
     return F.coalesce(g_ok, F.lit(False))
 
@@ -73,10 +75,10 @@ def broadcast_upsert_plan(
     staged = staged.alias("S")
     cond = None
     for k in keys:
-        c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
+        c = F.col(f"T.{_qn(k)}").eqNullSafe(F.col(f"S.{_qn(k)}"))
         cond = c if cond is None else (cond & c)
     rules = rules or {}
-    is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) \
+    is_del = (F.col(f"S.{_qn(OP_COL)}") == "D") if (has_op and support_deletes) \
         else F.lit(False)
     # row lineage: carried whenever the target slice was read with row ids.
     # Matched rows take the staged row's id when the staged side HAS one
@@ -101,25 +103,25 @@ def broadcast_upsert_plan(
         matched = matched & _guard_ok(guard_col)
     upd_cols = []
     for c in payload:
-        upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
-        upd_cols.append(F.when(matched, upd).otherwise(F.col(f"T.{c}")).alias(c))
+        upd = F.expr(rules[c]) if c in rules else F.col(f"S.{_qn(c)}")
+        upd_cols.append(F.when(matched, upd).otherwise(F.col(f"T.{_qn(c)}")).alias(c))
     if carry:
-        rid = (F.coalesce(F.col(f"S.{ROW_ID}"), F.col(f"T.{ROW_ID}"))
-               if s_has else F.col(f"T.{ROW_ID}"))
+        rid = (F.coalesce(F.col(f"S.{_qn(ROW_ID)}"), F.col(f"T.{_qn(ROW_ID)}"))
+               if s_has else F.col(f"T.{_qn(ROW_ID)}"))
         upd_cols.append(F.when(matched, rid)
-                        .otherwise(F.col(f"T.{ROW_ID}")).alias(ROW_ID))
+                        .otherwise(F.col(f"T.{_qn(ROW_ID)}")).alias(ROW_ID))
     if ls_carry:
-        lsv = (F.coalesce(F.col(f"S.{LAST_SEQ}"), F.col(f"T.{LAST_SEQ}"))
+        lsv = (F.coalesce(F.col(f"S.{_qn(LAST_SEQ)}"), F.col(f"T.{_qn(LAST_SEQ)}"))
                if s_has_ls else F.lit(None).cast("bigint"))
         upd_cols.append(F.when(matched, lsv)
-                        .otherwise(F.col(f"T.{LAST_SEQ}")).alias(LAST_SEQ))
+                        .otherwise(F.col(f"T.{_qn(LAST_SEQ)}")).alias(LAST_SEQ))
     updated = j.filter(~F.coalesce(matched & is_del, F.lit(False))).select(*upd_cols)
     # pass 2 (key-pruned target scan, map-only): which staged keys matched
     tk = target_keys.alias("TK")
-    sk = staged.select(*[F.col(f"S.{k}").alias(k) for k in keys]).alias("SK")
+    sk = staged.select(*[F.col(f"S.{_qn(k)}").alias(k) for k in keys]).alias("SK")
     mk = tk.join(
         F.broadcast(sk),
-        [F.col(f"TK.{k}").eqNullSafe(F.col(f"SK.{k}")) for k in keys],
+        [F.col(f"TK.{_qn(k)}").eqNullSafe(F.col(f"SK.{_qn(k)}")) for k in keys],
         "left_semi",
     ).alias("MK")
     # inserts: staged keys the target does not have ('D' on a miss = no-op).
@@ -127,15 +129,15 @@ def broadcast_upsert_plan(
     # filter also coalesces) — bare ~NULL would silently drop the row.
     ins = staged.join(
         F.broadcast(mk),
-        [F.col(f"S.{k}").eqNullSafe(F.col(f"MK.{k}")) for k in keys],
+        [F.col(f"S.{_qn(k)}").eqNullSafe(F.col(f"MK.{_qn(k)}")) for k in keys],
         "left_anti",
     ).filter(~F.coalesce(is_del, F.lit(False)))
-    ins_cols = [F.col(f"S.{c}").alias(c) for c in payload]
+    ins_cols = [F.col(f"S.{_qn(c)}").alias(c) for c in payload]
     if carry:
-        ins_cols.append((F.col(f"S.{ROW_ID}") if s_has
+        ins_cols.append((F.col(f"S.{_qn(ROW_ID)}") if s_has
                          else F.lit(None).cast("bigint")).alias(ROW_ID))
     if ls_carry:
-        ins_cols.append((F.col(f"S.{LAST_SEQ}") if s_has_ls
+        ins_cols.append((F.col(f"S.{_qn(LAST_SEQ)}") if s_has_ls
                          else F.lit(None).cast("bigint")).alias(LAST_SEQ))
     return updated.unionByName(ins.select(*ins_cols))
 
@@ -160,7 +162,7 @@ def merge_apply_mor(
         raise ValueError(f"merge keys not in table schema: {missing}")
     has_op = OP_COL in staged.columns
     op = (F.col(OP_COL) if (has_op and support_deletes) else F.lit("U"))
-    df = staged.select(*payload, op.alias("__op"))
+    df = staged.select(*[_qc(c) for c in payload], op.alias("__op"))
     props = dict(properties or {})
     props.setdefault("operation", "merge-mor")
     return table.append_delta(df, merge_keys=keys, properties=props)
@@ -231,7 +233,7 @@ def merge_apply(
     # consumed twice below (bucket discovery + the COW join), so persist it —
     # one dedup computation per batch instead of two.
     s_cols = payload + ([OP_COL] if has_op else [])
-    staged = staged.select(*s_cols).persist()
+    staged = staged.select(*[_qc(c) for c in s_cols]).persist()
 
     # -- 0. delete-only fast path: a batch whose every winner is a 'D'
     # (purge streams, retention feeds) needs NO target scan at all — commit
@@ -248,7 +250,7 @@ def merge_apply(
                 ~F.coalesce(F.col(OP_COL) == "D", F.lit(False))).isEmpty()):
         props = dict(properties or {})
         props.setdefault("operation", "merge-eqdel")
-        out = table.delete_keys(staged.select(*keys), properties=props)
+        out = table.delete_keys(staged.select(*[_qc(k) for k in keys]), properties=props)
         if out.version != m.version:
             staged.unpersist()
             return out
@@ -283,7 +285,7 @@ def merge_apply(
         sel, _rest = _split_files(m, _live_data(m.files), affected)
         deltas = [f for f in sel if f.get("kind") == "delta"]
         clean, dirty = LakeTable._mor_split(m, sel, deltas)
-        key_rows = staged.select(*keys).distinct().collect()
+        key_rows = staged.select(*[_qc(k) for k in keys]).distinct().collect()
         for k in keys:
             vs = [r[k] for r in key_rows]
             nn = [v for v in vs if v is not None]
@@ -301,10 +303,10 @@ def merge_apply(
         # explicit file set: _resolve_files applies the same MOR winner
         # rule and posdel/eqdel sidecars as read() would
         target = table._resolve_files(m, selection, with_row_ids=True)
-        target_keys = table._resolve_files(m, selection).select(*keys)
+        target_keys = table._resolve_files(m, selection).select(*[_qc(k) for k in keys])
     else:
         target = table.read(buckets=affected, with_row_ids=True)
-        target_keys = table.read(buckets=affected).select(*keys)
+        target_keys = table.read(buckets=affected).select(*[_qc(k) for k in keys])
     # target slice read WITH row ids: updated rows keep their identity
     # through the rewrite, inserts mint fresh ids at next read (v3 rule)
     target = target.alias("T")
@@ -322,7 +324,7 @@ def merge_apply(
         # -- 2b. full outer join on merge keys (large batch) --
         cond = None
         for k in keys:
-            c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
+            c = F.col(f"T.{_qn(k)}").eqNullSafe(F.col(f"S.{_qn(k)}"))
             cond = c if cond is None else (cond & c)
         j = (
             target.withColumn(_T_HIT, F.lit(True))
@@ -335,24 +337,24 @@ def merge_apply(
             # rows: kept payload, kept _row_id, kept _last_seq
             matched = matched & _guard_ok(guard_col)
         s_only = F.col(_T_HIT).isNull()
-        is_del = (F.col(f"S.{OP_COL}") == "D") if (has_op and support_deletes) else F.lit(False)
+        is_del = (F.col(f"S.{_qn(OP_COL)}") == "D") if (has_op and support_deletes) else F.lit(False)
 
         out_cols = []
         for c in payload:
-            upd = F.expr(rules[c]) if c in rules else F.col(f"S.{c}")
+            upd = F.expr(rules[c]) if c in rules else F.col(f"S.{_qn(c)}")
             out_cols.append(
-                F.when(s_only, F.col(f"S.{c}"))
+                F.when(s_only, F.col(f"S.{_qn(c)}"))
                 .when(matched, upd)
-                .otherwise(F.col(f"T.{c}"))
+                .otherwise(F.col(f"T.{_qn(c)}"))
                 .alias(c)
             )
         # inserts: NULL id (minted at read); kept/updated rows carry T's
         out_cols.append(F.when(s_only, F.lit(None).cast("bigint"))
-                        .otherwise(F.col(f"T.{ROW_ID}")).alias(ROW_ID))
+                        .otherwise(F.col(f"T.{_qn(ROW_ID)}")).alias(ROW_ID))
         # _last_seq: updated AND inserted rows inherit this commit's
         # sequence (NULL); only untouched target rows keep their old one
         out_cols.append(F.when(matched | s_only, F.lit(None).cast("bigint"))
-                        .otherwise(F.col(f"T.{LAST_SEQ}")).alias(LAST_SEQ))
+                        .otherwise(F.col(f"T.{_qn(LAST_SEQ)}")).alias(LAST_SEQ))
         # delete drops matched rows; an unmatched 'D' contributes nothing either
         result = j.filter(~F.coalesce((matched | s_only) & is_del, F.lit(False))).select(*out_cols)
 
@@ -425,40 +427,40 @@ def snapshot_sync(
 
     def cmp_col(c: str, prefix: str = ""):
         # maps are neither orderable (<=>) nor hashable in Spark
-        col = F.col(f"{prefix}{c}")
+        col = F.col(f"{prefix}{_qn(c)}")
         return F.to_json(col) if "map<" in by_name[c]["type"] else col
 
     cond = None
     for k in keys:
-        c = F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}"))
+        c = F.col(f"T.{_qn(k)}").eqNullSafe(F.col(f"S.{_qn(k)}"))
         cond = c if cond is None else (cond & c)
     props = dict(properties or {})
     props.setdefault("operation", "snapshot-sync")
 
     if compare == "hash":
         digest = F.xxhash64(F.struct(*[cmp_col(c) for c in non_keys]))
-        t = (table.read().select(*keys, digest.alias("__h"))
+        t = (table.read().select(*[_qc(k) for k in keys], digest.alias("__h"))
              .withColumn(_T_HIT, F.lit(True)).alias("T"))
-        src = source.select(*payload)
-        s = (src.select(*keys, digest.alias("__h"))
+        src = source.select(*[_qc(c) for c in payload])
+        s = (src.select(*[_qc(k) for k in keys], digest.alias("__h"))
              .withColumn(_S_HIT, F.lit(True)).alias("S"))
         j = t.join(s, cond, "full_outer")
         matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
         same = F.col("T.__h").eqNullSafe(F.col("S.__h"))
         t_only = F.col(_S_HIT).isNull()
         key_actions = j.filter(~(matched & same)).select(
-            *[F.coalesce(F.col(f"S.{k}"), F.col(f"T.{k}")).alias(k)
+            *[F.coalesce(F.col(f"S.{_qn(k)}"), F.col(f"T.{_qn(k)}")).alias(k)
               for k in keys],
             F.when(t_only, F.lit("D")).otherwise(F.lit("U")).alias(OP_COL),
         ).persist()
         try:
             up = key_actions.filter(F.col(OP_COL) == "U") \
-                .select(*keys).alias("K")
+                .select(*[_qc(k) for k in keys]).alias("K")
             # payloads only for the delta: the source never shuffles — AQE
             # broadcasts the (small) changed-key set into a semi join
             ups = src.alias("SR").join(
                 up,
-                [F.col(f"SR.{k}").eqNullSafe(F.col(f"K.{k}")) for k in keys],
+                [F.col(f"SR.{_qn(k)}").eqNullSafe(F.col(f"K.{_qn(k)}")) for k in keys],
                 "left_semi",
             ).withColumn(OP_COL, F.lit("U"))
             dels = key_actions.filter(F.col(OP_COL) == "D").select(
@@ -467,7 +469,7 @@ def snapshot_sync(
                   for c in non_keys],
                 F.col(OP_COL),
             )
-            actions = ups.select(*payload, OP_COL).unionByName(dels)
+            actions = ups.select(*[_qc(c) for c in payload], OP_COL).unionByName(dels)
             return merge_apply(
                 table, actions, keys, support_deletes=True, properties=props,
                 broadcast_threshold_rows=broadcast_threshold_rows,
@@ -476,7 +478,7 @@ def snapshot_sync(
             key_actions.unpersist()
 
     t = table.read().withColumn(_T_HIT, F.lit(True)).alias("T")
-    s = source.select(*payload).withColumn(_S_HIT, F.lit(True)).alias("S")
+    s = source.select(*[_qc(c) for c in payload]).withColumn(_S_HIT, F.lit(True)).alias("S")
     j = t.join(s, cond, "full_outer")
     matched = F.col(_T_HIT).isNotNull() & F.col(_S_HIT).isNotNull()
     if non_keys:
@@ -486,8 +488,8 @@ def snapshot_sync(
         same = F.lit(True)
     t_only = F.col(_S_HIT).isNull()
     actions = j.filter(~(matched & same)).select(
-        *[F.coalesce(F.col(f"S.{k}"), F.col(f"T.{k}")).alias(k) for k in keys],
-        *[F.col(f"S.{c}").alias(c) for c in non_keys],
+        *[F.coalesce(F.col(f"S.{_qn(k)}"), F.col(f"T.{_qn(k)}")).alias(k) for k in keys],
+        *[F.col(f"S.{_qn(c)}").alias(c) for c in non_keys],
         F.when(t_only, F.lit("D")).otherwise(F.lit("U")).alias(OP_COL),
     )
     return merge_apply(

@@ -152,6 +152,23 @@ _WIDEN_OK = {
 }
 
 
+def qname(name: str) -> str:
+    """Quote one name part for PARSED column-reference contexts (literal
+    backticks doubled) — the DataFrame-API analog of the reference's
+    quoteIdentifierString (DatabricksOutputConnection.java:125-131,
+    golden fixture TestDatabricksOutputConnection.java:46-54)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def qcol(name: str):
+    """Column reference that survives ANY literal column name — including
+    backticks. F.col()/select("name")/groupBy("name") PARSE their
+    argument (dots navigate, backticks quote), so a literal backtick in a
+    name is a syntax error unless doubled inside a quoted part. Engine
+    paths that touch user-named payload columns route through this."""
+    return F.col(qname(name))
+
+
 def _type_of(s: str) -> T.DataType:
     return T._parse_datatype_string(s)  # public-ish helper used widely
 
@@ -269,7 +286,7 @@ class Manifest:
 
 def bucket_expr(key_col: str, n_buckets: int):
     """Bucket assignment for a key column: stable across writes and reads."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    return F.pmod(F.xxhash64(qcol(key_col)), F.lit(n_buckets)).cast("int")
 
 
 _STATS_MAX_STR = 64  # longer string bounds are dropped, not truncated
@@ -1345,7 +1362,7 @@ class LakeTable:
                     # initial-default (or NULL) — metadata-only backfill
                     cols.append(F.lit(cf.get("default")).cast(cf["type"]).alias(cf["name"]))
                 else:  # rename/widen resolved by id (nested-aware)
-                    cols.append(_project_field(F.col(pf["name"]), pf, cf)
+                    cols.append(_project_field(qcol(pf["name"]), pf, cf)
                                 .alias(cf["name"]))
             for n, _t in extra:
                 if n == _DSEQ_COL and dseq is not None:
@@ -1663,8 +1680,8 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         cur = m.schema()
-        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
-        cols += [F.col(n).cast(t).alias(n) for n, t in extra_fields or []]
+        cols = [qcol(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
+        cols += [qcol(n).cast(t).alias(n) for n, t in extra_fields or []]
         stats_cols = {
             f.name for f in cur.fields
             if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType,

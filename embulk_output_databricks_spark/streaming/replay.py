@@ -29,7 +29,7 @@ from ..config import ApplyMode, JobConfig
 from ..operators.lww import lww_dedup
 from ..plans.apply import apply_batch, ensure_table, resolve_merge_keys
 from ..schema import BINLOG_SCHEMA, PAYLOAD_COLUMNS, SEQUENCES_SCHEMA
-from ..sources.laketable import LakeCatalog, LakeTable
+from ..sources.laketable import LakeCatalog, LakeTable, qcol
 from .checkpoint import CheckpointStore
 
 
@@ -186,7 +186,7 @@ class ReplayDriver:
         if self.cfg.mode is ApplyMode.MERGE:
             for k in self.cfg.merge_keys:
                 if k in events.columns:
-                    null_key = null_key | F.col(k).isNull()
+                    null_key = null_key | qcol(k).isNull()
         bad_op = (F.col("op").isNotNull() & ~F.col("op").isin("I", "U", "D")) \
             if "op" in events.columns else F.lit(False)
         invalid = null_key | bad_op
@@ -293,7 +293,7 @@ class ReplayDriver:
         cols = []
         for cur, candidates in name_map.items():
             src = next((n for n in candidates if n in events.columns), None)
-            cols.append(F.col(src).alias(cur) if src else F.lit(None).alias(cur))
+            cols.append(qcol(src).alias(cur) if src else F.lit(None).alias(cur))
         if "op" in events.columns:
             cols.append(F.col("op"))
 
@@ -486,7 +486,7 @@ class ReplayDriver:
         cols = []
         for cur, candidates in name_map.items():
             src = next((n for n in candidates if n in events.columns), None)
-            cols.append(F.col(src).alias(cur) if src else F.lit(None).alias(cur))
+            cols.append(qcol(src).alias(cur) if src else F.lit(None).alias(cur))
         if "op" in events.columns:
             cols.append(F.col("op"))
         for c in (ts_col, tie_col):
