@@ -235,6 +235,36 @@ def merge_apply(
     s_cols = payload + ([OP_COL] if has_op else [])
     staged = staged.select(*[_qc(c) for c in s_cols]).persist()
 
+    # -- 0+1 fused pre-pass: ONE aggregation job over the (persisting)
+    # staged batch computes everything the planner needs before the main
+    # write — row count, the delete-only test, and the affected-bucket
+    # sets under every bucket spec present. These used to be three
+    # separate actions (isEmpty filter, collect_set job, count), each
+    # paying a driver plan/launch round-trip per batch; the measured
+    # driver-serial share of a warm local[16] batch (~1.7-4.5 s with zero
+    # running jobs) is exactly this kind of per-action overhead, and it is
+    # the serial term that caps N-vs-4N scaling efficiency (Amdahl) --
+    delete_path_ok = (has_op and support_deletes and not merge_rules
+                      and guard_col is None)
+    bucketed = bool(m.bucket_key and m.bucket_key in keys)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if delete_path_ok:
+        # NULL op = insert, NOT a delete
+        aggs.append(F.count(F.when(
+            ~F.coalesce(F.col(OP_COL) == "D", F.lit(False)), 1))
+            .alias("__nondel"))
+    nbs: list[int] = []
+    if bucketed:
+        # nb=0 is the "unbucketed" marker (add_files imports), not a real
+        # spec: it must stay OUT of the map so _split_files always selects
+        # those files — they can hold any key, and the rewrite migrates them
+        nbs = sorted(({_file_nb(m, f) for f in m.files} | {m.n_buckets})
+                     - {0})
+        aggs += [F.collect_set(bucket_expr(m.bucket_key, nb)).alias(f"b{nb}")
+                 for nb in nbs]
+    row = staged.agg(*aggs).collect()[0]
+    n_staged = row["__n"]
+
     # -- 0. delete-only fast path: a batch whose every winner is a 'D'
     # (purge streams, retention feeds) needs NO target scan at all — commit
     # one equality-delete sidecar keyed on the merge keys instead of
@@ -245,9 +275,7 @@ def merge_apply(
     # fall through to the regular plan, which always commits, so crash
     # reconciliation still finds the batch stamp. merge_rules disable the
     # path (a rule could rewrite a 'D' into a keep) --
-    if (has_op and support_deletes and not merge_rules and guard_col is None
-            and staged.filter(  # NULL op = insert, NOT a delete
-                ~F.coalesce(F.col(OP_COL) == "D", F.lit(False))).isEmpty()):
+    if delete_path_ok and row["__nondel"] == 0:
         props = dict(properties or {})
         props.setdefault("operation", "merge-eqdel")
         out = table.delete_keys(staged.select(*[_qc(k) for k in keys]), properties=props)
@@ -258,22 +286,10 @@ def merge_apply(
     # -- 1. bucket pruning (only valid when the bucket key is a merge key,
     # i.e. equal keys necessarily share a bucket). After a rebucket() the
     # snapshot can hold files under several bucket specs; the staged keys'
-    # buckets are computed under EVERY spec present (one aggregation job)
-    # so pruning stays exact per file --
-    if m.bucket_key and m.bucket_key in keys:
-        # nb=0 is the "unbucketed" marker (add_files imports), not a real
-        # spec: it must stay OUT of the map so _split_files always selects
-        # those files — they can hold any key, and the rewrite migrates them
-        nbs = sorted(({_file_nb(m, f) for f in m.files} | {m.n_buckets})
-                     - {0})
-        row = staged.select(*[
-            F.collect_set(bucket_expr(m.bucket_key, nb)).alias(f"b{nb}")
-            for nb in nbs
-        ]).collect()[0]
-        affected = {nb: set(row[f"b{nb}"]) for nb in nbs}
-    else:
-        affected = None  # unprunable: read / swap the whole table
-    n_staged = staged.count()
+    # buckets were computed under EVERY spec present (in the fused pre-pass
+    # above) so pruning stays exact per file --
+    affected = ({nb: set(row[f"b{nb}"]) for nb in nbs} if bucketed
+                else None)  # unprunable: read / swap the whole table
 
     # -- 1b. file-level pruning within the affected buckets (small batch):
     # a file whose bounds/bloom prove no staged key is present is KEPT

@@ -1763,65 +1763,80 @@ class LakeTable:
             c for c in (m.properties.get("ndv_columns") or "").split(",") if c
         } & {f.name for f in cur.fields}
         ndv_k = int(m.properties.get("ndv_k") or 0) or sketch.KMV_K
-        entries: list[dict] = []
+        srcs: list[tuple[str, int | None]] = []
         for dirpath, _dirs, fnames in os.walk(tmp):
+            bucket = None
+            if f"{_BUCKET_COL}=" in dirpath:
+                bucket = int(dirpath.split(f"{_BUCKET_COL}=")[-1].split(os.sep)[0])
             for fn in fnames:
-                if not fn.endswith(".parquet"):
-                    continue
-                src = os.path.join(dirpath, fn)
-                bucket = None
-                if f"{_BUCKET_COL}=" in dirpath:
-                    bucket = int(dirpath.split(f"{_BUCKET_COL}=")[-1].split(os.sep)[0])
-                pf = pq.ParquetFile(src)
-                md = pf.metadata
-                rows = md.num_rows
-                if rows == 0:
-                    continue
-                entry = {"path": None, "bucket": bucket, "rows": rows,
-                         "sv": m.current_sv,
-                         "bytes": os.path.getsize(src)}
-                stats = _footer_stats(md, stats_cols)
-                if stats:
-                    entry["stats"] = stats
-                nn = _footer_nullfree(md, stats_cols)
-                if nn:
-                    entry["nn"] = nn
-                if bloom_cols:
-                    # equality-skip index: one small bloom per column over
-                    # the file's DISTINCT values (read back from the file
-                    # just written — local column IO, rows ~ rows_per_file).
-                    # Array columns hash distinct ELEMENTS (contains-skip);
-                    # `bloom_bits` sizes the filter for high-distinct cases
-                    # like token vocabularies.
-                    bm = int(m.properties.get("bloom_bits")
-                             or 0) or bloom.BLOOM_M
-                    blooms = {}
-                    for c in bloom_cols:
-                        try:
-                            blooms[c] = bloom.build(
-                                bloom.distinct_column_values(pf, c), bm)
-                        except TypeError:
-                            pass  # unsupported type: no bloom = no skipping
-                    if blooms:
-                        entry["bloom"] = blooms
-                if ndv_cols:
-                    # distinct-count index (Iceberg Puffin analog): one KMV
-                    # sketch per column over the same distinct pass the
-                    # bloom uses; analyze() folds these to a table NDV with
-                    # zero data IO (sources/sketch.py)
-                    kmvs = {}
-                    for c in ndv_cols:
-                        try:
-                            kmvs[c] = sketch.build(
-                                bloom.distinct_column_values(pf, c), ndv_k)
-                        except TypeError:
-                            pass  # unsupported type: no sketch = scan later
-                    if kmvs:
-                        entry["kmv"] = kmvs
-                rel = f"data/{uuid.uuid4().hex}.parquet"
-                os.replace(src, os.path.join(self.root, rel))
-                entry["path"] = rel
-                entries.append(entry)
+                if fn.endswith(".parquet"):
+                    srcs.append((os.path.join(dirpath, fn), bucket))
+        srcs.sort()  # deterministic entry order regardless of harvest timing
+
+        def harvest(src: str, bucket: int | None) -> dict | None:
+            pf = pq.ParquetFile(src)
+            md = pf.metadata
+            rows = md.num_rows
+            if rows == 0:
+                return None
+            entry = {"path": None, "bucket": bucket, "rows": rows,
+                     "sv": m.current_sv,
+                     "bytes": os.path.getsize(src)}
+            stats = _footer_stats(md, stats_cols)
+            if stats:
+                entry["stats"] = stats
+            nn = _footer_nullfree(md, stats_cols)
+            if nn:
+                entry["nn"] = nn
+            if bloom_cols:
+                # equality-skip index: one small bloom per column over
+                # the file's DISTINCT values (read back from the file
+                # just written — local column IO, rows ~ rows_per_file).
+                # Array columns hash distinct ELEMENTS (contains-skip);
+                # `bloom_bits` sizes the filter for high-distinct cases
+                # like token vocabularies.
+                bm = int(m.properties.get("bloom_bits")
+                         or 0) or bloom.BLOOM_M
+                blooms = {}
+                for c in bloom_cols:
+                    try:
+                        blooms[c] = bloom.build(
+                            bloom.distinct_column_values(pf, c), bm)
+                    except TypeError:
+                        pass  # unsupported type: no bloom = no skipping
+                if blooms:
+                    entry["bloom"] = blooms
+            if ndv_cols:
+                # distinct-count index (Iceberg Puffin analog): one KMV
+                # sketch per column over the same distinct pass the
+                # bloom uses; analyze() folds these to a table NDV with
+                # zero data IO (sources/sketch.py)
+                kmvs = {}
+                for c in ndv_cols:
+                    try:
+                        kmvs[c] = sketch.build(
+                            bloom.distinct_column_values(pf, c), ndv_k)
+                    except TypeError:
+                        pass  # unsupported type: no sketch = scan later
+                if kmvs:
+                    entry["kmv"] = kmvs
+            rel = f"data/{uuid.uuid4().hex}.parquet"
+            os.replace(src, os.path.join(self.root, rel))
+            entry["path"] = rel
+            return entry
+
+        # the post-write footer/bloom harvest is driver-side IO with the
+        # GIL released inside pyarrow: thread it (it was a SERIAL per-file
+        # loop — at 64 buckets x bloom/ndv columns this was a measurable
+        # slice of the per-batch driver-serial time that caps scaling)
+        if len(srcs) > 3:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(srcs))) as pool:
+                harvested = list(pool.map(lambda sb: harvest(*sb), srcs))
+        else:
+            harvested = [harvest(*sb) for sb in srcs]
+        entries: list[dict] = [e for e in harvested if e is not None]
         shutil.rmtree(tmp, ignore_errors=True)
         return entries
 
