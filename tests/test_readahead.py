@@ -89,11 +89,12 @@ def test_pipelined_with_evolution_plan(spark, cat):
 
 
 def test_prefetch_cache_is_released(spark, cat):
+    # delta-based: the shared test session may carry other fixtures'
+    # caches; the invariant is that replay() leaves NO NEW persisted RDDs
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
     binlog = synth_binlog(spark, 800, 50, 200).cache()
     drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
     drv.replay(binlog, read_ahead=3)
-    # all prefetch persists unpersisted: only OUR explicit cache() remains
-    sc = spark.sparkContext
-    rdds = sc._jsc.sc().getPersistentRDDs()
-    assert rdds.size() <= 1
-    binlog.unpersist()
+    binlog.unpersist(blocking=True)
+    assert sc._jsc.sc().getPersistentRDDs().size() <= before
