@@ -189,14 +189,26 @@ def sql_lsh_bands(sig: str, bands: int, rows: int) -> str:
 _HEX = "0123456789abcdef"
 
 
-def f_simhash32(c: Column) -> Column:
-    """32-bit SimHash over words: bit b is the sign of sum over words of
-    (bit b of md5(word) ? +1 : -1). Bits come from the first 8 hex chars.
-    Static 32-way expression tree (bit positions are compile-time ints).
-    """
+def _bit_value(b: int) -> int:
+    """Signed-int64 value of bit b (two's complement: bit 63 is the sign
+    bit, emitted as the negative literal so neither engine overflows a
+    left shift — DuckDB raises on 1::BIGINT << 63)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def f_simhash(c: Column, bits: int = 32) -> Column:
+    """`bits`-wide SimHash over words (bits <= 64): bit b is the sign of
+    sum over words of (bit b of md5(word) ? +1 : -1). Bits come from the
+    first bits/4 hex chars. Static expression tree (bit positions are
+    compile-time ints). Wider hashes buy exponentially thinner pigeonhole
+    blocks in hamming_band_pairs (production simhash is 64-bit for this
+    reason, Manku et al.); Hamming math is sign-agnostic (xor+popcount on
+    the two's-complement representation)."""
+    if not 0 < bits <= 64:
+        raise ValueError(f"simhash bits must be in 1..64, got {bits}")
     w = f_words(c)
     total = F.lit(0).cast("bigint")
-    for b in range(32):
+    for b in range(bits):
         pos, sh = b // 4 + 1, b % 4
 
         def contrib(word, pos=pos, sh=sh):
@@ -204,21 +216,40 @@ def f_simhash32(c: Column) -> Column:
             return (F.shiftright(hv, sh) % F.lit(2)) * F.lit(2) - F.lit(1)
 
         bsum = F.aggregate(w, F.lit(0), lambda acc, word: acc + contrib(word))
-        total = total + F.when(bsum > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+        total = total + F.when(bsum > 0,
+                               F.lit(_bit_value(b)).cast("bigint")).otherwise(F.lit(0))
     return total
 
 
-def sql_simhash32(e: str) -> str:
+def f_simhash32(c: Column) -> Column:
+    """32-bit SimHash (see f_simhash)."""
+    return f_simhash(c, 32)
+
+
+def sql_simhash(e: str, bits: int = 32) -> str:
+    if not 0 < bits <= 64:
+        raise ValueError(f"simhash bits must be in 1..64, got {bits}")
     w = sql_words(e)
     bit = (
         f"((strpos('{_HEX}', substr(md5(word), (b // 4) + 1, 1)) - 1) >> (b % 4)) % 2"
     )
     bit_sum = f"list_reduce(list_prepend(0, list_transform({w}, word -> {bit} * 2 - 1)), (a, x) -> a + x)"
+    # bit values as literals: DuckDB overflows on 1::BIGINT << 63, and the
+    # signed top-bit literal keeps the running sum in int64 range. The
+    # negative literal must be parenthesized BEFORE ::BIGINT — cast binds
+    # tighter than unary minus, so -92...08::BIGINT would cast +2^63 first
+    # and raise out-of-range.
+    vals = "[" + ", ".join(f"({_bit_value(b)})::BIGINT"
+                           for b in range(bits)) + "]"
     return (
-        f"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), "
-        f"b -> CASE WHEN {bit_sum} > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)), "
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {bits}), "
+        f"b -> CASE WHEN {bit_sum} > 0 THEN ({vals})[b + 1] ELSE 0::BIGINT END)), "
         f"(a, x) -> a + x)"
     )
+
+
+def sql_simhash32(e: str) -> str:
+    return sql_simhash(e, 32)
 
 
 # ---------- set similarity ----------

@@ -149,11 +149,15 @@ def ngram_jaccard_pairs(
 
 
 def simhash_docs(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash per document (expression form; near-dup cluster key)."""
+                 id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash per document (expression form; near-dup cluster key).
+    `bits` widens the signature (64 = the Manku/production width): at the
+    same max_hamming, pigeonhole blocks get bits/(k+1) wide, so block
+    buckets shrink by 2^(extra bits per block) — the selectivity knob for
+    hamming_band_pairs at corpus scale."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        P.f_simhash32(F.col(text_col)).alias("simhash"),
+        P.f_simhash(F.col(text_col), bits).alias("simhash"),
     )
 
 
@@ -208,12 +212,14 @@ def hamming_band_pairs(sigs: DataFrame, max_hamming: int, bits: int = 32,
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bits: int = 32) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance — exact output via the
     pigeonhole block banding above (no all-pairs join at any scale)."""
     return hamming_band_pairs(
-        simhash_docs(docs, text_col, id_col),
-        max_hamming=max_hamming, bits=32, id_col="doc_id", sig_col="simhash")
+        simhash_docs(docs, text_col, id_col, bits=bits),
+        max_hamming=max_hamming, bits=bits, id_col="doc_id",
+        sig_col="simhash")
 
 
 def neardup_components(

@@ -88,6 +88,46 @@ def ivf_topk(emb: DataFrame, n_queries: int, k: int, n_centroids: int = 8,
     )
 
 
+def srp_multiprobe_topk(emb: DataFrame, n_queries: int, k: int,
+                        planes: int = 4, dim: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al.): each query probes its own SRP
+    bucket AND every bucket one plane-flip away (Hamming 1 on the bucket
+    id) — planes+1 probes. The standard recall lever that costs probe
+    count, not extra hash tables: a near neighbor that landed just across
+    ONE hyperplane is recovered. Still an equi-join on bucket id (the
+    query side explodes into its probe set; each neighbor has exactly one
+    bucket so no candidate duplicates), same shuffle-partitionable shape
+    as the single-probe variant."""
+    b = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        P.f_srp_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    probes = F.array(*([F.col("bucket")]
+                       + [F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                          for p in range(planes)]))
+    q = (b.filter(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("qv"),
+                 F.explode(probes).alias("bucket")))
+    n = b.select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("nv"), "bucket")
+    scored = (
+        q.join(n, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", P.f_cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def srp_neardup_pairs(emb: DataFrame, tau: float,
                       planes: int = 4, tables: int = 2, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",

@@ -2154,14 +2154,26 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
 
 
-def _sql_simhash_pairs() -> str:
+def _sql_simhash_pairs(bits: int = 32) -> str:
     return f"""
-    WITH s AS (SELECT doc_id, {P.sql_simhash32('text')} AS h FROM documents)
+    WITH s AS (SELECT doc_id, {P.sql_simhash('text', bits)} AS h FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.h, b.h)) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.h, b.h)) <= {SIMHASH_MAX_HAMMING}
     """
+
+
+def q_dedup_simhash64_pairs(spark, sf_dir):
+    """64-bit SimHash near-dup pairs — the production width (Manku et
+    al.): at the same max_hamming the pigeonhole blocks widen from ~4-5
+    to ~9 bits, shrinking every block bucket ~16-32x. Same exact-output
+    banding, same oracle shape; the Hamming arithmetic is sign-agnostic
+    (bit 63 rides the bigint sign bit as a literal on both engines)."""
+    from .operators.dedupe import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir),
+                         max_hamming=SIMHASH_MAX_HAMMING, bits=64)
 
 
 # ---------------------------------------------------------------- tokens
@@ -2427,6 +2439,77 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return srp_bucketed_topk(e, n_queries=ANN_QUERIES, k=ANN_K, planes=ANN_PLANES)
+
+
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH top-k (Lv et al.): the query also probes every
+    bucket one plane-flip away — the recall lever that costs probes, not
+    extra hash tables. Same equi-join-on-bucket plan shape."""
+    from .operators.similarity import srp_multiprobe_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return srp_multiprobe_topk(e, n_queries=ANN_QUERIES, k=ANN_K,
+                               planes=ANN_PLANES)
+
+
+def q_ann_recall(spark, sf_dir):
+    """The approximate-contract MEASURED: per LSH variant, how many of the
+    exact top-k pairs the approximate index returns (hits / possible).
+    Recall is the quantity a 100 TB ANN deployment tunes planes/probes
+    against; making it an oracle-gated query pins both engines to the
+    same candidate semantics AND documents the tradeoff as data.
+    Multi-probe must dominate single-probe by construction (its candidate
+    set is a superset)."""
+    from .operators.similarity import (
+        cosine_topk,
+        srp_bucketed_topk,
+        srp_multiprobe_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = cosine_topk(e, ANN_QUERIES, ANN_K).select("query_id", "neighbor_id")
+    poss = brute.agg(F.count(F.lit(1)).alias("possible"))
+
+    def hits(name, approx):
+        j = brute.join(approx.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"])
+        return (j.groupBy(F.lit(name).alias("method"))
+                .agg(F.count(F.lit(1)).alias("hits")))
+
+    lsh = hits("lsh", srp_bucketed_topk(e, ANN_QUERIES, ANN_K, planes=ANN_PLANES))
+    mp = hits("multiprobe",
+              srp_multiprobe_topk(e, ANN_QUERIES, ANN_K, planes=ANN_PLANES))
+    return lsh.unionByName(mp).crossJoin(poss)
+
+
+def _sql_ann_multiprobe() -> str:
+    cos = P.sql_cosine("q.embedding", "n.embedding")
+    bucket = P.sql_srp_bucket("embedding", ANN_PLANES)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, n.vec_id) AS rank
+      FROM b q JOIN b n ON bit_count(xor(q.bucket, n.bucket)) <= 1
+                       AND q.vec_id <> n.vec_id
+      WHERE q.vec_id < {ANN_QUERIES}
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+    WITH brute AS ({_sql_ann()}),
+         lsh AS ({_sql_ann_lsh()}),
+         mp AS ({_sql_ann_multiprobe()}),
+         poss AS (SELECT count(*) AS possible FROM brute)
+    SELECT 'lsh' AS method, count(*) AS hits, (SELECT possible FROM poss) AS possible
+    FROM brute JOIN lsh USING (query_id, neighbor_id)
+    UNION ALL
+    SELECT 'multiprobe' AS method, count(*) AS hits, (SELECT possible FROM poss) AS possible
+    FROM brute JOIN mp USING (query_id, neighbor_id)
+    """
 
 
 ANN_CENTROIDS = 8
@@ -5361,6 +5444,7 @@ SPARK_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
     "tok_derive": q_tok_derive,
     "tok_fingerprint_arrow": q_tok_fingerprint_arrow,
     "tok_chunks": q_tok_chunks,
@@ -5372,6 +5456,8 @@ SPARK_QUERIES = {
     "media_resize": q_media_resize,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "ann_recall": q_ann_recall,
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_neardup": q_emb_neardup,
     "pricing_summary": q_pricing_summary,
@@ -5717,6 +5803,7 @@ def _oracle_sql() -> dict[str, str]:
             SELECT doc_id, {P.sql_simhash32('text')} AS simhash FROM documents
         """,
         "dedup_simhash_pairs": _sql_simhash_pairs(),
+        "dedup_simhash64_pairs": _sql_simhash_pairs(bits=64),
         "tok_derive": f"""
             SELECT doc_id,
                    len({P.sql_word_ids('text')}) AS n_tok,
@@ -5745,6 +5832,8 @@ def _oracle_sql() -> dict[str, str]:
         "media_resize": _sql_media_resize(),
         "ann_cosine_topk": _sql_ann(),
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_multiprobe_topk": _sql_ann_multiprobe(),
+        "ann_recall": _sql_ann_recall(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "emb_neardup": f"""
             WITH z AS (SELECT vec_id, embedding,

@@ -144,3 +144,57 @@ class TestMinhashBandCap:
         d = docs.limit(40)
         assert _pairs(minhash_lsh_pairs(d, max_band_bucket=1000)) == \
             _pairs(minhash_lsh_pairs(d))
+
+
+class TestSimhash64:
+    def test_64bit_matches_bruteforce(self, docs):
+        """The 64-bit signature rides the bigint sign bit; banding must
+        still return exactly the brute-force pair set."""
+        from embulk_output_databricks_spark.operators.dedupe import (
+            simhash_docs as sd,
+        )
+        s = sd(docs, bits=64)
+        a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+        b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+        brute = (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= 6)
+            .select("doc_a", "doc_b", "hamming")
+        )
+        banded = hamming_band_pairs(s, max_hamming=6, bits=64,
+                                    sig_col="simhash")
+        assert _pairs(banded) == _pairs(brute)
+
+    def test_wider_hash_is_more_selective(self, docs):
+        n32 = simhash_pairs(docs, max_hamming=6, bits=32).count()
+        n64 = simhash_pairs(docs, max_hamming=6, bits=64).count()
+        assert n64 < n32  # 64 bits separate non-dups at the same radius
+
+    def test_sign_bit_values(self):
+        from embulk_output_databricks_spark.functions.portable import (
+            _bit_value,
+        )
+        assert _bit_value(62) == 1 << 62
+        assert _bit_value(63) == -(1 << 63)  # two's-complement top bit
+
+
+class TestMultiprobe:
+    def test_multiprobe_recall_dominates(self, emb):
+        """Multi-probe candidates are a strict superset of single-probe:
+        measured recall must not decrease, and both are bounded by the
+        exact pair count."""
+        from embulk_output_databricks_spark.operators.similarity import (
+            cosine_topk,
+            srp_bucketed_topk,
+            srp_multiprobe_topk,
+        )
+        brute = cosine_topk(emb, 16, 5).select("query_id", "neighbor_id")
+        def hits(df):
+            return brute.join(df.select("query_id", "neighbor_id"),
+                              ["query_id", "neighbor_id"]).count()
+        possible = brute.count()
+        h_lsh = hits(srp_bucketed_topk(emb, 16, 5, planes=4))
+        h_mp = hits(srp_multiprobe_topk(emb, 16, 5, planes=4))
+        assert h_lsh <= h_mp <= possible
