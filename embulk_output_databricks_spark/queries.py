@@ -3762,6 +3762,55 @@ def _sql_clusters() -> str:
     """
 
 
+def q_emb_dedup_clusters(spark, sf_dir):
+    """Embedding near-dup CLUSTERS: the LSH-candidate pair graph
+    (srp_neardup_pairs — equi-join candidates, exact-cosine confirm)
+    folded into keep/drop components by distributed min-label propagation
+    — the same composition dedup_clusters runs on text, closing the
+    embedding leg of the dedup family (pairs alone don't decide keepers
+    when A~B, B~C, A!~C). Singleton vectors are their own cluster."""
+    from .operators.dedupe import neardup_components
+    from .operators.similarity import srp_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = srp_neardup_pairs(e, tau=EMB_TAU, planes=EMB_PLANES,
+                              tables=EMB_TABLES).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = neardup_components(pairs, e.select(F.col("vec_id").alias("doc_id")))
+    return comp.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+def _sql_emb_clusters() -> str:
+    # transitive closure of the SAME LSH-confirmed pair predicate the
+    # Spark side uses (shared-bucket OR across the two SRP tables + exact
+    # cosine >= tau) — component id = min reachable vec_id
+    b0 = P.sql_srp_bucket("embedding", EMB_PLANES, 64, offset=0)
+    b1 = P.sql_srp_bucket("embedding", EMB_PLANES, 64, offset=EMB_PLANES)
+    cos = P.sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH RECURSIVE
+      z AS MATERIALIZED (SELECT vec_id, embedding, {b0} AS b0, {b1} AS b1
+                         FROM embeddings),
+      pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM z a JOIN z b ON a.vec_id < b.vec_id
+                         AND (a.b0 = b.b0 OR a.b1 = b.b1)
+        WHERE {cos} >= {EMB_TAU}
+      ),
+      edges AS (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION ALL
+        SELECT vb AS src, va AS dst FROM pairs
+      ),
+      reach(v, w) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.w
+      )
+    SELECT v AS vec_id, min(w) AS cluster_id FROM reach GROUP BY v
+    """
+
+
 QUALITY_MIN = 0.5
 
 
@@ -5460,6 +5509,7 @@ SPARK_QUERIES = {
     "ann_recall": q_ann_recall,
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_neardup": q_emb_neardup,
+    "emb_dedup_clusters": q_emb_dedup_clusters,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "events_tumbling": q_events_tumbling,
@@ -5919,6 +5969,7 @@ def _oracle_sql() -> dict[str, str]:
         "events_ranks": _SQL_RANKS,
         "events_ranks_scalable": _SQL_RANKS,
         "dedup_clusters": _sql_clusters(),
+        "emb_dedup_clusters": _sql_emb_clusters(),
         "text_pipeline": _sql_text_pipeline(),
         "cdc_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "cdc_bucket_join": _SQL_BUCKET_JOIN,
