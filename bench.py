@@ -111,6 +111,11 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
             "batch_sec": [round(s, 3) for s in per_batch],
             "timed_sec": round(total, 3),
             "events_per_sec": round(timed_events / total, 1),
+            # min-over-repeats estimator (BENCH/BASELINE.md protocol): the
+            # best timed batch bounds the machine's noise floor — on a VM
+            # with documented 30-280s neighbor stalls, the sustained mean
+            # can understate a regime by 2x while the min stays stable
+            "events_per_sec_best": round(events_per_batch / min(timed), 1),
             # row_count() is physical rows; a MOR table needs a resolved read
             "final_rows": (driver.table.read().count()
                            if merge_strategy == "mor"
@@ -1139,6 +1144,102 @@ def bench_metadata_plane(spark) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_auto_strategy(spark, table_events: int = 3_000_000,
+                        small_batch: int = 30_000,
+                        big_batch: int = 1_500_000,
+                        n_batches: int = 4) -> dict:
+    """Regime auto-selection (merge_strategy='auto'): the driver's
+    metadata-only cost model must match the best MANUAL strategy in both
+    regimes — MOR for steady small batches into a big table, COW for
+    restatement-scale batches — with the same final state either way
+    (oracle query cdc_auto_strategy).
+
+    Scoring is a full SYNC CYCLE, not bare apply throughput: n applies +
+    one consumer read of the live (resolved) table + the delta fold at its
+    AMORTIZED share (fold wall x n/horizon — the fold runs every horizon
+    batches, not every window). Pure-append MOR wins every bare-apply race
+    by construction — it defers exactly the costs COW prepays — so a fair
+    'best' must charge the deferred read-resolution and compaction back to
+    it. This is also precisely why the auto rule refuses MOR for
+    table≈batch: the backlog's read amplification grows with batch size."""
+    from embulk_output_databricks_spark.operators.lww import lww_dedup
+    from embulk_output_databricks_spark.streaming.replay import (
+        AUTO_COMPACT_HORIZON)
+
+    def run(batch, strategy):
+        work = tempfile.mkdtemp(prefix="bench_auto_")
+        try:
+            cat = LakeCatalog(spark, work)
+            drv = ReplayDriver(cat, JobConfig(
+                table="sequences", mode="merge", merge_keys=["doc_id"],
+                n_buckets=64, merge_strategy=strategy))
+            seed = synth_binlog(spark, table_events, table_events // 4,
+                                table_events, delete_frac=0.0, partitions=64)
+            drv.table.append(lww_dedup(seed).select(
+                "doc_id", "tokens", "n_tok", "source"))
+            times, recs = [], []
+            for b in range(n_batches):
+                ev = synth_binlog(spark, batch, table_events // 4, batch,
+                                  start=table_events + b * batch,
+                                  delete_frac=0.05, partitions=16)
+                t0 = time.perf_counter()
+                recs.append(drv.run_batch(ev, b, collect_metrics=False))
+                times.append(round(time.perf_counter() - t0, 3))
+            timed = times[1:]  # first batch pays warmup + bootstrap choice
+            t0 = time.perf_counter()
+            drv.table.read().count()  # consumer reads the LIVE table
+            read_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if drv.table.delta_file_count():
+                drv.table.compact_deltas()  # restore the folded state
+            fold_s = time.perf_counter() - t0
+            fold_amort = fold_s * len(timed) / AUTO_COMPACT_HORIZON
+            # min-over-batches apply estimator (the BENCH/BASELINE.md
+            # noise-floor protocol): this VM's documented neighbor stalls
+            # otherwise land straight in a 3-batch window
+            cycle = min(timed) * len(timed) + read_s + fold_amort
+            choices = [r["metrics"].get("strategy") for r in recs if r]
+            return {
+                "apply_sec": [round(s, 3) for s in timed],
+                "read_sec": round(read_s, 3),
+                "fold_sec": round(fold_s, 3),
+                "fold_amortized_sec": round(fold_amort, 3),
+                "cycle_events_per_sec": round(batch * len(timed) / cycle, 1),
+                "choices": choices,
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    out: dict = {}
+    for regime, batch in (("steady_small", small_batch),
+                          ("restate_big", big_batch)):
+        cow = run(batch, "cow")
+        mor = run(batch, "mor")
+        auto = run(batch, "auto")
+        best = ("mor" if mor["cycle_events_per_sec"]
+                >= cow["cycle_events_per_sec"] else "cow")
+        vs_best = round(
+            auto["cycle_events_per_sec"]
+            / max(cow["cycle_events_per_sec"],
+                  mor["cycle_events_per_sec"]), 3)
+        out[regime] = {
+            "events_per_batch": batch,
+            "table_rows_seeded": table_events // 4,
+            "cow": cow,
+            "mor": mor,
+            "auto": auto,
+            "best_manual": best,
+            "auto_picked": auto["choices"][-1],
+            # matches = picked the winner, or landed within 10% of it —
+            # when the manual strategies measure within noise of each
+            # other, either pick is 'best'
+            "auto_matches_best": (auto["choices"][-1] == best
+                                  or vs_best >= 0.9),
+            "auto_vs_best": vs_best,
+        }
+    return out
+
+
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from __spark_entry__ import queries
 
@@ -1164,15 +1265,24 @@ def main() -> None:
     spark = build_session(app_name="bench")
     try:
         t0 = time.perf_counter()
-        replay = bench_replay(spark, n_events, n_batches,
-                              warmup_batches=2 if n_batches >= 4 else 1)
+        section_sec: dict[str, float] = {}
+
+        def timed(name, fn, *a, **kw):
+            ts = time.perf_counter()
+            r = fn(*a, **kw)
+            section_sec[name] = round(time.perf_counter() - ts, 3)
+            return r
+
+        replay = timed("replay", bench_replay, spark, n_events, n_batches,
+                       warmup_batches=2 if n_batches >= 4 else 1)
         # skew stress: 30% of all events hit ONE doc_id. The maxby dedup is
         # an associative argmax with map-side combine, so the hot key reduces
         # partially on every input partition before the single shuffle —
         # throughput should stay near the uniform-ish baseline (ratio ~1).
         skew_events = max(replay["events_per_batch"], 1) * 2
-        stress = bench_replay(spark, skew_events, 2, n_docs=replay["n_docs"],
-                              warmup_batches=1, hot_frac=0.3, metrics=True)
+        stress = timed("skew_stress", bench_replay, spark, skew_events, 2,
+                       n_docs=replay["n_docs"], warmup_batches=1,
+                       hot_frac=0.3, metrics=True)
         skew_stress = {
             "hot_frac": 0.3,
             "events_per_sec": stress["events_per_sec"],
@@ -1182,30 +1292,40 @@ def main() -> None:
         }
         # merge-on-read probe (runs warmed, after the main replay): delta
         # appends instead of bucket rewrites — write cost O(batch) regardless
-        # of table size. vs_cow ~1.9x measured at 2M-event batches.
-        mor = bench_replay(spark, skew_events, 2, n_docs=replay["n_docs"],
-                           warmup_batches=1, merge_strategy="mor")
+        # of table size. vs_cow 1.5-1.9x measured at 2M-event batches.
+        # 3 timed batches + the min-over-repeats estimator: the r2 record
+        # (538k ev/s, 0.80x COW) came from ONE timed batch, so a single VM
+        # stall landed straight in the engine's headline MOR claim; vs_cow
+        # compares best-batch to best-batch (both noise floors).
+        mor = timed("mor", bench_replay, spark, skew_events * 2, 4,
+                    n_docs=replay["n_docs"], warmup_batches=1,
+                    merge_strategy="mor")
         mor_probe = {
             "events_per_sec": mor["events_per_sec"],
+            "events_per_sec_best": mor["events_per_sec_best"],
             "vs_cow": round(mor["events_per_sec"] / replay["events_per_sec"], 3),
+            "vs_cow_best": round(
+                mor["events_per_sec_best"] / replay["events_per_sec_best"], 3),
+            "timed_batches": mor["n_batches"] - mor["warmup_batches"],
             "final_rows": mor["final_rows"],
         }
-        steady = bench_steady_state(spark)
-        stats_skip = bench_stats_skip(spark)
-        retention = bench_retention(spark)
-        incremental = bench_incremental(spark)
-        constraints = bench_constraints(spark)
-        neardup = bench_neardup(spark)
-        tokmaint = bench_tokmaint(spark)
-        annmaint = bench_annmaint(spark)
-        export = bench_export(spark)
-        spj = bench_spj(spark)
-        diff_prune = bench_diff_prune(spark)
-        resync = bench_resync(spark)
-        merge_fileprune = bench_merge_fileprune(spark)
-        metadata_plane = bench_metadata_plane(spark)
-        pairgen = bench_pairgen(spark)
-        q = bench_queries(spark, sf_dir, HEADLINE_QUERIES)
+        steady = timed("steady_state", bench_steady_state, spark)
+        stats_skip = timed("stats_skip", bench_stats_skip, spark)
+        retention = timed("retention", bench_retention, spark)
+        incremental = timed("incremental", bench_incremental, spark)
+        constraints = timed("constraints", bench_constraints, spark)
+        neardup = timed("neardup", bench_neardup, spark)
+        tokmaint = timed("tokmaint", bench_tokmaint, spark)
+        annmaint = timed("annmaint", bench_annmaint, spark)
+        export = timed("export", bench_export, spark)
+        spj = timed("spj", bench_spj, spark)
+        diff_prune = timed("diff_prune", bench_diff_prune, spark)
+        resync = timed("resync", bench_resync, spark)
+        merge_fileprune = timed("merge_fileprune", bench_merge_fileprune, spark)
+        metadata_plane = timed("metadata_plane", bench_metadata_plane, spark)
+        pairgen = timed("pairgen", bench_pairgen, spark)
+        auto_strategy = timed("auto_strategy", bench_auto_strategy, spark)
+        q = timed("queries", bench_queries, spark, sf_dir, HEADLINE_QUERIES)
         total = round(time.perf_counter() - t0, 3)
         print(json.dumps({
             "metric": "cdc_replay_and_headline_queries_wall",
@@ -1231,6 +1351,11 @@ def main() -> None:
             "merge_fileprune": merge_fileprune,
             "metadata_plane": metadata_plane,
             "pairgen": pairgen,
+            "auto_strategy": auto_strategy,
+            # per-section walls: the top-line `value` is their sum plus
+            # harness glue, so cross-round top-line comparisons stay honest
+            # when sections are added or removed
+            "section_sec": section_sec,
             "events_per_sec": replay["events_per_sec"],
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         }))

@@ -99,6 +99,12 @@ class JobConfig:
                                   # | mor (merge-on-read: O(batch) delta
                                   #   appends, read-side resolution — the
                                   #   write-heavy/frequent-batch extension)
+                                  # | auto (cost-based per batch: MOR while
+                                  #   the table dwarfs the batch — see
+                                  #   replay.AUTO_MOR_TABLE_BATCH_RATIO —
+                                  #   else COW; decided from manifest row
+                                  #   counts + the previous batch's
+                                  #   observed size, zero data IO)
     mor_compact_every: int = 0    # mor only: fold deltas into base every N
                                   # batches (0 = manual compact_deltas())
     broadcast_merge_threshold: int = 500_000
@@ -219,13 +225,14 @@ class JobConfig:
                 raise ConfigError(f"column_types[{col!r}]: unsupported type {typ!r}")
         if self.dedup_strategy not in ("maxby", "maxstruct", "salted", "window"):
             raise ConfigError(f"unknown dedup_strategy {self.dedup_strategy!r}")
-        if self.merge_strategy not in ("cow", "mor"):
+        if self.merge_strategy not in ("cow", "mor", "auto"):
             raise ConfigError(f"unknown merge_strategy {self.merge_strategy!r}")
-        if self.merge_strategy == "mor" and self.merge_rules:
+        if self.merge_strategy in ("mor", "auto") and self.merge_rules:
             # a merge_rule reads T.col at write time — exactly the target
             # scan merge-on-read avoids; rules require copy-on-write
+            # (auto may pick mor on any batch, so it inherits the limit)
             raise ConfigError("merge_rules require merge_strategy='cow'")
-        if self.merge_strategy == "mor" and self.merge_guard_col:
+        if self.merge_strategy in ("mor", "auto") and self.merge_guard_col:
             # MOR resolves winners by commit sequence — exactly what an
             # out-of-order redelivery breaks; guarded tables need COW
             raise ConfigError("merge_guard_col requires merge_strategy='cow'")

@@ -14,7 +14,7 @@ digests that AQE can plan as shuffled-hash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
@@ -265,24 +265,28 @@ def neardup_components(
         )
         stepped = (
             lab.join(nbr, lab["v"] == nbr["v2"], "left")
-            .select("v", F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"))
+            .select("v", F.col("comp").alias("old_comp"),
+                    F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"))
         )
         # pointer jump: comp := comp(comp)
         parent = stepped.select(
             F.col("v").alias("pv"), F.col("comp").alias("pcomp"))
+        # convergence check rides the SAME job as the round's materialize
+        # (Observation over the jumped rows, counted while localCheckpoint
+        # writes them) — one Spark job per round, not a second join+count
+        # pass over the labels
+        obs = Observation()
         jumped = (
             stepped.join(parent, stepped["comp"] == parent["pv"], "left")
-            .select("v", F.least("comp", F.coalesce("pcomp", "comp")).alias("comp"))
+            .select("v", "old_comp",
+                    F.least("comp", F.coalesce("pcomp", "comp")).alias("comp"))
+            .observe(obs, F.sum(
+                (F.col("comp") != F.col("old_comp")).cast("long")).alias("changed"))
+            .select("v", "comp")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(lab.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
         lab = jumped
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             break
     else:
         raise RuntimeError(f"components did not converge in {max_rounds} rounds")

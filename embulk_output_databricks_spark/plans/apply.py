@@ -81,8 +81,17 @@ def ensure_table(catalog: LakeCatalog, cfg: JobConfig, schema) -> LakeTable:
             if f.name in cfg.column_types else f
             for f in schema.fields
         ])
-    keys = resolve_merge_keys(cfg, None) if cfg.mode is ApplyMode.MERGE \
-        else (cfg.merge_keys or [])
+    if cfg.mode is ApplyMode.MERGE:
+        keys = resolve_merge_keys(cfg, None)
+    elif cfg.merge_keys:
+        keys = cfg.merge_keys
+    elif cfg.n_buckets and DEFAULT_MERGE_KEYS[0] in {f.name for f in schema.fields}:
+        # merge_keys defaults to None (discovery), but a non-merge
+        # auto-create with n_buckets set still wants bucketing — fall back
+        # to the default key so bucket pruning isn't silently lost.
+        keys = list(DEFAULT_MERGE_KEYS)
+    else:
+        keys = []
     bucket_key = keys[0] if keys else None
     props = None
     if cfg.mode is ApplyMode.MERGE and keys:

@@ -1397,6 +1397,50 @@ def q_cdc_rebucket(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_auto_strategy(spark, sf_dir):
+    """Cost-based COW/MOR regime selection (merge_strategy='auto'): the
+    driver picks the apply plan per batch from metadata only — manifest
+    row count vs the previous batch's observed size (MOR while the table
+    dwarfs the batch, bench_auto_strategy measures the crossover).
+    A large bootstrap batch must land as COW (no estimate, small table),
+    the steady tail of small daily batches must flip to MOR delta appends,
+    and the final state equals the plain exactly-once replay either way."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    binlog = ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("seq_lsn"),
+        F.when(F.dayofmonth("ts") <= 24, F.lit(0))
+        .otherwise(F.dayofmonth("ts") - 24).cast("long").alias("batch_id"),
+        F.lit("U").alias("op"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    cat = _fresh_catalog(spark, "auto_strategy")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["event_id"],
+                    n_buckets=8, merge_strategy="auto")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("seq_lsn", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    driver = ReplayDriver(cat, cfg, target_schema=schema)
+    recs = driver.replay(binlog)
+    strategies = [r["metrics"]["strategy"] for r in recs]
+    assert strategies[0] == "cow", strategies    # bootstrap regime
+    assert "mor" in strategies, strategies       # steady tail flips to MOR
+    assert driver.table.delta_file_count() > 0   # deltas actually landed
+    return driver.table.read()
+
+
+_SQL_AUTO_STRATEGY = """
+SELECT event_id, epoch_us(ts) AS seq_lsn, user_id, event_type, value
+FROM events
+"""
+
+
 _SQL_REPLAY_FINAL = """
 SELECT user_id, ts_us AS seq_lsn, event_type, value, props FROM (
   SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props,
@@ -2452,6 +2496,18 @@ def q_ann_multiprobe_topk(spark, sf_dir):
                                planes=ANN_PLANES)
 
 
+def recall_hits(brute, approx, name):
+    """One (method, hits) row counting how many exact top-k pairs the
+    approximate index recovered. Global agg (no groupBy) so a method with
+    ZERO hits still emits its row with hits=0, matching the oracle's plain
+    COUNT aggregate — a groupBy on a literal yields no row from an empty
+    join."""
+    j = brute.join(approx.select("query_id", "neighbor_id"),
+                   ["query_id", "neighbor_id"])
+    return (j.agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(name).alias("method"), "hits"))
+
+
 def q_ann_recall(spark, sf_dir):
     """The approximate-contract MEASURED: per LSH variant, how many of the
     exact top-k pairs the approximate index returns (hits / possible).
@@ -2470,15 +2526,11 @@ def q_ann_recall(spark, sf_dir):
     brute = cosine_topk(e, ANN_QUERIES, ANN_K).select("query_id", "neighbor_id")
     poss = brute.agg(F.count(F.lit(1)).alias("possible"))
 
-    def hits(name, approx):
-        j = brute.join(approx.select("query_id", "neighbor_id"),
-                       ["query_id", "neighbor_id"])
-        return (j.groupBy(F.lit(name).alias("method"))
-                .agg(F.count(F.lit(1)).alias("hits")))
-
-    lsh = hits("lsh", srp_bucketed_topk(e, ANN_QUERIES, ANN_K, planes=ANN_PLANES))
-    mp = hits("multiprobe",
-              srp_multiprobe_topk(e, ANN_QUERIES, ANN_K, planes=ANN_PLANES))
+    lsh = recall_hits(brute, srp_bucketed_topk(e, ANN_QUERIES, ANN_K,
+                                               planes=ANN_PLANES), "lsh")
+    mp = recall_hits(brute, srp_multiprobe_topk(e, ANN_QUERIES, ANN_K,
+                                                planes=ANN_PLANES),
+                     "multiprobe")
     return lsh.unionByName(mp).crossJoin(poss)
 
 
@@ -5434,6 +5486,7 @@ SPARK_QUERIES = {
     "cdc_nested_evolution": q_cdc_nested_evolution,
     "cdc_join_maintenance": q_cdc_join_maintenance,
     "cdc_merge_mor": q_cdc_merge_mor,
+    "cdc_auto_strategy": q_cdc_auto_strategy,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_add_files": q_cdc_add_files,
@@ -5622,6 +5675,7 @@ def _oracle_sql() -> dict[str, str]:
             _UPSERT_COLS,
             where="WHERE NOT (s.user_id IS NOT NULL AND s.event_type = 'error')",
         ),
+        "cdc_auto_strategy": _SQL_AUTO_STRATEGY,
         "cdc_nonascii_merge": _SQL_NONASCII,
         "cdc_apply_insert": (
             "SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, props FROM events"

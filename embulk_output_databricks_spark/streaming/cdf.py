@@ -63,6 +63,23 @@ def _cdf_path(table: LakeTable, version: int) -> str:
     return os.path.join(table.root, CDF_DIR, f"v{version}")
 
 
+def data_files_changed(table: LakeTable, version: int) -> bool:
+    """True iff commit `version` changed the table's file set (data, delta,
+    posdel, eqdel entries) vs its parent. Metadata-only commits
+    (update_properties, set_bloom_columns, analyze, set-ndv, check
+    constraints, schema DDL, maintain housekeeping) leave the file map
+    untouched and by construction carry ZERO change rows — coverage checks
+    must skip them instead of treating the missing CDF sidecar as an
+    uncovered interval (which would force a full diff/recompute for a
+    housekeeping commit)."""
+    m = table.manifest(version)
+    if m.parent is None:
+        return True
+    pm = table.manifest(m.parent)
+    return ({f["path"]: f for f in m.files}
+            != {f["path"]: f for f in pm.files})
+
+
 def capture_change_rows(table: LakeTable, staged: DataFrame,
                         keys: list[str], support_deletes: bool = True,
                         max_lookup_keys: int = 100_000) -> DataFrame:
@@ -168,6 +185,8 @@ def change_feed(table: LakeTable, since_version: int,
     for v in range(since_version + 1, to + 1):
         p = _cdf_path(table, v)
         if not os.path.isdir(p):
+            if not data_files_changed(table, v):
+                continue  # metadata-only commit: zero change rows
             return None
         df = table.spark.read.parquet(p)
         cols = set(df.columns)
@@ -180,6 +199,16 @@ def change_feed(table: LakeTable, since_version: int,
             return None
         parts.append(df.withColumn("__commit_version",
                                    F.lit(v).cast("long")))
+    if not parts:
+        # every commit in the interval was metadata-only: a zero-row feed
+        # (diff-contract columns; emitting __old_ for every payload column
+        # is a superset of capture's non-key set — harmless on zero rows)
+        base = table.read(version=to).limit(0)
+        return base.select(
+            *[F.col(c) for c in payload],
+            F.lit(None).cast("string").alias("__op"),
+            *[F.col(c).alias(f"__old_{c}") for c in payload],
+            F.lit(None).cast("long").alias("__commit_version"))
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)

@@ -37,6 +37,31 @@ class InjectedCrash(RuntimeError):
     """Test hook: simulated crash between snapshot commit and checkpoint."""
 
 
+# read_ahead='auto': enable prefetch when the measured source-build wall
+# is at least this share of the first batch's apply wall. Measured regime
+# rule (BENCH/BASELINE.md): read-ahead bought 1.16x on sources whose
+# build rivals the apply, but LOST on cheap synthesized ones — the
+# persist materialization is an EXTRA cost the serial path never pays
+# (its lazy scan rides the apply job), so the build must be a large
+# share of the apply before the overlap wins it back.
+AUTO_READ_AHEAD_SHARE = 0.5
+
+# merge_strategy='auto' compaction horizon when mor_compact_every is 0:
+# the cost model assumes deltas are folded every N mor batches, so auto
+# mode enforces that cadence itself rather than letting resolution cost
+# grow without bound
+AUTO_COMPACT_HORIZON = 8
+
+# merge_strategy='auto' crossover: choose MOR while
+# table_rows > RATIO x batch_rows. Write-side amortized cost says delta
+# appends win even at batch ~ table (append is join-free; the compaction
+# fold every `horizon` batches costs one COW-like rewrite spread over
+# `horizon` applies — measured in bench_auto_strategy), but the READ-side
+# backlog between compactions is horizon x batch rows of unresolved
+# deltas, so the ratio keeps that bounded by (horizon/RATIO) x table.
+AUTO_MOR_TABLE_BATCH_RATIO = 2
+
+
 class EvolutionOp:
     """Schema-change instruction carried by the stream (applied before the
     batch's data events — the column_options-DDL leg, SURVEY.md M2)."""
@@ -76,14 +101,32 @@ class ReplayDriver:
             catalog, cfg, target_schema)
         if cfg.merge_keys is None:
             # merge-key discovery (ref README.md:36 PK-derivation analog):
-            # resolve ONCE against the live target and pin the result on
-            # the cfg — every later consumer (dedup, quarantine, SCD2,
-            # rollups) sees the same concrete key list, and re-resolving
-            # mid-run could not change it anyway (identifier_fields is a
-            # creation-time stamp)
-            cfg.merge_keys = resolve_merge_keys(cfg, self.table)
+            # resolve ONCE against the live target and pin the result on a
+            # PRIVATE copy of the config — every later consumer (dedup,
+            # quarantine, SCD2, rollups) sees the same concrete key list,
+            # and re-resolving mid-run could not change it anyway
+            # (identifier_fields is a creation-time stamp). The copy keeps
+            # the caller's JobConfig untouched: one config reused for two
+            # drivers/tables with different identifier_fields must not
+            # leak the first target's discovered keys into the second.
+            import dataclasses
+
+            self.cfg = cfg = dataclasses.replace(
+                cfg, merge_keys=resolve_merge_keys(cfg, self.table))
         self.source_id = source_id
         self.ckpt = CheckpointStore(self.table, source_id=source_id)
+        # merge_strategy='auto': pre-built per-strategy config variants the
+        # per-batch cost model picks from (they carry the resolved merge
+        # keys and every other knob verbatim)
+        self._strategy_cfgs: dict[str, JobConfig] = {}
+        if cfg.merge_strategy == "auto":
+            import dataclasses
+
+            self._strategy_cfgs = {
+                s: dataclasses.replace(cfg, merge_strategy=s)
+                for s in ("cow", "mor")
+            }
+        self._last_batch_rows: int | None = None  # auto cost-model input
         self._applied_since_compact = 0  # mor auto-compact cadence counter
         self._committed_since_fold = 0   # checkpoint-fold cadence counter
         self._events_per_sec: float | None = None  # EWMA apply rate
@@ -124,6 +167,27 @@ class ReplayDriver:
                 T.StructType(fields), keys=cfg.merge_keys, ts_col=ts_col,
                 n_buckets=self.table.manifest().n_buckets)
             self.history = (hist, ts_col, tie_col)
+
+    def _choose_strategy(self) -> str:
+        """Per-batch COW-vs-MOR choice for merge_strategy='auto' — the
+        tokmaint cost-model pattern applied to the apply path. Inputs are
+        metadata only (manifest row count + the previous batch's observed
+        size): MOR wins while the table dwarfs the batch — delta appends
+        cost O(batch), the amortized compaction one COW-like fold per
+        `horizon` applies, and the read-side delta backlog stays bounded
+        (see AUTO_MOR_TABLE_BATCH_RATIO). COW wins otherwise — including
+        the bootstrap batch (no size estimate yet, table small anyway) and
+        restatement/backfill batches comparable to the table, where the
+        appends would churn most groups before every fold."""
+        if self.cfg.merge_strategy != "auto":
+            return self.cfg.merge_strategy
+        if self.cfg.mode is not ApplyMode.MERGE:
+            return "cow"
+        est = self._last_batch_rows
+        if not est or est <= 0:
+            return "cow"
+        return ("mor" if self.table.row_count()
+                > AUTO_MOR_TABLE_BATCH_RATIO * est else "cow")
 
     def _payload_cols(self) -> list[str]:
         return [f["name"] for f in self.table.manifest().schema_version.fields]
@@ -222,6 +286,10 @@ class ReplayDriver:
         visible). The crash window publish->checkpoint stays safe the same
         way as ever: reconciliation trusts the snapshot's batch stamp.
         """
+        if self.cfg.merge_strategy == "auto" and collect_metrics is False:
+            # the cost model needs the batch's observed size; the light
+            # observation rides the apply job itself — zero extra passes
+            collect_metrics = "light"
         fenced = self.cfg.mode is not ApplyMode.INSERT_DIRECT
         if fenced and self.ckpt.is_committed(batch_id):
             # fence hit: replayed batch is a no-op (S11). Rollups still
@@ -348,6 +416,8 @@ class ReplayDriver:
             props.update({"lsn_from": lo, "lsn_to": hi + 1, "events_in": n_in})
         import time as _time
 
+        chosen = self._choose_strategy()
+        apply_cfg = self._strategy_cfgs.get(chosen, self.cfg)
         t_apply = _time.monotonic()
         try:
             for i, rng in enumerate(ranges):
@@ -359,7 +429,7 @@ class ReplayDriver:
                 # may stamp batch_id); before/after_load hooks bracket the
                 # whole batch, not each chunk (ref runs them once per load,
                 # DatabricksOutputConnection.java:150-152,166-168)
-                m = apply_batch(self.table, stage(ev_i), self.cfg,
+                m = apply_batch(self.table, stage(ev_i), apply_cfg,
                                 properties=props if last else None,
                                 hook_before=(i == 0), hook_after=last)
         except BaseException:
@@ -373,6 +443,11 @@ class ReplayDriver:
         if obs is not None:
             got = obs.get  # ready: the apply action executed the observed plan
             lo, hi, n_in = got["lo"], got["hi"], got["events_in"]
+        if n_in is not None and n_in > 0:
+            # next batch's auto cost-model estimate (steady-state batches
+            # are similar-sized; a backfill burst flips the choice one
+            # batch late, which the crossover rule tolerates)
+            self._last_batch_rows = int(n_in)
 
         if crash_before_checkpoint:
             raise InjectedCrash(f"crash after snapshot v{m.version}, before checkpoint")
@@ -381,6 +456,8 @@ class ReplayDriver:
             "apply_s": round(apply_s, 6),
             "snapshot_commit_s": round(self.table.last_commit_s, 6),
         }
+        if self.cfg.merge_strategy == "auto":
+            metrics["strategy"] = chosen
         if len(ranges) > 1:
             metrics["chunks"] = len(ranges)
         if n_in > 0 and apply_s > 0:
@@ -398,7 +475,9 @@ class ReplayDriver:
         # properties are inherited across commits, so reconciliation still
         # sees this batch_id on the compaction snapshot.
         ce = self.cfg.mor_compact_every
-        if self.cfg.merge_strategy == "mor" and ce > 0:
+        if self.cfg.merge_strategy == "auto" and ce == 0:
+            ce = AUTO_COMPACT_HORIZON  # auto enforces the horizon it models
+        if chosen == "mor" and ce > 0:
             self._applied_since_compact += 1
             if self._applied_since_compact >= ce:
                 t_c = _time.monotonic()
@@ -510,14 +589,17 @@ class ReplayDriver:
 
     def replay(self, binlog: DataFrame, batch_ids: list[int] | None = None,
                evolution_plan: dict[int, list[EvolutionOp]] | None = None,
-               collect_metrics: bool = True, read_ahead: int = 0) -> list[dict]:
+               collect_metrics: bool = True,
+               read_ahead: int | str = 0) -> list[dict]:
         """Replay the binlog batch by batch (resumes past committed batches).
 
         read_ahead > 0 overlaps MATERIALIZING batch k+1..k+read_ahead's
         source slice with the apply of batch k (replay_pipelined below) —
         the analog of the reference's encode ∥ upload ∥ COPY pipeline
         (DatabricksCopyBatchInsert.java:88-93). Applies stay strictly
-        ordered; only source reads move off the critical path."""
+        ordered; only source reads move off the critical path.
+        read_ahead='auto' decides from a first-batch measurement (see
+        replay_pipelined)."""
         if batch_ids is None:
             batch_ids = [r["batch_id"] for r in
                          binlog.select("batch_id").distinct().orderBy("batch_id").collect()]
@@ -527,7 +609,7 @@ class ReplayDriver:
             read_ahead=read_ahead, evolution_plan=evolution_plan,
             collect_metrics=collect_metrics)
 
-    def replay_pipelined(self, batches, read_ahead: int = 1,
+    def replay_pipelined(self, batches, read_ahead: int | str = 1,
                          evolution_plan: dict[int, list[EvolutionOp]] | None = None,
                          collect_metrics: bool = True) -> list[dict]:
         """Apply (batch_id, thunk) pairs in order, PREFETCHING future
@@ -548,9 +630,48 @@ class ReplayDriver:
         Each prefetched source is persisted (MEMORY_AND_DISK) and counted
         to force materialization, then unpersisted after its apply —
         crash/retry semantics are unchanged because the fence, not the
-        prefetch, decides what applies. A thunk is only ever called once;
-        read_ahead bounds both the thread pool and the cached batches."""
+        prefetch, decides what applies. A thunk is called once (plus
+        retries of a failed build); read_ahead bounds both the thread pool
+        and the cached batches.
+
+        read_ahead='auto' measures the first batch — source build wall vs
+        apply wall — and enables prefetch only when the build is a real
+        share of the batch (the BENCH/BASELINE.md regime rule: read-ahead
+        pays for expensive sources [Kafka decode, cold scans], and HURTS
+        cheap ones, where the persist cost is pure overhead)."""
         items = list(batches)
+        if read_ahead == "auto":
+            if not items:
+                return []
+            import time as _time
+
+            from pyspark import StorageLevel
+
+            b0, t0 = items[0]
+            t_f = _time.monotonic()
+
+            def probe_fetch():
+                df = t0().persist(StorageLevel.MEMORY_AND_DISK)
+                df.count()
+                return df
+
+            df0 = self._retrying(probe_fetch)
+            fetch_s = _time.monotonic() - t_f
+            t_a = _time.monotonic()
+            try:
+                rec0 = self._retrying(lambda: self.run_batch(
+                    df0, b0, evolution=(evolution_plan or {}).get(b0),
+                    collect_metrics=collect_metrics))
+            finally:
+                df0.unpersist()
+            apply_s = _time.monotonic() - t_a
+            read_ahead = 2 if fetch_s >= AUTO_READ_AHEAD_SHARE * apply_s else 0
+            self.auto_read_ahead = read_ahead  # observability (tests/bench)
+            rest = self.replay_pipelined(
+                items[1:], read_ahead=read_ahead,
+                evolution_plan=evolution_plan,
+                collect_metrics=collect_metrics)
+            return ([rec0] if rec0 is not None else []) + rest
         if read_ahead <= 0:
             out = []
             for b, thunk in items:
@@ -564,6 +685,9 @@ class ReplayDriver:
         from concurrent.futures import ThreadPoolExecutor
 
         from pyspark import StorageLevel
+        from pyspark.errors import AnalysisException
+
+        from ..config import ConfigError
 
         def fetch(thunk):
             df = thunk().persist(StorageLevel.MEMORY_AND_DISK)
@@ -582,7 +706,17 @@ class ReplayDriver:
                     bj, tj = items[j]
                     if bj not in futures:
                         futures[bj] = pool.submit(fetch, tj)
-                df = futures.pop(b).result()
+                try:
+                    df = futures.pop(b).result()
+                except (InjectedCrash, AnalysisException, ConfigError):
+                    raise  # deterministic/plan-time: not retryable (matches
+                           # _retrying's policy)
+                except Exception:
+                    # transient prefetch failure: rebuild this batch's
+                    # source under the same retry policy the serial path
+                    # gives thunk() — pipelining must not reduce fault
+                    # tolerance vs read_ahead=0
+                    df = self._retrying(lambda t=_t: fetch(t))
                 try:
                     rec = self._retrying(lambda b=b, df=df: self.run_batch(
                         df, b, evolution=(evolution_plan or {}).get(b),

@@ -115,12 +115,15 @@ def _cdf_interval(base: LakeTable, upto: int, cur: int) -> tuple[bool, int]:
 
     import pyarrow.parquet as pq
 
-    from .cdf import _cdf_path
+    from .cdf import _cdf_path, data_files_changed
 
     total = 0
     for v in range(upto + 1, cur + 1):
         p = _cdf_path(base, v)
         if not os.path.isdir(p):
+            if not data_files_changed(base, v):
+                continue  # metadata-only commit (housekeeping DDL/props):
+                          # zero change rows — must not force a recompute
             return False, 0
         for fn in os.listdir(p):
             if fn.endswith(".parquet"):
