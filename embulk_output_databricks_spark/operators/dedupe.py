@@ -276,15 +276,17 @@ def neardup_components(
         # writes them) — one Spark job per round, not a second join+count
         # pass over the labels
         obs = Observation()
-        jumped = (
+        jd = (
             stepped.join(parent, stepped["comp"] == parent["pv"], "left")
             .select("v", "old_comp",
                     F.least("comp", F.coalesce("pcomp", "comp")).alias("comp"))
             .observe(obs, F.sum(
                 (F.col("comp") != F.col("old_comp")).cast("long")).alias("changed"))
             .select("v", "comp")
-            .localCheckpoint(eager=True)
         )
+        from ..plans.audit_tap import tap
+        tap("neardup_components.round", jd)  # the per-round join+agg plan
+        jumped = jd.localCheckpoint(eager=True)
         lab = jumped
         if int(obs.get["changed"] or 0) == 0:
             break

@@ -375,6 +375,9 @@ def merge_apply(
         result = j.filter(~F.coalesce((matched | s_only) & is_del, F.lit(False))).select(*out_cols)
 
     # -- 4. atomic bucket swap --
+    from .audit_tap import tap
+    tap("merge_apply." + ("broadcast" if n_staged <= broadcast_threshold_rows
+                          else "shuffle"), result)
     props = dict(properties or {})
     props.setdefault("operation", "merge")
     try:

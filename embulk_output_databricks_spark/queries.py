@@ -3869,16 +3869,28 @@ QUALITY_MIN = 0.5
 def q_text_pipeline(spark, sf_dir):
     """End-to-end training-data filter pipeline: quality gate -> exact-dedup
     keepers -> drop near-dup losers (larger doc_id of any confirmed pair).
-    The composition a 100 TB corpus clean actually runs, as one plan."""
+    The composition a 100 TB corpus clean actually runs, as one plan.
+
+    The corpus projection is scanned ONCE and persisted: the pipeline's
+    legs (quality/exact-dedup, minhash signatures, jaccard-confirm text
+    fetch) would otherwise each rescan documents — 4x corpus IO at 100 TB
+    for one pipeline. MEMORY_AND_DISK spills, so the materialization is a
+    staged copy, not a memory bet; at full scale this is the same call a
+    production clean makes (stage the pruned projection once, run every
+    pass against it). Exact-dedup keeps the min doc per md5 via ONE
+    window rank instead of groupBy + self-join — same result, one shuffle
+    and no second pass."""
+    from pyspark.sql import Window
+
     from .operators.dedupe import ngram_jaccard_pairs
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text").persist()
     q = d.withColumn("quality", P.f_quality(F.col("text"))).filter(
         F.col("quality") >= QUALITY_MIN)
-    keepers = q.groupBy(F.md5(F.col("text")).alias("md5")).agg(
-        F.min("doc_id").alias("doc_id"))
-    exact = q.join(keepers, "doc_id").select(
-        "doc_id", "text", "quality")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    exact = (q.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1)
+             .select("doc_id", "text", "quality"))
     losers = ngram_jaccard_pairs(d, threshold=0.5, k=MINHASH_K, n=SHINGLE_N,
                                  bands=LSH_BANDS).select(
         F.col("doc_b").alias("doc_id")).distinct()
