@@ -43,13 +43,18 @@ def append_history(rec: dict) -> None:
 
 
 def run_level(cpus: int, events: int, batches: int, driver_mem: str,
-              warmup: int = 2, tag: str = "", merge_strategy: str = "cow") -> dict:
+              warmup: int = 2, tag: str = "", merge_strategy: str = "cow",
+              read_ahead: int = 0, stage_ahead: bool = False) -> dict:
     work = tempfile.mkdtemp(prefix=f"scaling_{cpus}_")
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_DRIVER_MEM"] = driver_mem
     env["SPARK_GRAFT_OFFHEAP"] = "24g"  # GC-free buffers (see session.py)
     env["SPARK_GRAFT_SHUFFLE"] = "64"   # identical plan shape at every level
+    if read_ahead > 0:
+        # FAIR pools: prefetch must yield slots to the apply chain, or a
+        # prefetch job submitted first serializes the whole pipeline (FIFO)
+        env["SPARK_GRAFT_SCHEDULER"] = "FAIR"
     cmd = [
         "spark-submit",
         "--master", f"local[{cpus}]",
@@ -64,6 +69,10 @@ def run_level(cpus: int, events: int, batches: int, driver_mem: str,
         "--warmup-batches", str(warmup),
         "--merge-strategy", merge_strategy,
     ]
+    if read_ahead > 0:
+        cmd += ["--read-ahead", str(read_ahead)]
+    if stage_ahead:
+        cmd += ["--stage-ahead"]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     log = os.path.join(REPO, "BENCH", f"run_local{cpus}{tag}.log")
@@ -104,7 +113,14 @@ def main() -> None:
                    help="mor: supplementary write-path scaling evidence; "
                         "results go to results_mor.json and BASELINE.md is "
                         "NOT rewritten (the headline stays the COW/north run)")
+    p.add_argument("--read-ahead", type=int, default=0,
+                   help="forwarded to replay_job: prefetch width")
+    p.add_argument("--stage-ahead", action="store_true",
+                   help="forwarded to replay_job: prefetch builds the "
+                        "staged frame + merge pre-pass one batch early")
     args = p.parse_args()
+    pipeline = (f"ra{args.read_ahead}" + ("+sa" if args.stage_ahead else "")
+                if args.read_ahead > 0 else "serial")
 
     levels = [int(x) for x in args.levels.split(",")]
     events_per_batch = args.events // args.batches
@@ -117,7 +133,9 @@ def main() -> None:
                 rec = run_level(c, args.events, args.batches,
                                 args.driver_mem, args.warmup,
                                 tag=f"_{args.merge_strategy}_r{r}",
-                                merge_strategy=args.merge_strategy)
+                                merge_strategy=args.merge_strategy,
+                                read_ahead=args.read_ahead,
+                                stage_ahead=args.stage_ahead)
                 runs[c].append(rec)
                 append_history({
                     "ts": round(time.time(), 1),
@@ -126,6 +144,7 @@ def main() -> None:
                     "batches": args.batches,
                     "events_per_batch": events_per_batch,
                     "merge_strategy": args.merge_strategy,
+                    "pipeline": pipeline,
                     "timed_batch_sec": rec["batch_sec"][args.warmup:],
                     "final_rows": rec["final_rows"],
                 })
@@ -138,6 +157,7 @@ def main() -> None:
                  if h["cpus"] == c
                  and h["events_per_batch"] == events_per_batch
                  and h["merge_strategy"] == args.merge_strategy
+                 and h.get("pipeline", "serial") == pipeline
                  for t in h["timed_batch_sec"]]
         if not timed:
             raise SystemExit(f"no samples for local[{c}] at "
@@ -181,6 +201,7 @@ def main() -> None:
         "pass": headline["pass"],
     }
     out["merge_strategy"] = args.merge_strategy
+    out["pipeline"] = pipeline
     results_name = ("results.json" if args.merge_strategy == "cow"
                     else f"results_{args.merge_strategy}.json")
     with open(os.path.join(REPO, "BENCH", results_name), "w") as f:

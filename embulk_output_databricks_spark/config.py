@@ -113,6 +113,19 @@ class JobConfig:
                                   # scanned, never shuffled); larger batches
                                   # fall back to the full-outer shuffle join.
                                   # 0 forces the shuffle plan.
+    predictive_merge: bool = True
+                                  # cow merge: skip the fused pre-pass JOB
+                                  # when the previous batch proved it
+                                  # useless (all buckets touched, size deep
+                                  # in shuffle territory) — one Spark job
+                                  # per batch instead of two. Mispredicts
+                                  # are correct (full-table selection),
+                                  # merely unpruned, and self-correct.
+    predictive_min_rows: int = 1_000_000
+                                  # floor on the previous staged size
+                                  # before prediction may arm (keeps small
+                                  # batches on the pruned pre-pass path
+                                  # even when broadcast_merge_threshold=0)
     target_rows_per_bucket: int = 0
                                   # auto bucket-spec evolution: after a batch
                                   # commits, if rows > target * n_buckets the

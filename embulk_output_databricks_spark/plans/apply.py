@@ -110,6 +110,7 @@ def apply_batch(
     properties: dict | None = None,
     hook_before: bool = True,
     hook_after: bool = True,
+    prepass_row=None,
 ) -> Manifest:
     """Commit one staged batch to the target under cfg.mode.
 
@@ -165,6 +166,9 @@ def apply_batch(
                 properties=properties,
                 broadcast_threshold_rows=cfg.broadcast_merge_threshold,
                 guard_col=cfg.merge_guard_col,
+                predictive=cfg.predictive_merge,
+                predictive_min_rows=cfg.predictive_min_rows,
+                prepass_row=prepass_row,
             )
     else:  # pragma: no cover
         raise ValueError(f"unhandled mode {mode}")

@@ -38,6 +38,43 @@ OP_COL = "op"
 _T_HIT = "__t_present"
 _S_HIT = "__s_present"
 
+# per-call phase walls of the last merge_apply (driver-serial attribution:
+# prepass = fused agg job incl. staged persist build; write = data-file
+# write job + commit; the gap to the caller's apply_s is driver-side plan
+# construction). Overwritten every call; read by replay metrics and the
+# scaling protocol's serial-share analysis.
+LAST_PHASES: dict = {}
+
+
+
+def prepass_aggs(m: Manifest, keys: list[str], has_op: bool,
+                 support_deletes: bool, merge_rules, guard_col):
+    """The fused pre-pass aggregation spec over a staged batch: row count,
+    the delete-only test, and the affected-bucket sets under every bucket
+    spec present in manifest `m`. Shared by merge_apply and the replay
+    pipeline's stage-ahead prefetcher (streaming/replay.py), which runs
+    the SAME aggregation one batch early on a background thread — the two
+    must never drift, or a prefetched row would silently mis-plan.
+    Returns (aggs, nbs, delete_path_ok, bucketed)."""
+    delete_path_ok = (has_op and support_deletes and not merge_rules
+                      and guard_col is None)
+    bucketed = bool(m.bucket_key and m.bucket_key in keys)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if delete_path_ok:
+        # NULL op = insert, NOT a delete
+        aggs.append(F.count(F.when(
+            ~F.coalesce(F.col(OP_COL) == "D", F.lit(False)), 1))
+            .alias("__nondel"))
+    nbs: list[int] = []
+    if bucketed:
+        # nb=0 is the "unbucketed" marker (add_files imports), not a real
+        # spec: it must stay OUT of the map so _split_files always selects
+        # those files — they can hold any key, and the rewrite migrates them
+        nbs = sorted(({_file_nb(m, f) for f in m.files} | {m.n_buckets})
+                     - {0})
+        aggs += [F.collect_set(bucket_expr(m.bucket_key, nb)).alias(f"b{nb}")
+                 for nb in nbs]
+    return aggs, nbs, delete_path_ok, bucketed
 
 
 def _guard_ok(guard_col: str):
@@ -179,6 +216,9 @@ def merge_apply(
     guard_col: str | None = None,
     file_prune: bool = True,
     file_prune_max_keys: int = 100_000,
+    predictive: bool = True,
+    predictive_min_rows: int = 1_000_000,
+    prepass_row=None,
 ) -> Manifest:
     """staged: exactly one row per key (run operators.lww_dedup first),
     columns = target payload columns (+ optional `op` I/U/D).
@@ -233,7 +273,36 @@ def merge_apply(
     # consumed twice below (bucket discovery + the COW join), so persist it —
     # one dedup computation per batch instead of two.
     s_cols = payload + ([OP_COL] if has_op else [])
-    staged = staged.select(*[_qc(c) for c in s_cols]).persist()
+    staged = staged.select(*[_qc(c) for c in s_cols])
+
+    # -- predictive planning (steady large-batch regime): when the PREVIOUS
+    # merge on this table touched every bucket with a batch comfortably in
+    # shuffle territory, the fused pre-pass below can tell the planner
+    # nothing it cannot predict — pruning prunes nothing, the plan choice
+    # is already decided, delete-only batches don't look like this. Skip
+    # the pre-pass JOB entirely: the dedup runs inline in the single write
+    # job (no persist round-trip through the cache), the true batch count
+    # rides an Observation on that job, and the measured driver-serial
+    # share of a batch drops by one full job round-trip + plan analysis —
+    # the Amdahl term that caps N-vs-4N scaling. A misprediction (the
+    # stream suddenly shrank or turned delete-only) is CORRECT, merely
+    # unpruned — full-table swap is always a valid selection — and the
+    # observed count resets the stats so the next batch replans normally.
+    prev = getattr(table, "_prev_merge", None)
+    predicted = (
+        prepass_row is None
+        and predictive
+        and prev is not None
+        and prev.get("all_buckets")
+        and prev.get("n_staged", 0) > max(2 * broadcast_threshold_rows,
+                                          predictive_min_rows)
+    )
+    persisted = None
+    pred_obs = None
+    if not predicted and prepass_row is None:
+        # prepass_row implies the CALLER persisted staged (stage-ahead
+        # prefetch) and owns that cache's lifecycle
+        persisted = staged = staged.persist()
 
     # -- 0+1 fused pre-pass: ONE aggregation job over the (persisting)
     # staged batch computes everything the planner needs before the main
@@ -243,27 +312,53 @@ def merge_apply(
     # paying a driver plan/launch round-trip per batch; the measured
     # driver-serial share of a warm local[16] batch (~1.7-4.5 s with zero
     # running jobs) is exactly this kind of per-action overhead, and it is
-    # the serial term that caps N-vs-4N scaling efficiency (Amdahl) --
-    delete_path_ok = (has_op and support_deletes and not merge_rules
-                      and guard_col is None)
-    bucketed = bool(m.bucket_key and m.bucket_key in keys)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    if delete_path_ok:
-        # NULL op = insert, NOT a delete
-        aggs.append(F.count(F.when(
-            ~F.coalesce(F.col(OP_COL) == "D", F.lit(False)), 1))
-            .alias("__nondel"))
-    nbs: list[int] = []
-    if bucketed:
-        # nb=0 is the "unbucketed" marker (add_files imports), not a real
-        # spec: it must stay OUT of the map so _split_files always selects
-        # those files — they can hold any key, and the rewrite migrates them
-        nbs = sorted(({_file_nb(m, f) for f in m.files} | {m.n_buckets})
-                     - {0})
-        aggs += [F.collect_set(bucket_expr(m.bucket_key, nb)).alias(f"b{nb}")
-                 for nb in nbs]
-    row = staged.agg(*aggs).collect()[0]
-    n_staged = row["__n"]
+    # the serial term that caps N-vs-4N scaling efficiency (Amdahl).
+    # `prepass_row` moves the whole job OFF the critical path: the replay
+    # pipeline computed the identical aggregation one batch early on a
+    # background thread (stage-ahead); its bucket-spec coverage is
+    # re-validated against the CURRENT manifest — a rebucket/compact in
+    # between leaves sv unchanged but changes nbs — and on any gap the
+    # row is recomputed from the caller-persisted staged cache. --
+    import time as _time
+
+    aggs, nbs, delete_path_ok, bucketed = prepass_aggs(
+        m, keys, has_op, support_deletes, merge_rules, guard_col)
+    LAST_PHASES.clear()
+    if prepass_row is not None:
+        d = prepass_row.asDict()
+        covered = ("__n" in d
+                   and (not delete_path_ok or "__nondel" in d)
+                   and all(f"b{nb}" in d for nb in nbs))
+        if not covered:
+            _t = _time.monotonic()
+            prepass_row = staged.agg(*aggs).collect()[0]
+            LAST_PHASES["prepass_revalidated_s"] = round(
+                _time.monotonic() - _t, 6)
+        LAST_PHASES["prepass_s"] = 0.0
+        LAST_PHASES["staged_ahead"] = True
+        row = prepass_row
+        n_staged = row["__n"]
+    elif predicted:
+        from pyspark.sql import Observation
+
+        LAST_PHASES["prepass_s"] = 0.0
+        LAST_PHASES["predicted"] = True
+        pred_obs = Observation()
+        obs_cols = [F.count(F.lit(1)).alias("__n")]
+        if delete_path_ok:
+            # a delete-only batch slipping through under prediction must
+            # DISARM the next batch (it wants the eq-delete fast path)
+            obs_cols.append(F.count(F.when(
+                ~F.coalesce(F.col(OP_COL) == "D", F.lit(False)), 1))
+                .alias("__nondel"))
+        staged = staged.observe(pred_obs, *obs_cols)
+        row = None
+        n_staged = prev["n_staged"]  # plan-choice estimate only
+    else:
+        _t = _time.monotonic()
+        row = staged.agg(*aggs).collect()[0]
+        LAST_PHASES["prepass_s"] = round(_time.monotonic() - _t, 6)
+        n_staged = row["__n"]
 
     # -- 0. delete-only fast path: a batch whose every winner is a 'D'
     # (purge streams, retention feeds) needs NO target scan at all — commit
@@ -275,12 +370,16 @@ def merge_apply(
     # fall through to the regular plan, which always commits, so crash
     # reconciliation still finds the batch stamp. merge_rules disable the
     # path (a rule could rewrite a 'D' into a keep) --
-    if delete_path_ok and row["__nondel"] == 0:
+    if delete_path_ok and row is not None and row["__nondel"] == 0:
         props = dict(properties or {})
         props.setdefault("operation", "merge-eqdel")
         out = table.delete_keys(staged.select(*[_qc(k) for k in keys]), properties=props)
         if out.version != m.version:
-            staged.unpersist()
+            # delete-only batches must not arm prediction (they want the
+            # fast path the predicted plan skips)
+            table._prev_merge = {"n_staged": n_staged, "all_buckets": False}
+            if persisted is not None:
+                persisted.unpersist()
             return out
 
     # -- 1. bucket pruning (only valid when the bucket key is a merge key,
@@ -288,8 +387,9 @@ def merge_apply(
     # snapshot can hold files under several bucket specs; the staged keys'
     # buckets were computed under EVERY spec present (in the fused pre-pass
     # above) so pruning stays exact per file --
-    affected = ({nb: set(row[f"b{nb}"]) for nb in nbs} if bucketed
-                else None)  # unprunable: read / swap the whole table
+    affected = ({nb: set(row[f"b{nb}"]) for nb in nbs}
+                if bucketed and row is not None
+                else None)  # unprunable/predicted: read / swap whole table
 
     # -- 1b. file-level pruning within the affected buckets (small batch):
     # a file whose bounds/bloom prove no staged key is present is KEPT
@@ -385,10 +485,29 @@ def merge_apply(
         # the plan->commit window goes through the validated rebase
         # (commute or CommitConflict), never silent absorption; the staged
         # key values let the rebase prove key-disjoint rival appends safe
-        return table.replace_files(selection, result, props, base=m,
-                                   read_keys=key_vals or None)
+        _t = _time.monotonic()
+        out = table.replace_files(selection, result, props, base=m,
+                                  read_keys=key_vals or None)
+        LAST_PHASES["write_s"] = round(_time.monotonic() - _t, 6)
+        LAST_PHASES["commit_s"] = round(table.last_commit_s, 6)
+        # arm/refresh the next batch's prediction: actual observed size
+        # (the Observation rode the write job when predicted) + whether
+        # this batch covered every bucket of every spec present; a
+        # delete-only batch observed under prediction disarms the next
+        if pred_obs is not None:
+            got = pred_obs.get
+            actual = int(got["__n"] or 0)
+            was_delete_only = (delete_path_ok
+                               and int(got.get("__nondel", 1) or 0) == 0)
+        else:
+            actual, was_delete_only = n_staged, False
+        all_b = (not was_delete_only) and (affected is None or all(
+            len(v) >= nb for nb, v in affected.items()))
+        table._prev_merge = {"n_staged": actual, "all_buckets": all_b}
+        return out
     finally:
-        staged.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def snapshot_sync(

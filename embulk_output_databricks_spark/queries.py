@@ -1397,6 +1397,57 @@ def q_cdc_rebucket(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_stage_ahead(spark, sf_dir):
+    """Stage-ahead pipelining: the prefetch thread builds the apply-ready
+    frame (LWW dedup + merge pre-pass aggregation) one batch EARLY, so
+    the apply chain keeps only join+write+commit. The final table must be
+    byte-identical to the sequential exactly-once replay — fence, LWW
+    order, and lsn metrics all survive the overlap."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "stage_ahead")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    recs = driver.replay(binlog, batch_ids=[0, 1, 2, 3],
+                         collect_metrics="light",
+                         read_ahead=1, stage_ahead=True)
+    assert len(recs) == 4
+    # prestaged light metrics carried real lsn spans into the fence records
+    assert all(r["lsn_to"] > r["lsn_from"] for r in recs)
+    # fence still no-ops a replayed batch under the pipelined path
+    assert driver.replay(binlog, batch_ids=[1], read_ahead=1,
+                         stage_ahead=True, collect_metrics="light") == []
+    return driver.table.read()
+
+
+def q_cdc_predictive_merge(spark, sf_dir):
+    """Predictive merge planning: once a steady regime is established
+    (previous batch touched every bucket, size in shuffle territory) the
+    fused pre-pass job is SKIPPED — plan choice from the previous
+    observed size, full-table selection (always correct), actual count
+    re-armed via an Observation on the write job. Final state must equal
+    the plain LWW replay; the min-rows gate is lowered so sf0.01 batches
+    reach the regime."""
+    from .plans import merge as M
+
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "predictive")
+    # the LWW dedup collapses each batch to ~150 distinct users at
+    # sf0.01, so the regime gates are lowered to put those batches deep
+    # in shuffle territory (threshold 20 << 150) past the min-rows floor
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"],
+                    n_buckets=8, broadcast_merge_threshold=20,
+                    predictive_min_rows=50)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    predicted = []
+    for b in (0, 1, 2, 3):
+        driver.run_batch(binlog.filter(F.col("batch_id") == b), b,
+                         collect_metrics="light")
+        predicted.append(bool(M.LAST_PHASES.get("predicted")))
+    assert predicted[0] is False          # no stats yet: normal pre-pass
+    assert any(predicted[1:]), predicted  # steady regime skips the job
+    return driver.table.read()
+
+
 def q_cdc_auto_strategy(spark, sf_dir):
     """Cost-based COW/MOR regime selection (merge_strategy='auto'): the
     driver picks the apply plan per batch from metadata only — manifest
@@ -5499,6 +5550,8 @@ SPARK_QUERIES = {
     "cdc_join_maintenance": q_cdc_join_maintenance,
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_auto_strategy": q_cdc_auto_strategy,
+    "cdc_stage_ahead": q_cdc_stage_ahead,
+    "cdc_predictive_merge": q_cdc_predictive_merge,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
     "cdc_add_files": q_cdc_add_files,
@@ -5855,6 +5908,8 @@ def _oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 1 GROUP BY user_id
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
+        "cdc_stage_ahead": _SQL_REPLAY_FINAL,
+        "cdc_predictive_merge": _SQL_REPLAY_FINAL,
         "cdc_ckpt_fold": _SQL_REPLAY_FINAL,
         "cdc_quarantine": _SQL_QUARANTINE,
         "cdc_fanin": _SQL_REPLAY_FINAL,

@@ -64,6 +64,29 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    if os.environ.get("SPARK_GRAFT_SCHEDULER", "").upper() == "FAIR":
+        # FAIR scheduling with an apply-priority pool split: the replay
+        # pipeline (streaming/replay.py replay_pipelined) tags its main
+        # thread 'apply' and prefetch threads 'prefetch'. Under default
+        # FIFO a prefetch job submitted earlier holds the cluster and the
+        # next batch's apply queues behind it — exactly the serialization
+        # stage-ahead exists to remove. Weight 4:1 keeps the apply chain
+        # (the exactly-once critical path) fed while prefetch soaks idle
+        # slots. Pools are ignored under FIFO, so tagging is always safe.
+        import tempfile
+
+        xml = tempfile.NamedTemporaryFile(
+            "w", suffix="_fairscheduler.xml", delete=False)
+        xml.write(
+            "<allocations>"
+            "<pool name=\"apply\"><schedulingMode>FIFO</schedulingMode>"
+            "<weight>4</weight><minShare>0</minShare></pool>"
+            "<pool name=\"prefetch\"><schedulingMode>FIFO</schedulingMode>"
+            "<weight>1</weight><minShare>0</minShare></pool>"
+            "</allocations>")
+        xml.close()
+        b = (b.config("spark.scheduler.mode", "FAIR")
+             .config("spark.scheduler.allocation.file", xml.name))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -209,6 +209,28 @@ class ReplayDriver:
         return {hist[f["id"]][-1]: list(reversed(hist[f["id"]]))
                 for f in m.schema_version.fields}
 
+    def _staged_frame(self, events: DataFrame) -> DataFrame:
+        """The apply-ready frame for one batch (or chunk): event columns
+        mapped to current names (renames resolved via field-id history),
+        LWW dedup for merge mode. Used by run_batch and by the
+        stage-ahead prefetcher (replay_pipelined), which builds it one
+        batch EARLY on a background thread — staleness is caught at
+        consume time by the schema-version gate (any evolution bumps sv)
+        and merge_apply's bucket-spec coverage check."""
+        name_map = self._event_names()
+        cols = []
+        for cur, candidates in name_map.items():
+            src = next((n for n in candidates if n in events.columns), None)
+            cols.append(qcol(src).alias(cur) if src else F.lit(None).alias(cur))
+        if "op" in events.columns:
+            cols.append(F.col("op"))
+        if self.cfg.mode is ApplyMode.MERGE:
+            return lww_dedup(
+                events, keys=self.cfg.merge_keys, order=["seq_lsn", "event_id"],
+                strategy=self.cfg.dedup_strategy, salt=self.cfg.dedup_salt,
+            ).select(*cols)
+        return events.select(*cols)
+
     def _lineage(self, events: DataFrame) -> tuple[list[dict], int, int, int]:
         """One distributed pass: per-partition metrics + lsn offset range."""
         n_tok = F.col("n_tok") if "n_tok" in events.columns else F.lit(0)
@@ -268,7 +290,8 @@ class ReplayDriver:
                   evolution: list[EvolutionOp] | None = None,
                   crash_before_checkpoint: bool = False,
                   collect_metrics: bool | str = True,
-                  defer_checkpoint: bool = False) -> dict | None:
+                  defer_checkpoint: bool = False,
+                  prestaged: dict | None = None) -> dict | None:
         """Apply one batch exactly once. Returns the checkpoint record, or
         None if the fence rejected a replayed batch.
 
@@ -333,16 +356,37 @@ class ReplayDriver:
         if self.cfg.quarantine:
             events, q_n = self._quarantine(events, batch_id)
 
+        # stage-ahead consume gate (replay_pipelined prefetch): the bundle
+        # was built against an earlier manifest on a background thread.
+        # Valid iff the schema version is unchanged (EVERY evolution —
+        # explicit ops above, auto_evolve adds — bumps sv, so a stale name
+        # mapping cannot slip through), quarantine did not rewrite the
+        # events, and no full-metrics chunking (which stages per chunk).
+        # Invalid -> fall through to the normal path using the raw events.
+        pre = None
+        if (prestaged is not None
+                and self.cfg.mode is ApplyMode.MERGE
+                and not self.cfg.quarantine
+                and collect_metrics is not True
+                and prestaged.get("sv") == self.table.manifest().current_sv):
+            pre = prestaged
+
         # the batch is consumed by up to two passes (lineage metrics + the
         # dedup/apply plan). Caching is opt-in: columnar cache build costs
         # more than a rescan for cheap sources (seeded synth / pruned
         # parquet slice), and those are the common case here.
-        if self.cfg.persist_source:
+        if self.cfg.persist_source and pre is None:
             events = events.persist()
 
         obs = None
         lineage, lo, hi, n_in = [], -1, -1, -1
-        if collect_metrics == "light":
+        if pre is not None:
+            # light metrics were computed by the prefetch thread's own agg
+            lrow = pre["light"]
+            n_in = int(lrow["events_in"] or 0)
+            lo = lrow["lo"] if lrow["lo"] is not None else -1
+            hi = lrow["hi"] if lrow["hi"] is not None else -1
+        elif collect_metrics == "light":
             from pyspark.sql import Observation
 
             # name carries the table: concurrent per-table applies (multi.py
@@ -357,21 +401,7 @@ class ReplayDriver:
         elif collect_metrics:
             lineage, lo, hi, n_in = self._lineage(events)
 
-        name_map = self._event_names()
-        cols = []
-        for cur, candidates in name_map.items():
-            src = next((n for n in candidates if n in events.columns), None)
-            cols.append(qcol(src).alias(cur) if src else F.lit(None).alias(cur))
-        if "op" in events.columns:
-            cols.append(F.col("op"))
-
-        def stage(ev: DataFrame) -> DataFrame:
-            if self.cfg.mode is ApplyMode.MERGE:
-                return lww_dedup(
-                    ev, keys=self.cfg.merge_keys, order=["seq_lsn", "event_id"],
-                    strategy=self.cfg.dedup_strategy, salt=self.cfg.dedup_salt,
-                ).select(*cols)
-            return ev.select(*cols)
+        stage = self._staged_frame
 
         # A6 chunking (ref batch_size, DatabricksCopyBatchInsert.java:78-100):
         # an oversized batch splits into lsn-range sub-batches applied in
@@ -429,15 +459,19 @@ class ReplayDriver:
                 # may stamp batch_id); before/after_load hooks bracket the
                 # whole batch, not each chunk (ref runs them once per load,
                 # DatabricksOutputConnection.java:150-152,166-168)
-                m = apply_batch(self.table, stage(ev_i), apply_cfg,
+                m = apply_batch(self.table,
+                                pre["staged"] if pre is not None else stage(ev_i),
+                                apply_cfg,
                                 properties=props if last else None,
-                                hook_before=(i == 0), hook_after=last)
+                                hook_before=(i == 0), hook_after=last,
+                                prepass_row=(pre["row"] if pre is not None
+                                             else None))
         except BaseException:
             if not self.cfg.keep_staging_on_error:
                 self.table.clean_staging()  # ref delete_stage_on_error (A3)
             raise
         finally:
-            if self.cfg.persist_source:
+            if self.cfg.persist_source and pre is None:
                 events.unpersist()
         apply_s = _time.monotonic() - t_apply
         if obs is not None:
@@ -590,7 +624,8 @@ class ReplayDriver:
     def replay(self, binlog: DataFrame, batch_ids: list[int] | None = None,
                evolution_plan: dict[int, list[EvolutionOp]] | None = None,
                collect_metrics: bool = True,
-               read_ahead: int | str = 0) -> list[dict]:
+               read_ahead: int | str = 0,
+               stage_ahead: bool = False) -> list[dict]:
         """Replay the binlog batch by batch (resumes past committed batches).
 
         read_ahead > 0 overlaps MATERIALIZING batch k+1..k+read_ahead's
@@ -607,11 +642,12 @@ class ReplayDriver:
             [(b, (lambda b=b: binlog.filter(F.col("batch_id") == b)))
              for b in batch_ids],
             read_ahead=read_ahead, evolution_plan=evolution_plan,
-            collect_metrics=collect_metrics)
+            collect_metrics=collect_metrics, stage_ahead=stage_ahead)
 
     def replay_pipelined(self, batches, read_ahead: int | str = 1,
                          evolution_plan: dict[int, list[EvolutionOp]] | None = None,
-                         collect_metrics: bool = True) -> list[dict]:
+                         collect_metrics: bool = True,
+                         stage_ahead: bool = False) -> list[dict]:
         """Apply (batch_id, thunk) pairs in order, PREFETCHING future
         batches' sources on a background thread pool — the reference
         overlaps encode(k+1) ∥ upload(k) ∥ COPY(k−1) per file
@@ -638,7 +674,20 @@ class ReplayDriver:
         apply wall — and enables prefetch only when the build is a real
         share of the batch (the BENCH/BASELINE.md regime rule: read-ahead
         pays for expensive sources [Kafka decode, cold scans], and HURTS
-        cheap ones, where the persist cost is pure overhead)."""
+        cheap ones, where the persist cost is pure overhead).
+
+        stage_ahead=True extends the prefetch boundary from the SOURCE to
+        the whole staged frame: the background thread also runs the LWW
+        dedup, persists the apply-ready frame, and executes the merge
+        pre-pass aggregation — so the apply's critical path keeps only
+        the join+write+commit. This moves the measured driver-serial
+        share of a batch (plan analysis + job round-trips of the pre-pass
+        job) off the chain, which is the Amdahl term capping N-vs-4N
+        scaling. Correctness gates at consume time (run_batch): schema
+        version must be unchanged (any evolution bumps sv) and
+        merge_apply re-validates bucket-spec coverage; any staleness
+        falls back to staging from the persisted source — never wrong,
+        merely unoverlapped."""
         items = list(batches)
         if read_ahead == "auto":
             if not items:
@@ -670,7 +719,7 @@ class ReplayDriver:
             rest = self.replay_pipelined(
                 items[1:], read_ahead=read_ahead,
                 evolution_plan=evolution_plan,
-                collect_metrics=collect_metrics)
+                collect_metrics=collect_metrics, stage_ahead=stage_ahead)
             return ([rec0] if rec0 is not None else []) + rest
         if read_ahead <= 0:
             out = []
@@ -689,15 +738,60 @@ class ReplayDriver:
 
         from ..config import ConfigError
 
-        def fetch(thunk):
-            df = thunk().persist(StorageLevel.MEMORY_AND_DISK)
-            df.count()  # force the build off the apply's critical path
-            return df
+        # stage-ahead applies only where run_batch can consume it: merge
+        # mode, no quarantine rewrite, no full-metrics chunking
+        stage_ok = (stage_ahead
+                    and self.cfg.mode is ApplyMode.MERGE
+                    and not self.cfg.quarantine
+                    and collect_metrics is not True)
+
+        sc = self.table.spark.sparkContext
+
+        def fetch(thunk, do_stage):
+            # thread-local pool tag: under FAIR scheduling prefetch work
+            # yields slots to the apply chain (no-op under FIFO)
+            sc.setLocalProperty("spark.scheduler.pool", "prefetch")
+            if not do_stage:
+                ev = thunk().persist(StorageLevel.MEMORY_AND_DISK)
+                ev.count()  # force the build off the apply's critical path
+                return {"events": ev, "__persisted": [ev]}
+            from pyspark.sql import Observation
+
+            from ..plans.merge import prepass_aggs
+
+            # the RAW source is NOT persisted here — a 9M-event batch of
+            # token arrays is GBs of cache the sequential path never
+            # materializes (it streams the source straight into the
+            # dedup). Only the deduped STAGED frame (one row per key) is
+            # cached; the raw-event light metrics ride an Observation on
+            # the single source scan the staged build performs.
+            ev = thunk()
+            lobs = Observation()
+            staged = self._staged_frame(
+                ev.observe(lobs,
+                           F.count(F.lit(1)).alias("events_in"),
+                           F.min("seq_lsn").alias("lo"),
+                           F.max("seq_lsn").alias("hi"))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            m = self.table.manifest()
+            aggs, _nbs, _dpo, _b = prepass_aggs(
+                m, self.cfg.merge_keys, "op" in staged.columns,
+                self.cfg.support_deletes, self.cfg.merge_rules,
+                self.cfg.merge_guard_col)
+            row = staged.agg(*aggs).collect()[0]
+            return {"events": ev, "staged": staged, "row": row,
+                    "sv": m.current_sv, "light": lobs.get,
+                    "__persisted": [staged]}
+
+        def release(bundle):
+            for df in bundle.get("__persisted", []):
+                df.unpersist()
 
         pool = ThreadPoolExecutor(max_workers=read_ahead,
                                   thread_name_prefix="replay-prefetch")
         futures: dict[int, object] = {}
         out: list[dict] = []
+        sc.setLocalProperty("spark.scheduler.pool", "apply")
         try:
             for i, (b, _t) in enumerate(items):
                 # keep the window [i, i+read_ahead] submitted (the current
@@ -705,9 +799,12 @@ class ReplayDriver:
                 for j in range(i, min(i + read_ahead + 1, len(items))):
                     bj, tj = items[j]
                     if bj not in futures:
-                        futures[bj] = pool.submit(fetch, tj)
+                        # a batch with pending evolution ops cannot be
+                        # pre-staged (its sv gate would reject it anyway)
+                        ds = stage_ok and not (evolution_plan or {}).get(bj)
+                        futures[bj] = pool.submit(fetch, tj, ds)
                 try:
-                    df = futures.pop(b).result()
+                    bundle = futures.pop(b).result()
                 except (InjectedCrash, AnalysisException, ConfigError):
                     raise  # deterministic/plan-time: not retryable (matches
                            # _retrying's policy)
@@ -716,24 +813,32 @@ class ReplayDriver:
                     # source under the same retry policy the serial path
                     # gives thunk() — pipelining must not reduce fault
                     # tolerance vs read_ahead=0
-                    df = self._retrying(lambda t=_t: fetch(t))
+                    bundle = self._retrying(
+                        lambda t=_t, b_=b: fetch(
+                            t, stage_ok
+                            and not (evolution_plan or {}).get(b_)))
                 try:
-                    rec = self._retrying(lambda b=b, df=df: self.run_batch(
-                        df, b, evolution=(evolution_plan or {}).get(b),
-                        collect_metrics=collect_metrics,
-                    ))
+                    rec = self._retrying(
+                        lambda b=b, bundle=bundle: self.run_batch(
+                            bundle["events"], b,
+                            evolution=(evolution_plan or {}).get(b),
+                            collect_metrics=collect_metrics,
+                            prestaged=(bundle if "staged" in bundle
+                                       else None),
+                        ))
                 finally:
-                    df.unpersist()
+                    release(bundle)
                 if rec is not None:
                     out.append(rec)
         finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
             for f in futures.values():
                 f.cancel()
             pool.shutdown(wait=True)
             for f in futures.values():  # release outstanding prefetch cache
                 if f.done() and not f.cancelled():
                     try:
-                        f.result().unpersist()
+                        release(f.result())
                     except Exception:
                         pass
         return out

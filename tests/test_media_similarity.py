@@ -91,9 +91,15 @@ class TestMedia:
         )
         assert resize_media(m).count() == 0
 
-    def test_real_decode_is_gated(self, docs):
-        with pytest.raises(NotImplementedError):
-            decode_media_real(media_from_docs(docs))
+    def test_real_decode_null_dims_for_opaque_payloads(self, docs):
+        """decode_media_real now really decodes (PNG/GIF/WAV headers,
+        stdlib-only; Pillow fallback when present — tests/test_media_real.py
+        exercises valid payloads). The synthetic text payloads here are no
+        known container format, so every row decodes to NULL dimensions —
+        the quarantine-not-crash semantics — while n_bytes stays real."""
+        out = decode_media_real(media_from_docs(docs)).collect()
+        assert out and all(r["width"] is None and r["n_frames"] is None
+                           and r["n_bytes"] is not None for r in out)
 
 
 class TestANN:

@@ -1,0 +1,95 @@
+"""Predictive merge planning (plans/merge.py `predicted`): in the steady
+all-buckets shuffle regime the fused pre-pass job is skipped — plan
+choice from the previous observed size, full-table selection (always
+correct), true count re-armed via an Observation on the write job. Any
+misprediction must be CORRECT (merely unpruned) and self-correct on the
+next batch; delete-only batches disarm prediction to keep the eq-delete
+fast path."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_output_databricks_spark.plans import merge as M
+from embulk_output_databricks_spark.plans.merge import merge_apply
+from embulk_output_databricks_spark.sources.laketable import LakeCatalog
+
+SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("v", T.LongType()),
+])
+
+
+@pytest.fixture()
+def tbl(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    return cat.create_table("t", SCHEMA, n_buckets=4, bucket_key="user_id")
+
+
+def _staged(spark, lo, hi, v, op=None):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("user_id"), F.lit(v).cast("long").alias("v"))
+    if op is not None:
+        df = df.withColumn("op", F.lit(op))
+    return df
+
+
+def _state(t):
+    return sorted(tuple(r) for r in t.read().select("user_id", "v").collect())
+
+
+def _merge(spark, t, df, **kw):
+    kw.setdefault("broadcast_threshold_rows", 10)
+    kw.setdefault("predictive_min_rows", 20)
+    return merge_apply(t, df, keys=["user_id"], **kw)
+
+
+def test_steady_regime_predicts_and_stays_correct(spark, tbl):
+    _merge(spark, tbl, _staged(spark, 0, 500, 1))
+    assert not M.LAST_PHASES.get("predicted")
+    _merge(spark, tbl, _staged(spark, 0, 500, 2))
+    assert M.LAST_PHASES.get("predicted")
+    _merge(spark, tbl, _staged(spark, 250, 750, 3))
+    assert M.LAST_PHASES.get("predicted")
+    expect = [(u, 2) for u in range(0, 250)] + [(u, 3) for u in range(250, 750)]
+    assert _state(tbl) == expect
+
+
+def test_prediction_off_matches_prediction_on(spark, warehouse):
+    cat = LakeCatalog(spark, warehouse)
+    a = cat.create_table("a", SCHEMA, n_buckets=4, bucket_key="user_id")
+    b = cat.create_table("b", SCHEMA, n_buckets=4, bucket_key="user_id")
+    for v in (1, 2, 3):
+        _merge(spark, a, _staged(spark, 0, 300, v))
+        _merge(spark, b, _staged(spark, 0, 300, v), predictive=False)
+    assert _state(a) == _state(b)
+    assert a.manifest().version == b.manifest().version
+
+
+def test_misprediction_small_batch_is_correct_and_rearms(spark, tbl):
+    _merge(spark, tbl, _staged(spark, 0, 400, 1))
+    _merge(spark, tbl, _staged(spark, 0, 400, 2))
+    assert M.LAST_PHASES.get("predicted")
+    # regime breaks: a 3-row batch arrives under an armed prediction —
+    # result must be exact, and the observed count must disarm the NEXT
+    _merge(spark, tbl, _staged(spark, 0, 3, 9))
+    assert M.LAST_PHASES.get("predicted")  # this one ran predicted
+    _merge(spark, tbl, _staged(spark, 0, 3, 10))
+    assert not M.LAST_PHASES.get("predicted")  # stats self-corrected
+    expect = [(u, 10) for u in range(0, 3)] + [(u, 2) for u in range(3, 400)]
+    assert _state(tbl) == expect
+
+
+def test_delete_only_batch_disarms_prediction(spark, tbl):
+    _merge(spark, tbl, _staged(spark, 0, 300, 1, op="U"))
+    _merge(spark, tbl, _staged(spark, 0, 300, 2, op="U"))
+    assert M.LAST_PHASES.get("predicted")
+    # delete-only batch under prediction: handled by the join plan
+    # (correct), and must disarm so the next delete-only batch gets the
+    # eq-delete fast path back
+    m = _merge(spark, tbl, _staged(spark, 0, 100, 0, op="D"))
+    assert tbl.read().count() == 200
+    m2 = _merge(spark, tbl, _staged(spark, 100, 150, 0, op="D"))
+    assert m2.properties.get("operation") == "merge-eqdel"
+    assert tbl.read().count() == 150
+    assert _state(tbl) == [(u, 2) for u in range(150, 300)]
