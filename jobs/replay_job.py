@@ -54,9 +54,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--dedup-strategy", default="maxby",
                    choices=["maxby", "maxstruct", "salted", "window"])
-    p.add_argument("--merge-strategy", default="cow", choices=["cow", "mor"],
+    p.add_argument("--merge-strategy", default="cow",
+                   choices=["cow", "mor", "auto"],
                    help="cow: copy-on-write bucket rewrite (read-optimized); "
-                        "mor: merge-on-read delta appends (write-optimized)")
+                        "mor: merge-on-read delta appends (write-optimized); "
+                        "auto: per-batch metadata-only cost model (MOR while "
+                        "the table dwarfs the batch, COW otherwise)")
     p.add_argument("--mor-compact-every", type=int, default=0,
                    help="mor only: fold deltas into base every N batches")
     p.add_argument("--merge-guard-col", default=None,
