@@ -172,6 +172,18 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
             read_ahead=read_ahead, collect_metrics=False)
         ra_total = time.perf_counter() - t0
         ra_eps = round(batch * n_batches / ra_total, 1)
+        # read_ahead='auto' leg: the regime rule, decided by the engine —
+        # this synthetic source is cheap, so the first-batch probe should
+        # turn prefetch OFF and match the sequential rate (the measured
+        # fixed-width read-ahead here hovers around 1.0x, i.e. the persist
+        # cost cancels the overlap; auto avoids ever paying it)
+        t0 = time.perf_counter()
+        drv.replay_pipelined(
+            [(2 * n_batches + b, mk(2 * n_batches + b))
+             for b in range(n_batches)],
+            read_ahead="auto", collect_metrics=False)
+        auto_total = time.perf_counter() - t0
+        auto_eps = round(batch * n_batches / auto_total, 1)
         # MOR leg: the floor-lifting lever for this regime — COW's cost is
         # write amplification (every bucket rewritten per small batch, the
         # measured ~30-40k ev/s floor of round 1); MOR appends O(batch)
@@ -203,6 +215,9 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
             "read_ahead_total_sec": round(ra_total, 3),
             "read_ahead_events_per_sec": ra_eps,
             "read_ahead_speedup": round(ra_eps / seq_eps, 2),
+            "read_ahead_auto_chose": drv.auto_read_ahead,
+            "read_ahead_auto_events_per_sec": auto_eps,
+            "read_ahead_auto_vs_seq": round(auto_eps / seq_eps, 2),
             "mor_batch_sec": mor_times,
             "mor_events_per_sec": mor_eps,
             "floor_speedup_mor_vs_cow": round(mor_eps / seq_eps, 2),
