@@ -149,6 +149,13 @@ def _real_props(b: bytes):
     for parser in (_parse_png, _parse_gif, _parse_wav):
         out = parser(b)
         if out is not None:
+            # DECODED_SCHEMA carries Int32 fields; a legal-but-degenerate
+            # container (e.g. a >2 GiB mono 8-bit WAV whose uint32 sizes
+            # imply > 2^31-1 frames) must degrade to null dims like any
+            # other undecodable payload — never raise inside the Arrow
+            # batch (quarantine-not-crash)
+            if any(v is None or v < 0 or v > 0x7FFFFFFF for v in out):
+                return None
             return out
     try:  # pragma: no cover - Pillow absent in the CI container
         import io

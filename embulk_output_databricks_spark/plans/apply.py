@@ -87,8 +87,12 @@ def ensure_table(catalog: LakeCatalog, cfg: JobConfig, schema) -> LakeTable:
         keys = cfg.merge_keys
     elif cfg.n_buckets and DEFAULT_MERGE_KEYS[0] in {f.name for f in schema.fields}:
         # merge_keys defaults to None (discovery), but a non-merge
-        # auto-create with n_buckets set still wants bucketing — fall back
-        # to the default key so bucket pruning isn't silently lost.
+        # auto-create still wants bucketing — fall back to the default key
+        # so bucket pruning isn't silently lost (this restores the
+        # pre-discovery default, where merge_keys=['doc_id'] bucketed
+        # every auto-create). The write-side co-locating shuffle is the
+        # price of pruned reads; an append-only pipeline that wants the
+        # unbucketed layout sets n_buckets=0 explicitly.
         keys = list(DEFAULT_MERGE_KEYS)
     else:
         keys = []

@@ -38,11 +38,14 @@ OP_COL = "op"
 _T_HIT = "__t_present"
 _S_HIT = "__s_present"
 
-# per-call phase walls of the last merge_apply (driver-serial attribution:
-# prepass = fused agg job incl. staged persist build; write = data-file
-# write job + commit; the gap to the caller's apply_s is driver-side plan
-# construction). Overwritten every call; read by replay metrics and the
-# scaling protocol's serial-share analysis.
+# per-call phase walls + plan flags of the last merge_apply (driver-serial
+# attribution: prepass = fused agg job incl. staged persist build; write =
+# data-file write job + commit; `predicted`/`staged_ahead` mark which plan
+# path ran). DIAGNOSTIC, single-writer: consumed by tests
+# (test_predictive.py), the cdc_predictive_merge oracle query, and ad-hoc
+# serial-share probes — not by the engine itself. Concurrent per-table
+# applies (streaming/multi.py parallel mode) interleave writes here, so
+# never read it where two merges may overlap.
 LAST_PHASES: dict = {}
 
 
@@ -351,6 +354,13 @@ def merge_apply(
             obs_cols.append(F.count(F.when(
                 ~F.coalesce(F.col(OP_COL) == "D", F.lit(False)), 1))
                 .alias("__nondel"))
+        if bucketed:
+            # re-measure bucket coverage under the CURRENT spec so a
+            # stream that narrows to few buckets while staying large
+            # DISARMS prediction and gets pruning back next batch —
+            # without this the all-buckets assumption would self-sustain
+            obs_cols.append(F.collect_set(
+                bucket_expr(m.bucket_key, m.n_buckets)).alias("__bk"))
         staged = staged.observe(pred_obs, *obs_cols)
         row = None
         n_staged = prev["n_staged"]  # plan-choice estimate only
@@ -499,10 +509,13 @@ def merge_apply(
             actual = int(got["__n"] or 0)
             was_delete_only = (delete_path_ok
                                and int(got.get("__nondel", 1) or 0) == 0)
+            covered = (not bucketed
+                       or len(got.get("__bk") or []) >= m.n_buckets)
         else:
             actual, was_delete_only = n_staged, False
-        all_b = (not was_delete_only) and (affected is None or all(
-            len(v) >= nb for nb, v in affected.items()))
+            covered = affected is None or all(
+                len(v) >= nb for nb, v in affected.items())
+        all_b = (not was_delete_only) and covered
         table._prev_merge = {"n_staged": actual, "all_buckets": all_b}
         return out
     finally:

@@ -75,18 +75,22 @@ def build_session(
         # slots. Pools are ignored under FIFO, so tagging is always safe.
         import tempfile
 
-        xml = tempfile.NamedTemporaryFile(
-            "w", suffix="_fairscheduler.xml", delete=False)
-        xml.write(
-            "<allocations>"
-            "<pool name=\"apply\"><schedulingMode>FIFO</schedulingMode>"
-            "<weight>4</weight><minShare>0</minShare></pool>"
-            "<pool name=\"prefetch\"><schedulingMode>FIFO</schedulingMode>"
-            "<weight>1</weight><minShare>0</minShare></pool>"
-            "</allocations>")
-        xml.close()
+        # deterministic per-user path, rewritten idempotently — a
+        # NamedTemporaryFile per build_session would leak one XML per
+        # session build across bench loops and spark-submit fleets
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_fairscheduler_{os.getuid()}.xml")
+        with open(path, "w") as xml:
+            xml.write(
+                "<allocations>"
+                "<pool name=\"apply\"><schedulingMode>FIFO</schedulingMode>"
+                "<weight>4</weight><minShare>0</minShare></pool>"
+                "<pool name=\"prefetch\"><schedulingMode>FIFO</schedulingMode>"
+                "<weight>1</weight><minShare>0</minShare></pool>"
+                "</allocations>")
         b = (b.config("spark.scheduler.mode", "FAIR")
-             .config("spark.scheduler.allocation.file", xml.name))
+             .config("spark.scheduler.allocation.file", path))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

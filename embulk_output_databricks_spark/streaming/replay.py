@@ -186,8 +186,18 @@ class ReplayDriver:
         est = self._last_batch_rows
         if not est or est <= 0:
             return "cow"
-        return ("mor" if self.table.row_count()
-                > AUTO_MOR_TABLE_BATCH_RATIO * est else "cow")
+        # manifest-only row estimate, NEVER IO: row_count() must count
+        # targeted files when equality-delete sidecars are outstanding,
+        # which would put a data job on the apply critical path. The sum
+        # over live entries is an upper bound in that state — fine for a
+        # crossover heuristic.
+        from ..sources.laketable import _live_data, _posdel_entries
+
+        m = self.table.manifest()
+        approx = (sum(f["rows"] for f in _live_data(m.files))
+                  - sum(f["rows"] for f in _posdel_entries(m.files)))
+        return ("mor" if approx > AUTO_MOR_TABLE_BATCH_RATIO * est
+                else "cow")
 
     def _payload_cols(self) -> list[str]:
         return [f["name"] for f in self.table.manifest().schema_version.fields]
@@ -714,7 +724,15 @@ class ReplayDriver:
             finally:
                 df0.unpersist()
             apply_s = _time.monotonic() - t_a
-            read_ahead = 2 if fetch_s >= AUTO_READ_AHEAD_SHARE * apply_s else 0
+            if rec0 is None:
+                # fence-rejected probe: apply_s measured a no-op, not an
+                # apply — a resumed replay over committed batches must NOT
+                # conclude "apply is fast, prefetch everything" (the
+                # serial path never even materializes those sources)
+                read_ahead = 0
+            else:
+                read_ahead = (2 if fetch_s >= AUTO_READ_AHEAD_SHARE * apply_s
+                              else 0)
             self.auto_read_ahead = read_ahead  # observability (tests/bench)
             rest = self.replay_pipelined(
                 items[1:], read_ahead=read_ahead,
@@ -751,37 +769,51 @@ class ReplayDriver:
             # thread-local pool tag: under FAIR scheduling prefetch work
             # yields slots to the apply chain (no-op under FIFO)
             sc.setLocalProperty("spark.scheduler.pool", "prefetch")
-            if not do_stage:
-                ev = thunk().persist(StorageLevel.MEMORY_AND_DISK)
-                ev.count()  # force the build off the apply's critical path
-                return {"events": ev, "__persisted": [ev]}
-            from pyspark.sql import Observation
+            held: list = []  # persisted frames to release on failure —
+                             # the retry path would otherwise leak one
+                             # cache entry per failed attempt
+            try:
+                if not do_stage:
+                    ev = thunk().persist(StorageLevel.MEMORY_AND_DISK)
+                    held.append(ev)
+                    ev.count()  # force the build off the critical path
+                    return {"events": ev, "__persisted": [ev]}
+                from pyspark.sql import Observation
 
-            from ..plans.merge import prepass_aggs
+                from ..plans.merge import prepass_aggs
 
-            # the RAW source is NOT persisted here — a 9M-event batch of
-            # token arrays is GBs of cache the sequential path never
-            # materializes (it streams the source straight into the
-            # dedup). Only the deduped STAGED frame (one row per key) is
-            # cached; the raw-event light metrics ride an Observation on
-            # the single source scan the staged build performs.
-            ev = thunk()
-            lobs = Observation()
-            staged = self._staged_frame(
-                ev.observe(lobs,
-                           F.count(F.lit(1)).alias("events_in"),
-                           F.min("seq_lsn").alias("lo"),
-                           F.max("seq_lsn").alias("hi"))
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            m = self.table.manifest()
-            aggs, _nbs, _dpo, _b = prepass_aggs(
-                m, self.cfg.merge_keys, "op" in staged.columns,
-                self.cfg.support_deletes, self.cfg.merge_rules,
-                self.cfg.merge_guard_col)
-            row = staged.agg(*aggs).collect()[0]
-            return {"events": ev, "staged": staged, "row": row,
-                    "sv": m.current_sv, "light": lobs.get,
-                    "__persisted": [staged]}
+                # the RAW source is NOT persisted here — a 9M-event batch
+                # of token arrays is GBs of cache the sequential path
+                # never materializes (it streams the source straight into
+                # the dedup). Only the deduped STAGED frame (one row per
+                # key) is cached; the raw-event light metrics ride an
+                # Observation on the single source scan the staged build
+                # performs.
+                ev = thunk()
+                lobs = Observation()
+                staged = self._staged_frame(
+                    ev.observe(lobs,
+                               F.count(F.lit(1)).alias("events_in"),
+                               F.min("seq_lsn").alias("lo"),
+                               F.max("seq_lsn").alias("hi"))
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                held.append(staged)
+                m = self.table.manifest()
+                aggs, _nbs, _dpo, _b = prepass_aggs(
+                    m, self.cfg.merge_keys, "op" in staged.columns,
+                    self.cfg.support_deletes, self.cfg.merge_rules,
+                    self.cfg.merge_guard_col)
+                row = staged.agg(*aggs).collect()[0]
+                return {"events": ev, "staged": staged, "row": row,
+                        "sv": m.current_sv, "light": lobs.get,
+                        "__persisted": [staged]}
+            except BaseException:
+                for df in held:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+                raise
 
         def release(bundle):
             for df in bundle.get("__persisted", []):
@@ -812,11 +844,16 @@ class ReplayDriver:
                     # transient prefetch failure: rebuild this batch's
                     # source under the same retry policy the serial path
                     # gives thunk() — pipelining must not reduce fault
-                    # tolerance vs read_ahead=0
-                    bundle = self._retrying(
-                        lambda t=_t, b_=b: fetch(
-                            t, stage_ok
-                            and not (evolution_plan or {}).get(b_)))
+                    # tolerance vs read_ahead=0. fetch() tags the calling
+                    # thread 'prefetch'; restore the apply tag afterwards
+                    # or every later apply job runs at prefetch weight.
+                    try:
+                        bundle = self._retrying(
+                            lambda t=_t, b_=b: fetch(
+                                t, stage_ok
+                                and not (evolution_plan or {}).get(b_)))
+                    finally:
+                        sc.setLocalProperty("spark.scheduler.pool", "apply")
                 try:
                     rec = self._retrying(
                         lambda b=b, bundle=bundle: self.run_batch(

@@ -145,3 +145,18 @@ def test_read_ahead_auto_slow_source_enables_prefetch(spark, cat):
     full = synth_binlog(spark, 3 * per, 50, per, delete_frac=0.0)
     assert table_state(drv.table) == \
         python_oracle([r.asDict() for r in full.collect()])
+
+
+def test_read_ahead_auto_fenced_probe_disables_prefetch(spark, cat):
+    """A resumed replay whose first probe batch is fence-rejected measured
+    a no-op, not an apply — auto must NOT conclude 'apply is fast,
+    prefetch everything' (the serial path never materializes committed
+    batches' sources at all)."""
+    per = 300
+    binlog = synth_binlog(spark, 3 * per, 50, per, delete_frac=0.0).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    drv.replay(binlog)  # commit everything
+    recs = drv.replay(binlog, read_ahead="auto")  # resume: all fenced
+    assert recs == []
+    assert drv.auto_read_ahead == 0
+    binlog.unpersist()

@@ -93,3 +93,25 @@ def test_delete_only_batch_disarms_prediction(spark, tbl):
     assert m2.properties.get("operation") == "merge-eqdel"
     assert tbl.read().count() == 150
     assert _state(tbl) == [(u, 2) for u in range(150, 300)]
+
+
+def test_narrowed_stream_disarms_prediction(spark, tbl):
+    """A stream that narrows to ONE bucket while staying large must lose
+    the all-buckets assumption: coverage is re-measured on the predicted
+    write's own Observation, so the NEXT batch replans with pruning."""
+    _merge(spark, tbl, _staged(spark, 0, 400, 1))
+    _merge(spark, tbl, _staged(spark, 0, 400, 2))
+    assert M.LAST_PHASES.get("predicted")
+    # one-bucket batch (single key, still over the size gates): runs
+    # predicted (stale stats), but its observed coverage disarms
+    one = spark.range(0, 100).select(
+        F.lit(7).cast("long").alias("user_id"),
+        (F.col("id") + 100).alias("v"))
+    from embulk_output_databricks_spark.operators.lww import lww_dedup
+    one = lww_dedup(one.withColumn("seq_lsn", F.col("v")), keys=["user_id"],
+                    order=["seq_lsn"]).select("user_id", "v")
+    _merge(spark, tbl, one)
+    assert M.LAST_PHASES.get("predicted")
+    _merge(spark, tbl, _staged(spark, 7, 8, 999))
+    assert not M.LAST_PHASES.get("predicted")  # coverage disarmed it
+    assert _state(tbl)[7] == (7, 999)
