@@ -1431,12 +1431,17 @@ def q_cdc_predictive_merge(spark, sf_dir):
 
     binlog = _binlog_batches(spark, sf_dir)
     cat = _fresh_catalog(spark, "predictive")
-    # the LWW dedup collapses each batch to ~150 distinct users at
-    # sf0.01, so the regime gates are lowered to put those batches deep
-    # in shuffle territory (threshold 20 << 150) past the min-rows floor
+    # the LWW dedup collapses each batch to the distinct-user count (150
+    # at sf0.01, 15 at sf0.001), so the regime gates scale with the data:
+    # thresholds sized to a third/seventh of the user count keep every
+    # batch deep in shuffle territory past the min-rows floor, and 2
+    # buckets make all-bucket coverage certain at any sf
+    n_users = (binlog.filter(F.col("batch_id") == 0)
+               .select("user_id").distinct().count())
     cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"],
-                    n_buckets=8, broadcast_merge_threshold=20,
-                    predictive_min_rows=50)
+                    n_buckets=2,
+                    broadcast_merge_threshold=max(1, n_users // 7),
+                    predictive_min_rows=max(2, n_users // 3))
     driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
     predicted = []
     for b in (0, 1, 2, 3):
