@@ -111,17 +111,17 @@ def _parse_png(b: bytes):
 
 def _parse_gif(b: bytes):
     """GIF logical-screen descriptor: width/height little-endian uint16 at
-    bytes 6-10; frame count = image-descriptor separators (0x2C at a
-    block boundary is not tracked without full block walking, so frames
-    are reported as the count of ',' image separators, min 1 — exact for
-    the synthetic single/multi-frame fixtures, approximate for arbitrary
-    GIFs whose sub-blocks may contain 0x2C bytes)."""
+    bytes 6-10. Frame count is reported as 1 (presence): a correct count
+    requires walking the block structure (0x2C bytes also occur in
+    dimension fields and palette entries, so counting separators is wrong
+    for most real GIFs). When Pillow is present it runs BEFORE this
+    parser (see _real_props) and reports true n_frames."""
     import struct
 
     if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h = struct.unpack("<HH", b[6:10])
-    return w, h, max(1, b.count(b"\x2c"))
+    return w, h, 1
 
 
 def _parse_wav(b: bytes):
@@ -139,14 +139,35 @@ def _parse_wav(b: bytes):
         return None
 
 
+# Pillow resolved ONCE at import: a per-row failed `from PIL import ...`
+# inside the Arrow hot loop would pay full import machinery (sys.path
+# probing) for every non-PNG/WAV payload when the library is absent.
+try:  # pragma: no cover - Pillow absent in the CI container
+    from PIL import Image as _PIL_IMAGE
+except Exception:
+    _PIL_IMAGE = None
+
+
+def _parse_pillow(b: bytes):  # pragma: no cover - Pillow absent in CI
+    if _PIL_IMAGE is None:
+        return None
+    try:
+        import io
+
+        with _PIL_IMAGE.open(io.BytesIO(b)) as img:
+            return img.width, img.height, getattr(img, "n_frames", 1)
+    except Exception:
+        return None
+
+
 def _real_props(b: bytes):
-    """Real header decode: container-format dimension/frame extraction
-    with NO external dependency (PNG/GIF headers, RIFF/WAVE via stdlib
-    wave), falling back to Pillow for every other image format when the
-    library exists. Returns None for undecodable payloads — the caller
-    maps that to null dimensions (decode-failure semantics), matching
-    decode_media's null handling."""
-    for parser in (_parse_png, _parse_gif, _parse_wav):
+    """Real decode: exact stdlib parsers first (PNG header, RIFF/WAVE via
+    wave), then Pillow when present (true dims AND frame counts for GIF,
+    JPEG, BMP, ...), then the dependency-free GIF header parse (exact
+    dims, frame count capped to presence). Returns None for undecodable
+    payloads — the caller maps that to null dimensions (decode-failure
+    semantics), matching decode_media's null handling."""
+    for parser in (_parse_png, _parse_wav, _parse_pillow, _parse_gif):
         out = parser(b)
         if out is not None:
             # DECODED_SCHEMA carries Int32 fields; a legal-but-degenerate
@@ -157,15 +178,7 @@ def _real_props(b: bytes):
             if any(v is None or v < 0 or v > 0x7FFFFFFF for v in out):
                 return None
             return out
-    try:  # pragma: no cover - Pillow absent in the CI container
-        import io
-
-        from PIL import Image
-
-        with Image.open(io.BytesIO(b)) as img:
-            return img.width, img.height, getattr(img, "n_frames", 1)
-    except Exception:
-        return None
+    return None
 
 
 def decode_media_real(media: DataFrame) -> DataFrame:

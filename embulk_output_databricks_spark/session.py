@@ -75,20 +75,26 @@ def build_session(
         # slots. Pools are ignored under FIFO, so tagging is always safe.
         import tempfile
 
-        # deterministic per-user path, rewritten idempotently — a
-        # NamedTemporaryFile per build_session would leak one XML per
-        # session build across bench loops and spark-submit fleets
+        # deterministic per-user path, published ATOMICALLY (temp file +
+        # os.replace) — a NamedTemporaryFile per build_session would leak
+        # one XML per session build, and a plain truncate+write would let
+        # a concurrent spark-submit of the same user read a half-written
+        # file while its SparkContext parses the pools
         path = os.path.join(
             tempfile.gettempdir(),
             f"spark_graft_fairscheduler_{os.getuid()}.xml")
-        with open(path, "w") as xml:
-            xml.write(
-                "<allocations>"
-                "<pool name=\"apply\"><schedulingMode>FIFO</schedulingMode>"
-                "<weight>4</weight><minShare>0</minShare></pool>"
-                "<pool name=\"prefetch\"><schedulingMode>FIFO</schedulingMode>"
-                "<weight>1</weight><minShare>0</minShare></pool>"
-                "</allocations>")
+        tmp = tempfile.NamedTemporaryFile(
+            "w", dir=tempfile.gettempdir(), delete=False,
+            prefix="spark_graft_fair_", suffix=".tmp")
+        tmp.write(
+            "<allocations>"
+            "<pool name=\"apply\"><schedulingMode>FIFO</schedulingMode>"
+            "<weight>4</weight><minShare>0</minShare></pool>"
+            "<pool name=\"prefetch\"><schedulingMode>FIFO</schedulingMode>"
+            "<weight>1</weight><minShare>0</minShare></pool>"
+            "</allocations>")
+        tmp.close()
+        os.replace(tmp.name, path)
         b = (b.config("spark.scheduler.mode", "FAIR")
              .config("spark.scheduler.allocation.file", path))
     for k, v in (extra_conf or {}).items():

@@ -1468,6 +1468,18 @@ class LakeTable:
             cols.append(F.col(name).cast(cf["type"]).alias(cf["name"]))
         return df.select(*cols)
 
+    def row_count_estimate(self, version: int | None = None) -> int:
+        """Manifest-only live-row estimate, NEVER IO: exact whenever no
+        equality-delete sidecars are outstanding (the row_count() fast
+        branch below), an upper bound otherwise (eqdel-matched rows are
+        still counted — counting them exactly is precisely the IO the
+        sidecar deferred). For cost models and layout heuristics that
+        must stay off the data path (e.g. the merge-strategy auto
+        selection on the apply critical path)."""
+        m = self.manifest(version)
+        return (sum(f["rows"] for f in _live_data(m.files))
+                - sum(f["rows"] for f in _posdel_entries(m.files)))
+
     def row_count(self, version: int | None = None) -> int:
         """Physical live rows: data+delta rows minus positionally-deleted
         rows — exact from manifest counts alone (no IO) because the posdel

@@ -186,18 +186,12 @@ class ReplayDriver:
         est = self._last_batch_rows
         if not est or est <= 0:
             return "cow"
-        # manifest-only row estimate, NEVER IO: row_count() must count
+        # manifest-only estimate, NEVER IO: row_count() must count
         # targeted files when equality-delete sidecars are outstanding,
-        # which would put a data job on the apply critical path. The sum
-        # over live entries is an upper bound in that state — fine for a
-        # crossover heuristic.
-        from ..sources.laketable import _live_data, _posdel_entries
-
-        m = self.table.manifest()
-        approx = (sum(f["rows"] for f in _live_data(m.files))
-                  - sum(f["rows"] for f in _posdel_entries(m.files)))
-        return ("mor" if approx > AUTO_MOR_TABLE_BATCH_RATIO * est
-                else "cow")
+        # which would put a data job on the apply critical path; the
+        # estimate's upper-bound slack is fine for a crossover heuristic
+        return ("mor" if self.table.row_count_estimate()
+                > AUTO_MOR_TABLE_BATCH_RATIO * est else "cow")
 
     def _payload_cols(self) -> list[str]:
         return [f["name"] for f in self.table.manifest().schema_version.fields]
@@ -789,6 +783,13 @@ class ReplayDriver:
                 # key) is cached; the raw-event light metrics ride an
                 # Observation on the single source scan the staged build
                 # performs.
+                # capture the schema version BEFORE building the name map:
+                # if a concurrent evolution lands between the two manifest
+                # reads, the recorded sv is the OLD one and the consume
+                # gate rejects the bundle (fail-safe). Recording sv after
+                # the map would let a NEW sv ride an old-schema frame
+                # through the gate.
+                sv = self.table.manifest().current_sv
                 ev = thunk()
                 lobs = Observation()
                 staged = self._staged_frame(
@@ -805,7 +806,7 @@ class ReplayDriver:
                     self.cfg.merge_guard_col)
                 row = staged.agg(*aggs).collect()[0]
                 return {"events": ev, "staged": staged, "row": row,
-                        "sv": m.current_sv, "light": lobs.get,
+                        "sv": sv, "light": lobs.get,
                         "__persisted": [staged]}
             except BaseException:
                 for df in held:

@@ -121,7 +121,8 @@ def main(argv: list[str] | None = None) -> None:
         # batches overlap their source builds inside each call, so only
         # the amortized per-batch rate is meaningful
         recs = []
-        w = min(args.warmup_batches, args.batches)
+        # at least one batch stays in the timed call
+        w = min(args.warmup_batches, max(args.batches - 1, 0))
         if w:
             t0 = time.perf_counter()
             recs += driver.replay_pipelined(
@@ -155,7 +156,9 @@ def main(argv: list[str] | None = None) -> None:
                     sum(x["events_in"] for x in rec["lineage"])
                     if rec["lineage"] else rec.get("lsn_to", 0) - rec.get("lsn_from", 0)
                 )
-    timed = per_batch[args.warmup_batches:]
+    # clamp: at least one timed batch survives (warmup >= batches would
+    # otherwise divide by zero AFTER the whole replay ran)
+    timed = per_batch[min(args.warmup_batches, len(per_batch) - 1):]
     total = sum(timed)
     out = {
         "job": "cdc-replay",
