@@ -358,9 +358,11 @@ def merge_apply(
             # re-measure bucket coverage under the CURRENT spec so a
             # stream that narrows to few buckets while staying large
             # DISARMS prediction and gets pruning back next batch —
-            # without this the all-buckets assumption would self-sustain
-            obs_cols.append(F.collect_set(
-                bucket_expr(m.bucket_key, m.n_buckets)).alias("__bk"))
+            # without this the all-buckets assumption would self-sustain.
+            # SCALAR metric (set size, not the set): array-typed
+            # observation metrics flake in the JVM->Python row conversion
+            obs_cols.append(F.size(F.collect_set(
+                bucket_expr(m.bucket_key, m.n_buckets))).alias("__nbk"))
         staged = staged.observe(pred_obs, *obs_cols)
         row = None
         n_staged = prev["n_staged"]  # plan-choice estimate only
@@ -510,9 +512,13 @@ def merge_apply(
             was_delete_only = (delete_path_ok
                                and int(got.get("__nondel", 1) or 0) == 0)
             covered = (not bucketed
-                       or len(got.get("__bk") or []) >= m.n_buckets)
+                       or int(got.get("__nbk") or 0) >= m.n_buckets)
         else:
-            actual, was_delete_only = n_staged, False
+            actual = n_staged
+            # a delete-only batch can reach here when delete_keys declined
+            # (empty table) — it must still disarm, like the predicted path
+            was_delete_only = (delete_path_ok and row is not None
+                               and row["__nondel"] == 0)
             covered = affected is None or all(
                 len(v) >= nb for nb, v in affected.items())
         all_b = (not was_delete_only) and covered

@@ -115,3 +115,40 @@ def test_narrowed_stream_disarms_prediction(spark, tbl):
     _merge(spark, tbl, _staged(spark, 7, 8, 999))
     assert not M.LAST_PHASES.get("predicted")  # coverage disarmed it
     assert _state(tbl)[7] == (7, 999)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# batch sequences: (n_rows in shuffle-or-broadcast territory, value seed,
+# delete flag) — sizes straddle the prediction gates so arming, use,
+# misprediction, and disarm all occur across examples
+_batches = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=300),
+              st.integers(min_value=0, max_value=9),
+              st.booleans()),
+    min_size=2, max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_batches)
+def test_prediction_equivalence_random_sequences(spark, tmp_path_factory, seq):
+    """For ANY batch sequence (sizes straddling the gates, upserts and
+    deletes interleaved), merging with predictive planning enabled vs
+    disabled yields identical table state and identical commit counts —
+    prediction may only change the PLAN, never the result."""
+    wh = str(tmp_path_factory.mktemp("pred_prop"))
+    cat = LakeCatalog(spark, wh)
+    a = cat.create_table("pa", SCHEMA, n_buckets=4, bucket_key="user_id")
+    b = cat.create_table("pb", SCHEMA, n_buckets=4, bucket_key="user_id")
+    for n, v, is_del in seq:
+        df = _staged(spark, 0, n, v, op=("D" if is_del else "U"))
+        _merge(spark, a, df, support_deletes=True,
+               broadcast_threshold_rows=40, predictive_min_rows=80)
+        _merge(spark, b, df, support_deletes=True,
+               broadcast_threshold_rows=40, predictive_min_rows=80,
+               predictive=False)
+    assert _state(a) == _state(b)
+    assert a.manifest().version == b.manifest().version
