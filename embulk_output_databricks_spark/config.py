@@ -99,12 +99,14 @@ class JobConfig:
                                   # | mor (merge-on-read: O(batch) delta
                                   #   appends, read-side resolution — the
                                   #   write-heavy/frequent-batch extension)
-                                  # | auto (cost-based per batch: MOR while
-                                  #   the table dwarfs the batch — see
-                                  #   replay.AUTO_MOR_TABLE_BATCH_RATIO —
-                                  #   else COW; decided from manifest row
-                                  #   counts + the previous batch's
-                                  #   observed size, zero data IO)
+                                  # | auto (full-cycle cost model per
+                                  #   batch: MOR only when the saved
+                                  #   rewrite beats its deferred
+                                  #   read-resolution + fold taxes — see
+                                  #   replay.AUTO_MOR_READ_WEIGHT et al;
+                                  #   decided from manifest row counts +
+                                  #   the previous batch's observed size,
+                                  #   zero data IO)
     mor_compact_every: int = 0    # mor only: fold deltas into base every N
                                   # batches (0 = manual compact_deltas())
     broadcast_merge_threshold: int = 500_000

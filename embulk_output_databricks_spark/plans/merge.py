@@ -507,12 +507,27 @@ def merge_apply(
         # this batch covered every bucket of every spec present; a
         # delete-only batch observed under prediction disarms the next
         if pred_obs is not None:
-            got = pred_obs.get
-            actual = int(got["__n"] or 0)
-            was_delete_only = (delete_path_ok
-                               and int(got.get("__nondel", 1) or 0) == 0)
-            covered = (not bucketed
-                       or int(got.get("__nbk") or 0) >= m.n_buckets)
+            # the metrics read must be FAILURE-SAFE: when the merge result
+            # is provably empty at runtime (e.g. a delete-only batch
+            # removed every row), AQE's empty-relation propagation prunes
+            # the plan subtree holding the CollectMetrics node, the
+            # metrics never materialize, and .get raises from the JVM —
+            # AFTER replace_files already committed. A crash here would
+            # hand the caller an exception for a live snapshot (replay
+            # would retry-then-fence a batch it believes failed), so on
+            # any failure fall back to conservative estimates and DISARM
+            # the next batch (it re-runs the exact pre-pass).
+            try:
+                got = pred_obs.get
+                actual = int(got["__n"] or 0)
+                was_delete_only = (delete_path_ok
+                                   and int(got.get("__nondel", 1) or 0) == 0)
+                covered = (not bucketed
+                           or int(got.get("__nbk") or 0) >= m.n_buckets)
+            except Exception:
+                LAST_PHASES["pred_obs_lost"] = True
+                table._prev_merge = {"n_staged": 0, "all_buckets": False}
+                return out
         else:
             actual = n_staged
             # a delete-only batch can reach here when delete_keys declined

@@ -1457,15 +1457,19 @@ def q_cdc_auto_strategy(spark, sf_dir):
     """Cost-based COW/MOR regime selection (merge_strategy='auto'): the
     driver picks the apply plan per batch from metadata only — manifest
     row count vs the previous batch's observed size (MOR while the table
-    dwarfs the batch, bench_auto_strategy measures the crossover).
+    dwarfs the batch, bench_auto_strategy measures the crossover — ~40x
+    at the default consumer-read cadence since the r4 full-cycle model).
     A large bootstrap batch must land as COW (no estimate, small table),
-    the steady tail of small daily batches must flip to MOR delta appends,
-    and the final state equals the plain exactly-once replay either way."""
+    the steady tail of small 8-hour batches (table/batch ~84, deep past
+    the crossover) must flip to MOR delta appends, and the final state
+    equals the plain exactly-once replay either way."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     binlog = ev.select(
         F.unix_micros(F.col("ts").cast("timestamp")).alias("seq_lsn"),
-        F.when(F.dayofmonth("ts") <= 24, F.lit(0))
-        .otherwise(F.dayofmonth("ts") - 24).cast("long").alias("batch_id"),
+        F.when(F.dayofmonth("ts") <= 28, F.lit(0))
+        .otherwise((F.dayofmonth("ts") - 29) * 3
+                   + F.floor(F.hour("ts") / 8) + 1)
+        .cast("long").alias("batch_id"),
         F.lit("U").alias("op"),
         "event_id",
         "user_id",

@@ -52,14 +52,32 @@ AUTO_READ_AHEAD_SHARE = 0.5
 # grow without bound
 AUTO_COMPACT_HORIZON = 8
 
-# merge_strategy='auto' crossover: choose MOR while
-# table_rows > RATIO x batch_rows. Write-side amortized cost says delta
-# appends win even at batch ~ table (append is join-free; the compaction
-# fold every `horizon` batches costs one COW-like rewrite spread over
-# `horizon` applies — measured in bench_auto_strategy), but the READ-side
-# backlog between compactions is horizon x batch rows of unresolved
-# deltas, so the ratio keeps that bounded by (horizon/RATIO) x table.
-AUTO_MOR_TABLE_BATCH_RATIO = 2
+# merge_strategy='auto' FULL-CYCLE cost model (r4: the write-side-only
+# ratio rule picked MOR in a regime where COW won the bench's sync-cycle
+# score — BENCH_r03 auto_strategy.steady_small, auto_vs_best 0.75).
+# Per-row cost weights RELATIVE to the COW merge-rewrite unit cost,
+# calibrated from the driver-filed BENCH_r03 steady_small record
+# (t=750k, b=30k, 64 buckets, local[32]):
+#   cow apply  = fixed + c_w*(t+b)        c_w = 2.64e-6 s/row
+#   mor fold   = 11.97 s over ~870k rows  -> 5.2x c_w per row
+#   mor read   = +5.92 s over ~870k rows  -> 2.6x c_w per row resolution
+# MOR's deferred costs per batch: winner-resolution tax on every consumer
+# read of the live table (reads/batch u, unknowable a priori — default
+# AUTO_CONSUMER_READS_PER_BATCH, forced to 1.0 when the job itself reads
+# per batch via rollups/followers/history) plus the amortized compaction
+# fold (every `horizon` batches). Both scale with (table + avg backlog),
+# backlog ~ horizon/2 x batch. Crossover at the defaults lands at
+# table/batch ~ 40 — vs the old write-only rule's 2.
+AUTO_MOR_READ_WEIGHT = 2.6   # per-row MOR winner-resolution vs cow rewrite
+AUTO_MOR_FOLD_WEIGHT = 5.2   # per-row compaction fold vs cow rewrite
+AUTO_CONSUMER_READS_PER_BATCH = 0.1  # assumed external read cadence
+
+
+def _scheduler_is_fair(sc) -> bool:
+    """True when the session was started with the FAIR scheduler (the
+    stage-ahead precondition — see replay_pipelined's FIFO guard)."""
+    return sc.getConf().get(
+        "spark.scheduler.mode", "FIFO").upper() == "FAIR"
 
 
 class EvolutionOp:
@@ -114,6 +132,7 @@ class ReplayDriver:
             self.cfg = cfg = dataclasses.replace(
                 cfg, merge_keys=resolve_merge_keys(cfg, self.table))
         self.source_id = source_id
+        self.stage_ahead_active = False  # observability: FIFO guard result
         self.ckpt = CheckpointStore(self.table, source_id=source_id)
         # merge_strategy='auto': pre-built per-strategy config variants the
         # per-batch cost model picks from (they carry the resolved merge
@@ -170,15 +189,17 @@ class ReplayDriver:
 
     def _choose_strategy(self) -> str:
         """Per-batch COW-vs-MOR choice for merge_strategy='auto' — the
-        tokmaint cost-model pattern applied to the apply path. Inputs are
-        metadata only (manifest row count + the previous batch's observed
-        size): MOR wins while the table dwarfs the batch — delta appends
-        cost O(batch), the amortized compaction one COW-like fold per
-        `horizon` applies, and the read-side delta backlog stays bounded
-        (see AUTO_MOR_TABLE_BATCH_RATIO). COW wins otherwise — including
-        the bootstrap batch (no size estimate yet, table small anyway) and
-        restatement/backfill batches comparable to the table, where the
-        appends would churn most groups before every fold."""
+        tokmaint cost-model pattern applied to the apply path, scored on
+        the FULL sync cycle (apply + consumer-read resolution tax +
+        amortized compaction fold — exactly what bench_auto_strategy
+        charges), not bare apply throughput. Inputs are metadata only
+        (manifest row count + the previous batch's observed size). MOR
+        wins only when the table dwarfs the batch enough that the saved
+        rewrite exceeds BOTH deferred taxes; COW wins otherwise —
+        including the bootstrap batch (no size estimate yet, table small
+        anyway), restatement/backfill batches comparable to the table,
+        and ANY regime where the job itself re-reads the live table every
+        batch (rollups/followers/history force the read cadence to 1)."""
         if self.cfg.merge_strategy != "auto":
             return self.cfg.merge_strategy
         if self.cfg.mode is not ApplyMode.MERGE:
@@ -190,8 +211,17 @@ class ReplayDriver:
         # targeted files when equality-delete sidecars are outstanding,
         # which would put a data job on the apply critical path; the
         # estimate's upper-bound slack is fine for a crossover heuristic
-        return ("mor" if self.table.row_count_estimate()
-                > AUTO_MOR_TABLE_BATCH_RATIO * est else "cow")
+        t = self.table.row_count_estimate()
+        h = self.cfg.mor_compact_every or AUTO_COMPACT_HORIZON
+        # maintained rollups/history read the resolved table every batch:
+        # MOR's resolution tax lands on the apply critical path itself
+        u = (1.0 if (self.rollups or self.history)
+             else AUTO_CONSUMER_READS_PER_BATCH)
+        live = t + (h / 2) * est  # avg resolved-read size between folds
+        cow_cost = t + est        # join + rewrite touched buckets
+        mor_cost = est + (u * AUTO_MOR_READ_WEIGHT
+                          + AUTO_MOR_FOLD_WEIGHT / h) * live
+        return "mor" if mor_cost < cow_cost else "cow"
 
     def _payload_cols(self) -> list[str]:
         return [f["name"] for f in self.table.manifest().schema_version.fields]
@@ -705,7 +735,13 @@ class ReplayDriver:
 
             def probe_fetch():
                 df = t0().persist(StorageLevel.MEMORY_AND_DISK)
-                df.count()
+                try:
+                    df.count()
+                except BaseException:
+                    # a transient failure inside _retrying would otherwise
+                    # leak one cache entry per attempt (mirror fetch())
+                    df.unpersist()
+                    raise
                 return df
 
             df0 = self._retrying(probe_fetch)
@@ -758,6 +794,26 @@ class ReplayDriver:
                     and collect_metrics is not True)
 
         sc = self.table.spark.sparkContext
+        if stage_ok and not _scheduler_is_fair(sc):
+            # MEASURED to be WORSE than serial under FIFO (BASELINE.md:
+            # 12.9 s/batch vs 11.0 serial at local[16]): the pre-pass jobs
+            # submitted early by the prefetch thread hold the whole
+            # cluster while the apply chain queues behind them — FIFO
+            # serializes exactly the overlap stage-ahead exists to
+            # create. scheduler.mode is a cluster-start conf (cannot be
+            # set post-session), so fall back to plain read-ahead and say
+            # so loudly instead of silently degrading (VERDICT r3 #4).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "stage_ahead=True requires the FAIR scheduler "
+                "(SPARK_GRAFT_SCHEDULER=FAIR before session start); "
+                "spark.scheduler.mode is FIFO — falling back to plain "
+                "source read-ahead, which is strictly faster here.")
+            self.stage_ahead_active = False
+            stage_ok = False
+        else:
+            self.stage_ahead_active = bool(stage_ok)
 
         def fetch(thunk, do_stage):
             # thread-local pool tag: under FAIR scheduling prefetch work

@@ -11,6 +11,9 @@ from embulk_output_databricks_spark.session import build_session  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # keep pytest startup lean
+    # FAIR scheduler: stage-ahead tests must exercise the real staged
+    # path (the r4 FIFO guard falls back to plain read-ahead otherwise)
+    os.environ.setdefault("SPARK_GRAFT_SCHEDULER", "FAIR")
     s = build_session(app_name="engine-tests", master="local[4]", shuffle_partitions=4)
     yield s
 

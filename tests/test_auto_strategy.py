@@ -1,8 +1,10 @@
 """Cost-based regime auto-selection (VERDICT r2 item 2).
 
-merge_strategy='auto' picks COW vs MOR per batch from metadata only:
-MOR while horizon x batch_rows < table_rows (the measured
-BENCH/BASELINE.md crossover), COW otherwise. read_ahead='auto' enables
+merge_strategy='auto' picks COW vs MOR per batch from metadata only,
+scoring the FULL sync cycle (apply + consumer-read resolution tax +
+amortized fold — r4 fix, VERDICT r3 item 2): MOR only when the table
+dwarfs the batch enough (~40x at default cadence) that the saved rewrite
+beats both deferred taxes, COW otherwise. read_ahead='auto' enables
 prefetch only when the first batch's measured source-build wall is a
 real share of its apply wall. Both choices must leave the replayed state
 byte-identical to either manual strategy.
@@ -57,6 +59,42 @@ def test_large_batches_stay_cow(spark, cat):
         recs.append(drv.run_batch(ev, b))
     assert _strategies(recs) == ["cow", "cow", "cow"]
     assert drv.table.delta_file_count() == 0
+
+
+def test_steady_small_25x_ratio_stays_cow(spark, cat):
+    """BENCH_r03's missed regime (VERDICT r3 #2): table ~25x the batch.
+    The write-only ratio rule picked MOR, but the full-cycle score (apply
+    + consumer-read resolution + amortized fold) makes COW 1.33x faster —
+    the model must keep COW below the ~40x crossover."""
+    n_docs = 5000
+    boot = synth_binlog(spark, 10000, n_docs, 10000, delete_frac=0.0)
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4,
+                                      merge_strategy="auto"))
+    recs = [drv.run_batch(boot, 0)]
+    for b in range(1, 3):
+        ev = synth_binlog(spark, 200, n_docs, 200, start=10000 + b * 200,
+                          delete_frac=0.0)  # table/batch = 25
+        recs.append(drv.run_batch(ev, b))
+    assert _strategies(recs) == ["cow", "cow", "cow"]
+    assert drv.table.delta_file_count() == 0
+
+
+def test_registered_consumers_force_cow(spark, cat):
+    """A job that re-reads the resolved table every batch (maintained
+    rollup) puts MOR's winner-resolution tax on the apply critical path —
+    auto must stay COW even deep in MOR's table>>batch territory."""
+    n_docs = 4000
+    boot = synth_binlog(spark, 8000, n_docs, 8000, delete_frac=0.0)
+    drv = ReplayDriver(cat, JobConfig(
+        mode="merge", n_buckets=4, merge_strategy="auto",
+        rollups=[{"name": "by_source", "group_by": ["source"],
+                  "sums": ["n_tok"]}]))
+    recs = [drv.run_batch(boot, 0)]
+    for b in range(1, 3):
+        ev = synth_binlog(spark, 50, n_docs, 50, start=8000 + b * 50,
+                          delete_frac=0.0)  # table/batch = 80: MOR without
+        recs.append(drv.run_batch(ev, b))   # the consumer term
+    assert _strategies(recs) == ["cow", "cow", "cow"]
 
 
 def test_auto_state_matches_manual_cow(spark, cat, warehouse):

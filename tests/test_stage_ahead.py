@@ -67,6 +67,41 @@ def test_stage_ahead_with_evolution_falls_back(spark, cat):
     binlog.unpersist()
 
 
+def test_stage_ahead_under_fifo_warns_and_falls_back(spark, cat, caplog,
+                                                     monkeypatch):
+    """Under a FIFO scheduler the pre-pass jobs submitted by the prefetch
+    thread hold the cluster and the apply chain queues behind them —
+    measured WORSE than serial (BASELINE.md). The guard (VERDICT r3 #4)
+    must warn loudly and fall back to plain source read-ahead, with the
+    result unchanged."""
+    import logging
+
+    from embulk_output_databricks_spark.streaming import replay as R
+
+    monkeypatch.setattr(R, "_scheduler_is_fair", lambda sc: False)
+    binlog = synth_binlog(spark, 1200, 80, 300, delete_frac=0.1).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    with caplog.at_level(logging.WARNING):
+        drv.replay(binlog, read_ahead=2, stage_ahead=True,
+                   collect_metrics="light")
+    assert drv.stage_ahead_active is False
+    assert any("FAIR scheduler" in r.message for r in caplog.records)
+    assert table_state(drv.table) == \
+        python_oracle([r.asDict() for r in binlog.collect()])
+    binlog.unpersist()
+
+
+def test_stage_ahead_active_flag_under_fair(spark, cat):
+    """The test session runs FAIR (conftest): stage_ahead=True must keep
+    the staged path on and say so via stage_ahead_active."""
+    binlog = synth_binlog(spark, 900, 60, 300, delete_frac=0.0).cache()
+    drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
+    drv.replay(binlog, read_ahead=1, stage_ahead=True,
+               collect_metrics="light")
+    assert drv.stage_ahead_active is True
+    binlog.unpersist()
+
+
 def test_stage_ahead_respects_delete_semantics(spark, cat):
     binlog = synth_binlog(spark, 3000, 150, 500, delete_frac=0.25).cache()
     drv = ReplayDriver(cat, JobConfig(mode="merge", n_buckets=4))
