@@ -128,7 +128,7 @@ def bench_replay(spark, n_events: int, n_batches: int, n_docs: int | None = None
 
 def bench_steady_state(spark, table_events: int = 10_000_000,
                        batch: int = 200_000, n_batches: int = 4,
-                       read_ahead: int = 2) -> dict:
+                       read_ahead: int = 1) -> dict:
     """Steady-state CDC regime (small batch into a large table): the
     broadcast merge plan's home turf — target scanned map-only, zero target
     shuffle. Reported separately from the north metric, whose 6M batches
@@ -157,33 +157,50 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
                                         start=table_events + b * batch,
                                         delete_frac=0.05, partitions=16)
 
-        times = []
-        for b in range(n_batches):
-            ev = mk(b)()
+        # LIKE-FOR-LIKE legs (r4 methodology repair, VERDICT r3 #3): the
+        # r3 record excluded warmup from the sequential rate but divided
+        # the pipelined legs by total wall including it, and used no
+        # repeat estimator — a VM stall landed straight in the headline
+        # (read_ahead_speedup 0.55x, auto_vs_seq 0.6 for a leg that IS
+        # the sequential path by construction). Now: ONE unmeasured
+        # serial warmup batch up front (plans/codegen warm for every
+        # leg), then each leg = n_batches wall from that warm start,
+        # repeated `repeats` times, min-over-repeats (the
+        # BENCH/BASELINE.md noise-floor protocol). Fixed width runs at
+        # depth 1 — depth 2 is documented to over-contend this regime.
+        repeats = 2
+        next_id = [0]
+
+        def ids(k):
+            out = list(range(next_id[0], next_id[0] + k))
+            next_id[0] += k
+            return out
+
+        drv.run_batch(mk(ids(1)[0])(), 0, collect_metrics=False)  # warmup
+
+        def one_pass(width):
+            bs = ids(n_batches)
             t0 = time.perf_counter()
-            drv.run_batch(ev, b, collect_metrics=False)
-            times.append(round(time.perf_counter() - t0, 3))
-        timed = times[1:]  # first batch pays plan/codegen warmup
-        seq_eps = round(batch * len(timed) / sum(timed), 1)
-        # pipelined leg: same regime (table has grown <1%), warm plans
-        t0 = time.perf_counter()
-        drv.replay_pipelined(
-            [(n_batches + b, mk(n_batches + b)) for b in range(n_batches)],
-            read_ahead=read_ahead, collect_metrics=False)
-        ra_total = time.perf_counter() - t0
-        ra_eps = round(batch * n_batches / ra_total, 1)
-        # read_ahead='auto' leg: the regime rule, decided by the engine —
-        # this synthetic source is cheap, so the first-batch probe should
-        # turn prefetch OFF and match the sequential rate (the measured
-        # fixed-width read-ahead here hovers around 1.0x, i.e. the persist
-        # cost cancels the overlap; auto avoids ever paying it)
-        t0 = time.perf_counter()
-        drv.replay_pipelined(
-            [(2 * n_batches + b, mk(2 * n_batches + b))
-             for b in range(n_batches)],
-            read_ahead="auto", collect_metrics=False)
-        auto_total = time.perf_counter() - t0
-        auto_eps = round(batch * n_batches / auto_total, 1)
+            if width is None:  # serial loop, no pipeline machinery
+                for b in bs:
+                    drv.run_batch(mk(b)(), b, collect_metrics=False)
+            else:
+                drv.replay_pipelined([(b, mk(b)) for b in bs],
+                                     read_ahead=width,
+                                     collect_metrics=False)
+            return round(time.perf_counter() - t0, 3)
+
+        # repeats INTERLEAVED round-robin (seq, ra, auto, seq, ra, auto):
+        # back-to-back legs would hand later legs extra JIT/page-cache
+        # warmth; with min-over-repeats every leg gets a late warm sample
+        seq_walls, ra_walls, auto_walls = [], [], []
+        for _ in range(repeats):
+            seq_walls.append(one_pass(None))
+            ra_walls.append(one_pass(read_ahead))
+            auto_walls.append(one_pass("auto"))
+        seq_eps = round(batch * n_batches / min(seq_walls), 1)
+        ra_eps = round(batch * n_batches / min(ra_walls), 1)
+        auto_eps = round(batch * n_batches / min(auto_walls), 1)
         # MOR leg: the floor-lifting lever for this regime — COW's cost is
         # write amplification (every bucket rewritten per small batch, the
         # measured ~30-40k ev/s floor of round 1); MOR appends O(batch)
@@ -198,27 +215,36 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
             n_buckets=64, merge_strategy="mor"))
         drv2.table.append(lww_dedup(seed).select(
             "doc_id", "tokens", "n_tok", "source"))
-        mor_times = []
-        for b in range(n_batches):
-            ev = mk(b)()
+        # same protocol as the legs above: one unmeasured warmup batch,
+        # then min-over-repeats over n_batches walls
+        drv2.run_batch(mk(0)(), 0, collect_metrics=False)
+        mor_walls = []
+        mor_id = [1]
+        for _ in range(repeats):
+            bs = list(range(mor_id[0], mor_id[0] + n_batches))
+            mor_id[0] += n_batches
             t0 = time.perf_counter()
-            drv2.run_batch(ev, b, collect_metrics=False)
-            mor_times.append(round(time.perf_counter() - t0, 3))
-        mor_timed = mor_times[1:]
-        mor_eps = round(batch * len(mor_timed) / sum(mor_timed), 1)
+            for b in bs:
+                drv2.run_batch(mk(b)(), b, collect_metrics=False)
+            mor_walls.append(round(time.perf_counter() - t0, 3))
+        mor_eps = round(batch * n_batches / min(mor_walls), 1)
         return {
             "table_rows": drv.table.row_count(),
             "events_per_batch": batch,
-            "batch_sec": times,
+            "estimator": f"min over {repeats} repeats of "
+                         f"{n_batches}-batch walls, warm start, "
+                         "identical warmup exclusion in every leg",
+            "seq_wall_sec": seq_walls,
             "events_per_sec": seq_eps,
             "read_ahead": read_ahead,
-            "read_ahead_total_sec": round(ra_total, 3),
+            "read_ahead_wall_sec": ra_walls,
             "read_ahead_events_per_sec": ra_eps,
             "read_ahead_speedup": round(ra_eps / seq_eps, 2),
             "read_ahead_auto_chose": drv.auto_read_ahead,
+            "read_ahead_auto_wall_sec": auto_walls,
             "read_ahead_auto_events_per_sec": auto_eps,
             "read_ahead_auto_vs_seq": round(auto_eps / seq_eps, 2),
-            "mor_batch_sec": mor_times,
+            "mor_wall_sec": mor_walls,
             "mor_events_per_sec": mor_eps,
             "floor_speedup_mor_vs_cow": round(mor_eps / seq_eps, 2),
             "plan": "broadcast (batch <= broadcast_merge_threshold)",
@@ -1316,10 +1342,21 @@ def main() -> None:
                     n_docs=replay["n_docs"], warmup_batches=1,
                     merge_strategy="mor")
         mor_probe = {
+            # self-describing regime (VERDICT r3 #7): these batches are
+            # ~4x the doc set — the RESTATEMENT regime, where the
+            # engine's own crossover rule assigns COW (delta appends
+            # churn most groups before every fold) and COW additionally
+            # gets predictive planning. MOR's design-win regime is
+            # steady-state small batches: see
+            # steady_state.floor_speedup_mor_vs_cow for that record.
+            "regime": "restatement (batch ~4x doc set; crossover rule "
+                      "assigns cow here — mor measured out of regime "
+                      "by design, see steady_state for mor's win)",
             "events_per_sec": mor["events_per_sec"],
             "events_per_sec_best": mor["events_per_sec_best"],
-            "vs_cow": round(mor["events_per_sec"] / replay["events_per_sec"], 3),
-            "vs_cow_best": round(
+            "vs_cow_restatement_regime": round(
+                mor["events_per_sec"] / replay["events_per_sec"], 3),
+            "vs_cow_best_restatement_regime": round(
                 mor["events_per_sec_best"] / replay["events_per_sec_best"], 3),
             "timed_batches": mor["n_batches"] - mor["warmup_batches"],
             "final_rows": mor["final_rows"],

@@ -160,14 +160,24 @@ def _parse_pillow(b: bytes):  # pragma: no cover - Pillow absent in CI
         return None
 
 
+# Parser order resolved once: with Pillow present it goes FIRST for image
+# formats — the stdlib PNG/GIF header parses are exact for dims but report
+# n_frames=1 for animated containers (APNG, multi-frame GIF), which Pillow
+# counts truly. WAV stays stdlib either way (Pillow is image-only). Without
+# Pillow the dependency-free header parsers are the whole image path.
+_PARSERS = ((_parse_wav, _parse_pillow, _parse_png, _parse_gif)
+            if _PIL_IMAGE is not None
+            else (_parse_png, _parse_wav, _parse_gif))
+
+
 def _real_props(b: bytes):
-    """Real decode: exact stdlib parsers first (PNG header, RIFF/WAVE via
-    wave), then Pillow when present (true dims AND frame counts for GIF,
-    JPEG, BMP, ...), then the dependency-free GIF header parse (exact
-    dims, frame count capped to presence). Returns None for undecodable
-    payloads — the caller maps that to null dimensions (decode-failure
-    semantics), matching decode_media's null handling."""
-    for parser in (_parse_png, _parse_wav, _parse_pillow, _parse_gif):
+    """Real decode: Pillow first for images when present (true dims AND
+    frame counts for APNG, GIF, JPEG, BMP, ...), dependency-free stdlib
+    parsers otherwise (PNG/GIF headers: exact dims, frame count capped to
+    presence; RIFF/WAVE via wave). Returns None for undecodable payloads —
+    the caller maps that to null dimensions (decode-failure semantics),
+    matching decode_media's null handling."""
+    for parser in _PARSERS:
         out = parser(b)
         if out is not None:
             # DECODED_SCHEMA carries Int32 fields; a legal-but-degenerate

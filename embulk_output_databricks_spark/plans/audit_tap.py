@@ -11,18 +11,28 @@ cdc_fence_idempotent reported "joins: none, shuffles: 0").
 Operators call `tap(name, df)` at their hot points. When no audit is
 running (TAP is None — always, outside tools/plan_audit.py) the call is
 a no-op costing one attribute check; when the audit enables it, the
-physical plan string is recorded for the report. Never enabled in
-production paths.
+JVM QueryExecution handle is recorded and stringified at DRAIN time —
+after the operator's action ran — so AQE-replanned frames report their
+FINAL physical plan (broadcast-vs-shuffle as executed), not the initial
+pre-AQE shape (ADVICE r3: plan-build-time stringification recorded
+initial plans). A tapped frame whose action never ran still stringifies,
+as its initial plan. Never enabled in production paths.
 """
 
 from __future__ import annotations
 
 # None = disabled (production). tools/plan_audit.py sets this to a list
-# around each audited query and drains it into the report.
+# around each audited query and drains it via drain_plans().
 TAP: list | None = None
 
 
 def tap(name: str, df) -> None:
     if TAP is None:
         return
-    TAP.append((name, df._jdf.queryExecution().executedPlan().toString()))
+    TAP.append((name, df._jdf.queryExecution()))
+
+
+def drain_plans(taps: list) -> list[tuple[str, str]]:
+    """Stringify tapped QueryExecutions (call AFTER the query's actions
+    ran — executed AQE frames print `isFinalPlan=true` plans here)."""
+    return [(name, jqe.executedPlan().toString()) for name, jqe in taps]

@@ -3925,6 +3925,13 @@ def _sql_emb_clusters() -> str:
 
 QUALITY_MIN = 0.5
 
+# q_text_pipeline persist gate: below this compressed-corpus size the
+# multi-scan plan rides the page cache and beats the staged copy (sf0.1
+# measurement, BENCH/PLANS.md); above it — the 100 TB regime — the single
+# persisted scan replaces 4x corpus IO.
+TEXT_PIPELINE_PERSIST_MIN_BYTES = 2 << 30
+_TEXT_PIPELINE_CACHE: list = []  # at most one persisted corpus projection
+
 
 def q_text_pipeline(spark, sf_dir):
     """End-to-end training-data filter pipeline: quality gate -> exact-dedup
@@ -3937,14 +3944,42 @@ def q_text_pipeline(spark, sf_dir):
     for one pipeline. MEMORY_AND_DISK spills, so the materialization is a
     staged copy, not a memory bet; at full scale this is the same call a
     production clean makes (stage the pruned projection once, run every
-    pass against it). Exact-dedup keeps the min doc per md5 via ONE
-    window rank instead of groupBy + self-join — same result, one shuffle
-    and no second pass."""
+    pass against it).
+
+    The persist is GATED on corpus size (r4, VERDICT r3 #5): below
+    TEXT_PIPELINE_PERSIST_MIN_BYTES the rescans ride the OS page cache
+    and the staged copy's materialization costs MORE than it saves
+    (measured at sf0.1: persisted 9.49 s vs 4-scan 8.35 s), so small
+    corpora run the plain multi-scan plan; past the threshold — the only
+    regime 100 TB ever sees — the single staged scan wins. The previous
+    invocation's cache (if any) is released on entry, so a long-lived
+    session holds at most one pipeline cache entry. Exact-dedup keeps
+    the min doc per md5 via ONE window rank instead of groupBy +
+    self-join — same result, one shuffle and no second pass."""
+    import os as _os
+    from urllib.parse import urlparse
+
     from pyspark.sql import Window
 
     from .operators.dedupe import ngram_jaccard_pairs
 
-    d = _docs(spark, sf_dir).select("doc_id", "text").persist()
+    while _TEXT_PIPELINE_CACHE:
+        _TEXT_PIPELINE_CACHE.pop().unpersist()
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    try:
+        # metadata-only size probe: file listing, no data scan. A
+        # non-local store (hdfs/s3 — the at-scale case) has no cheap
+        # stat here; assume large and persist.
+        parts = [urlparse(p) for p in d.inputFiles()]
+        if all(u.scheme in ("file", "") for u in parts):
+            corpus_bytes = sum(_os.path.getsize(u.path) for u in parts)
+        else:
+            corpus_bytes = TEXT_PIPELINE_PERSIST_MIN_BYTES + 1
+    except Exception:
+        corpus_bytes = TEXT_PIPELINE_PERSIST_MIN_BYTES + 1
+    if corpus_bytes > TEXT_PIPELINE_PERSIST_MIN_BYTES:
+        d = d.persist()
+        _TEXT_PIPELINE_CACHE.append(d)
     q = d.withColumn("quality", P.f_quality(F.col("text"))).filter(
         F.col("quality") >= QUALITY_MIN)
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
