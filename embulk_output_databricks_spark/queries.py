@@ -1402,7 +1402,11 @@ def q_cdc_stage_ahead(spark, sf_dir):
     frame (LWW dedup + merge pre-pass aggregation) one batch EARLY, so
     the apply chain keeps only join+write+commit. The final table must be
     byte-identical to the sequential exactly-once replay — fence, LWW
-    order, and lsn metrics all survive the overlap."""
+    order, and lsn metrics all survive the overlap. Under a FIFO session
+    (this harness's default) the r4 guard falls back to plain source
+    read-ahead with a loud warning — measured strictly faster there —
+    so this query then exercises the pipelined-fallback path; the staged
+    path itself is pinned under FAIR by tests/test_stage_ahead.py."""
     binlog = _binlog_batches(spark, sf_dir)
     cat = _fresh_catalog(spark, "stage_ahead")
     cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)

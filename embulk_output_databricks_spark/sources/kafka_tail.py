@@ -124,6 +124,33 @@ def latest_offsets(frame: DataFrame) -> DataFrame:
     )
 
 
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Streaming Kafka wire frame (topic/partition/offset/key/value...),
+    import-guarded like the media Pillow path: with spark-sql-kafka on
+    the classpath this returns the real lazy source (no broker contact
+    until start); without it, a clear NotImplementedError naming the
+    exact --packages coordinate."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # connector jar absent -> clear, actionable error
+        raise NotImplementedError(
+            "Kafka connector not on classpath; launch with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>. "
+            f"(underlying: {type(e).__name__}: {e})"
+        ) from None
+
+
 def tail_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -138,22 +165,12 @@ def tail_kafka(
     no-op, so exactly-once holds without Kafka transactional producers).
 
     Gated: requires the spark-sql-kafka connector on the classpath, which
-    this sandbox does not ship.
+    this sandbox does not ship. Source construction is factored into
+    kafka_source() so the connector-present path is testable without a
+    live broker (the format resolves and the wire schema binds lazily;
+    brokers are contacted only at stream start).
     """
-    try:
-        src = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .option("startingOffsets", starting_offsets)
-            .load()
-        )
-    except Exception as e:  # connector jar absent -> clear, actionable error
-        raise NotImplementedError(
-            "Kafka connector not on classpath; launch with --packages "
-            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>. "
-            f"(underlying: {type(e).__name__}: {e})"
-        ) from None
+    src = kafka_source(spark, bootstrap_servers, topic, starting_offsets)
 
     def apply_epoch(frame, epoch_id: int) -> None:
         driver.run_batch(parse_change_events(frame, schema), int(epoch_id))

@@ -1475,7 +1475,16 @@ class LakeTable:
         still counted — counting them exactly is precisely the IO the
         sidecar deferred). For cost models and layout heuristics that
         must stay off the data path (e.g. the merge-strategy auto
-        selection on the apply critical path)."""
+        selection on the apply critical path).
+
+        Known bias (ADVICE r3, accepted): MOR delta rows count at face
+        value, so a heavily-updated key inflates the estimate between
+        compactions — bounded by horizon x batch rows (auto enforces the
+        compaction horizon), i.e. at most ~horizon/crossover of the true
+        size under the auto cost model's own crossover, and it resets to
+        exact at every fold. Subtracting superseded delta rows would need
+        cross-file key-overlap stats the manifest deliberately does not
+        carry."""
         m = self.manifest(version)
         return (sum(f["rows"] for f in _live_data(m.files))
                 - sum(f["rows"] for f in _posdel_entries(m.files)))

@@ -88,6 +88,15 @@ def main(argv: list[str] | None = None) -> None:
     from embulk_output_databricks_spark.streaming.replay import ReplayDriver
     from embulk_output_databricks_spark.synth import synth_binlog
 
+    if args.stage_ahead:
+        # stage-ahead REQUIRES FAIR pools (measured WORSE than serial
+        # under FIFO: prefetch pre-pass jobs hold the cluster while the
+        # apply chain queues). This job owns session creation, so set the
+        # scheduler itself rather than relying on the engine's
+        # warn-and-fall-back guard.
+        import os
+
+        os.environ.setdefault("SPARK_GRAFT_SCHEDULER", "FAIR")
     spark = build_session(app_name="cdc-replay")
     n_docs = args.docs or max(1000, args.events // 20)
     events_per_batch = args.events // args.batches

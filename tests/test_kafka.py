@@ -89,7 +89,33 @@ def test_bad_records_dead_letter(spark):
     assert parse_change_events(corrupt).filter("doc_id IS NULL").count() >= 1
 
 
+def _connector_present(spark) -> bool:
+    from embulk_output_databricks_spark.sources.kafka_tail import kafka_source
+
+    try:
+        kafka_source(spark, "localhost:9092", "t")
+        return True
+    except NotImplementedError:
+        return False
+
+
 def test_tail_kafka_gated_without_connector(spark, tmp_path):
+    if _connector_present(spark):
+        pytest.skip("spark-sql-kafka present: the gate does not fire")
     drv = None  # never reached: source construction fails first
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         tail_kafka(spark, "localhost:9092", "t", drv, str(tmp_path / "ck"))
+
+
+def test_kafka_source_real_connector_when_present(spark):
+    """Pillow-style presence gate (VERDICT r3 #8): when spark-sql-kafka IS
+    on the classpath, kafka_source must return the real lazy streaming
+    frame with the Kafka wire schema — no broker needed until start."""
+    if not _connector_present(spark):
+        pytest.skip("spark-sql-kafka absent in this container")
+    from embulk_output_databricks_spark.sources.kafka_tail import kafka_source
+
+    src = kafka_source(spark, "localhost:9092", "t")
+    assert src.isStreaming
+    cols = set(src.columns)
+    assert {"topic", "partition", "offset", "key", "value"} <= cols

@@ -146,6 +146,30 @@ def test_delete_everything_under_prediction_no_crash(spark, tbl):
     assert _state(tbl) == [(u, 3) for u in range(0, 81)]
 
 
+def test_config_toggle_bypasses_predicted_path(spark, tmp_path_factory):
+    """`JobConfig(predictive_merge=False)` must fully bypass the predicted
+    path through the replay driver (plans/apply.py passes it to
+    merge_apply) — the escape hatch users need if prediction misbehaves."""
+    from embulk_output_databricks_spark.config import JobConfig
+    from embulk_output_databricks_spark.streaming import ReplayDriver
+    from embulk_output_databricks_spark.synth import synth_binlog
+
+    wh = str(tmp_path_factory.mktemp("pred_toggle"))
+    cat = LakeCatalog(spark, wh)
+    drv = ReplayDriver(cat, JobConfig(
+        mode="merge", n_buckets=4, predictive_merge=False,
+        predictive_min_rows=20, broadcast_merge_threshold=10))
+    n_docs = 60
+    for b in range(3):
+        ev = synth_binlog(spark, 500, n_docs, 500, start=b * 500,
+                          delete_frac=0.0)
+        drv.run_batch(ev, b)
+        # steady shuffle regime every batch — would arm under defaults
+        assert not M.LAST_PHASES.get("predicted")
+        assert M.LAST_PHASES.get("prepass_s", 0) > 0 or \
+            M.LAST_PHASES.get("staged_ahead")
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
