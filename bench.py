@@ -244,6 +244,12 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
             "read_ahead_auto_wall_sec": auto_walls,
             "read_ahead_auto_events_per_sec": auto_eps,
             "read_ahead_auto_vs_seq": round(auto_eps / seq_eps, 2),
+            # auto vs the leg it CHOSE (the apples-to-apples claim: with
+            # width 0 auto IS the sequential path, with width>0 it IS the
+            # fixed-width path plus its one-batch probe) — in 0.9-1.1
+            # either way if the probe decides and measures honestly
+            "read_ahead_auto_vs_chosen": round(
+                auto_eps / (ra_eps if drv.auto_read_ahead else seq_eps), 2),
             "mor_wall_sec": mor_walls,
             "mor_events_per_sec": mor_eps,
             "floor_speedup_mor_vs_cow": round(mor_eps / seq_eps, 2),

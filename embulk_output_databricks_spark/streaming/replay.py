@@ -37,14 +37,22 @@ class InjectedCrash(RuntimeError):
     """Test hook: simulated crash between snapshot commit and checkpoint."""
 
 
-# read_ahead='auto': enable prefetch when the measured source-build wall
-# is at least this share of the first batch's apply wall. Measured regime
-# rule (BENCH/BASELINE.md): read-ahead bought 1.16x on sources whose
-# build rivals the apply, but LOST on cheap synthesized ones — the
-# persist materialization is an EXTRA cost the serial path never pays
-# (its lazy scan rides the apply job), so the build must be a large
-# share of the apply before the overlap wins it back.
-AUTO_READ_AHEAD_SHARE = 0.5
+# read_ahead='auto': enable prefetch (width 1) when the measured
+# source-build wall is at least this share of the first batch's apply
+# wall. The persist materialization is an EXTRA cost the serial path
+# never pays (its lazy scan rides the apply job), so a floor is needed —
+# but the r3 threshold of 0.5 was calibrated against a depth-2 fixed leg
+# that over-contends: the r4 like-for-like bench (depth 1, shared warm
+# start, min-over-repeats) measured a 1.37x win at fetch/apply ~0.35,
+# which the 0.5 rule refused. 0.2 keeps prefetch off for genuinely
+# trivial sources (where the overlap cannot recoup the persist) and on
+# wherever the measured depth-1 record says it pays. The ratio alone is
+# not enough: at tiny batch sizes BOTH walls are fixed-job-overhead
+# dominated and the ratio is noise, so a sub-second absolute floor also
+# gates — a source that builds in under a second cannot amortize the
+# prefetch thread + cache entry it would occupy.
+AUTO_READ_AHEAD_SHARE = 0.2
+AUTO_READ_AHEAD_MIN_FETCH_S = 1.0
 
 # merge_strategy='auto' compaction horizon when mor_compact_every is 0:
 # the cost model assumes deltas are folded every N mor batches, so auto
@@ -761,7 +769,11 @@ class ReplayDriver:
                 # serial path never even materializes those sources)
                 read_ahead = 0
             else:
-                read_ahead = (2 if fetch_s >= AUTO_READ_AHEAD_SHARE * apply_s
+                # width 1, not 2: depth 2 over-contends (BENCH/BASELINE.md
+                # — the prefetch threads steal apply slots faster than the
+                # overlap pays them back)
+                read_ahead = (1 if (fetch_s >= AUTO_READ_AHEAD_SHARE * apply_s
+                                    and fetch_s >= AUTO_READ_AHEAD_MIN_FETCH_S)
                               else 0)
             self.auto_read_ahead = read_ahead  # observability (tests/bench)
             rest = self.replay_pipelined(

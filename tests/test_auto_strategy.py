@@ -179,7 +179,7 @@ def test_read_ahead_auto_slow_source_enables_prefetch(spark, cat):
     recs = drv.replay_pipelined([(b, mk(b)) for b in range(3)],
                                 read_ahead="auto")
     assert [r["batch_id"] for r in recs] == [0, 1, 2]
-    assert drv.auto_read_ahead == 2
+    assert drv.auto_read_ahead == 1  # depth 1 since r4 (2 over-contends)
     full = synth_binlog(spark, 3 * per, 50, per, delete_frac=0.0)
     assert table_state(drv.table) == \
         python_oracle([r.asDict() for r in full.collect()])
