@@ -1423,6 +1423,29 @@ def q_cdc_stage_ahead(spark, sf_dir):
     return driver.table.read()
 
 
+def q_cdc_read_ahead_auto(spark, sf_dir):
+    """read_ahead='auto' (the prefetch regime rule): the engine measures
+    the first batch — source-build wall vs apply wall — and enables
+    prefetch only past the break-even (replay.AUTO_READ_AHEAD_SHARE with
+    an absolute fetch floor; r4: width 1, depth 2 over-contends). For
+    these cheap parquet-slice sources the probe must choose width 0 or
+    1, and EITHER way the final table equals the plain exactly-once
+    replay — the decision changes scheduling, never results. The fence
+    still no-ops a replayed batch under the probed path."""
+    binlog = _binlog_batches(spark, sf_dir)
+    cat = _fresh_catalog(spark, "read_ahead_auto")
+    cfg = JobConfig(table="t", mode="merge", merge_keys=["user_id"], n_buckets=8)
+    driver = ReplayDriver(cat, cfg, target_schema=_REPLAY_SCHEMA)
+    recs = driver.replay(binlog, batch_ids=[0, 1, 2, 3],
+                         collect_metrics="light", read_ahead="auto")
+    assert len(recs) == 4
+    assert driver.auto_read_ahead in (0, 1), driver.auto_read_ahead
+    # fence still no-ops a replayed batch when resumed under auto
+    assert driver.replay(binlog, batch_ids=[1], read_ahead="auto",
+                         collect_metrics="light") == []
+    return driver.table.read()
+
+
 def q_cdc_predictive_merge(spark, sf_dir):
     """Predictive merge planning: once a steady regime is established
     (previous batch touched every bucket, size in shuffle territory) the
@@ -5599,6 +5622,7 @@ SPARK_QUERIES = {
     "cdc_merge_mor": q_cdc_merge_mor,
     "cdc_auto_strategy": q_cdc_auto_strategy,
     "cdc_stage_ahead": q_cdc_stage_ahead,
+    "cdc_read_ahead_auto": q_cdc_read_ahead_auto,
     "cdc_predictive_merge": q_cdc_predictive_merge,
     "cdc_nonascii_merge": q_cdc_nonascii_merge,
     "cdc_apply_insert": q_cdc_apply_insert,
@@ -5957,6 +5981,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "cdc_fence_idempotent": _SQL_REPLAY_FINAL,
         "cdc_stage_ahead": _SQL_REPLAY_FINAL,
+        "cdc_read_ahead_auto": _SQL_REPLAY_FINAL,
         "cdc_predictive_merge": _SQL_REPLAY_FINAL,
         "cdc_ckpt_fold": _SQL_REPLAY_FINAL,
         "cdc_quarantine": _SQL_QUARANTINE,
