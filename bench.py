@@ -193,14 +193,20 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
         # repeats INTERLEAVED round-robin (seq, ra, auto, seq, ra, auto):
         # back-to-back legs would hand later legs extra JIT/page-cache
         # warmth; with min-over-repeats every leg gets a late warm sample
-        seq_walls, ra_walls, auto_walls = [], [], []
+        seq_walls, ra_walls, auto_walls, auto_choices = [], [], [], []
         for _ in range(repeats):
             seq_walls.append(one_pass(None))
             ra_walls.append(one_pass(read_ahead))
             auto_walls.append(one_pass("auto"))
+            auto_choices.append(drv.auto_read_ahead)  # per-pass probe pick
         seq_eps = round(batch * n_batches / min(seq_walls), 1)
         ra_eps = round(batch * n_batches / min(ra_walls), 1)
         auto_eps = round(batch * n_batches / min(auto_walls), 1)
+        # the headline auto wall is the MIN pass — report THAT pass's
+        # probe decision (each auto pass re-probes and near-threshold
+        # sources can flip between passes; the last pass's pick could
+        # mislabel the measured wall)
+        auto_chose = auto_choices[auto_walls.index(min(auto_walls))]
         # MOR leg: the floor-lifting lever for this regime — COW's cost is
         # write amplification (every bucket rewritten per small batch, the
         # measured ~30-40k ev/s floor of round 1); MOR appends O(batch)
@@ -240,16 +246,18 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
             "read_ahead_wall_sec": ra_walls,
             "read_ahead_events_per_sec": ra_eps,
             "read_ahead_speedup": round(ra_eps / seq_eps, 2),
-            "read_ahead_auto_chose": drv.auto_read_ahead,
+            "read_ahead_auto_chose": auto_chose,
+            "read_ahead_auto_chose_per_pass": auto_choices,
             "read_ahead_auto_wall_sec": auto_walls,
             "read_ahead_auto_events_per_sec": auto_eps,
             "read_ahead_auto_vs_seq": round(auto_eps / seq_eps, 2),
-            # auto vs the leg it CHOSE (the apples-to-apples claim: with
-            # width 0 auto IS the sequential path, with width>0 it IS the
-            # fixed-width path plus its one-batch probe) — in 0.9-1.1
-            # either way if the probe decides and measures honestly
+            # auto vs the leg it CHOSE on the min pass (the
+            # apples-to-apples claim: with width 0 auto IS the sequential
+            # path, with width>0 it IS the fixed-width path plus its
+            # one-batch probe) — in 0.9-1.1 either way if the probe
+            # decides and measures honestly
             "read_ahead_auto_vs_chosen": round(
-                auto_eps / (ra_eps if drv.auto_read_ahead else seq_eps), 2),
+                auto_eps / (ra_eps if auto_chose else seq_eps), 2),
             "mor_wall_sec": mor_walls,
             "mor_events_per_sec": mor_eps,
             "floor_speedup_mor_vs_cow": round(mor_eps / seq_eps, 2),

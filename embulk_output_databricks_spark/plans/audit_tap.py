@@ -29,10 +29,25 @@ TAP: list | None = None
 def tap(name: str, df) -> None:
     if TAP is None:
         return
-    TAP.append((name, df._jdf.queryExecution()))
+    jqe = df._jdf.queryExecution()
+    # keep BOTH: the plan as shaped at tap time (always available) and
+    # the live QE handle for a post-execution re-read
+    TAP.append((name, jqe.executedPlan().toString(), jqe))
 
 
 def drain_plans(taps: list) -> list[tuple[str, str]]:
     """Stringify tapped QueryExecutions (call AFTER the query's actions
-    ran — executed AQE frames print `isFinalPlan=true` plans here)."""
-    return [(name, jqe.executedPlan().toString()) for name, jqe in taps]
+    ran). A tapped frame the operator executed directly reports its
+    AQE-FINAL plan (`isFinalPlan=true`); a frame consumed via a derived
+    twin (e.g. the merge result is written through a renamed copy, so
+    THIS QE never runs) keeps the build-time string — the best shape
+    that exists for it."""
+    out = []
+    for name, build_str, jqe in taps:
+        try:
+            drained = jqe.executedPlan().toString()
+        except Exception:
+            drained = build_str
+        out.append((name,
+                    drained if "isFinalPlan=true" in drained else build_str))
+    return out

@@ -3991,7 +3991,10 @@ def q_text_pipeline(spark, sf_dir):
     from .operators.dedupe import ngram_jaccard_pairs
 
     while _TEXT_PIPELINE_CACHE:
-        _TEXT_PIPELINE_CACHE.pop().unpersist()
+        try:
+            _TEXT_PIPELINE_CACHE.pop().unpersist()
+        except Exception:
+            pass  # cached frame's session already stopped — nothing to free
     d = _docs(spark, sf_dir).select("doc_id", "text")
     try:
         # metadata-only size probe: file listing, no data scan. A

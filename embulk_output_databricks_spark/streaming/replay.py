@@ -731,6 +731,12 @@ class ReplayDriver:
         falls back to staging from the persisted source — never wrong,
         merely unoverlapped."""
         items = list(batches)
+        # observability flag reset per call: the serial path (read_ahead
+        # <= 0, including auto probes that resolve to width 0) returns
+        # before the staging guard below runs, and a stale True from an
+        # earlier pipelined call would misreport a replay that did no
+        # staging
+        self.stage_ahead_active = False
         if read_ahead == "auto":
             if not items:
                 return []
@@ -739,6 +745,19 @@ class ReplayDriver:
             from pyspark import StorageLevel
 
             b0, t0 = items[0]
+            if self.ckpt.is_committed(b0):
+                # metadata-only fence short-circuit: a resumed replay's
+                # probe batch would otherwise persist+count the ENTIRE
+                # first-batch source just for run_batch to no-op it —
+                # cache build the serial path never pays. No measurement
+                # is possible on a no-op, so prefetch stays off (same
+                # decision as the fence-rejected-probe path below).
+                self.auto_read_ahead = 0
+                return self.replay_pipelined(
+                    items[1:], read_ahead=0,
+                    evolution_plan=evolution_plan,
+                    collect_metrics=collect_metrics,
+                    stage_ahead=stage_ahead)
             t_f = _time.monotonic()
 
             def probe_fetch():
