@@ -168,7 +168,10 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
         # repeated `repeats` times, min-over-repeats (the
         # BENCH/BASELINE.md noise-floor protocol). Fixed width runs at
         # depth 1 — depth 2 is documented to over-contend this regime.
-        repeats = 2
+        # 3 repeats: this VM's stall amplitude swings single walls
+        # 14-30 s, so two samples per leg leave the min/min ratio with
+        # ±15% scatter; the third tightens it to the stall-free floor.
+        repeats = 3
         next_id = [0]
 
         def ids(k):
