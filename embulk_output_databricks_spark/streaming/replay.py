@@ -72,7 +72,7 @@ AUTO_COMPACT_HORIZON = 8
 # MOR's deferred costs per batch: winner-resolution tax on every consumer
 # read of the live table (reads/batch u, unknowable a priori — default
 # AUTO_CONSUMER_READS_PER_BATCH, forced to 1.0 when the job itself reads
-# per batch via rollups/followers/history) plus the amortized compaction
+# per batch via rollups/history) plus the amortized compaction
 # fold (every `horizon` batches). Both scale with (table + avg backlog),
 # backlog ~ horizon/2 x batch. Crossover at the defaults lands at
 # table/batch ~ 40 — vs the old write-only rule's 2.
@@ -207,7 +207,7 @@ class ReplayDriver:
         including the bootstrap batch (no size estimate yet, table small
         anyway), restatement/backfill batches comparable to the table,
         and ANY regime where the job itself re-reads the live table every
-        batch (rollups/followers/history force the read cadence to 1)."""
+        batch (rollups/history force the read cadence to 1)."""
         if self.cfg.merge_strategy != "auto":
             return self.cfg.merge_strategy
         if self.cfg.mode is not ApplyMode.MERGE:
@@ -752,9 +752,24 @@ class ReplayDriver:
                 # cache build the serial path never pays. No measurement
                 # is possible on a no-op, so prefetch stays off (same
                 # decision as the fence-rejected-probe path below).
+                # ONLY safe when no maintained rollups/history ride the
+                # fence-hit branch: the serial path's run_batch does
+                # rollup sync + SCD2 history catch-up on committed
+                # batches (run_batch fence hit), and skipping it here
+                # after a crash between the apply commit and the history
+                # merge would advance the consumed-batch watermark past
+                # this batch on the NEXT fold, losing its rows from the
+                # history forever. With rollups/history configured,
+                # route the committed batch through the serial path.
                 self.auto_read_ahead = 0
+                if not self.rollups and self.history is None:
+                    return self.replay_pipelined(
+                        items[1:], read_ahead=0,
+                        evolution_plan=evolution_plan,
+                        collect_metrics=collect_metrics,
+                        stage_ahead=stage_ahead)
                 return self.replay_pipelined(
-                    items[1:], read_ahead=0,
+                    items, read_ahead=0,
                     evolution_plan=evolution_plan,
                     collect_metrics=collect_metrics,
                     stage_ahead=stage_ahead)

@@ -240,6 +240,54 @@ def test_history_heals_on_fence_hit_and_fences_stale_batches(spark, warehouse):
     b1.unpersist(); b2.unpersist()
 
 
+def test_history_heals_on_auto_read_ahead_resume(spark, warehouse):
+    """Regression (round-4 ADVICE, replay.py auto fence short-circuit):
+    a crash between the apply commit and the history merge, resumed via
+    replay_pipelined(read_ahead='auto'), must still run the fence-hit
+    catch-up for the committed probe batch. The old metadata-only
+    short-circuit skipped _history_apply; the NEXT batch's fold then
+    advanced the consumed-batch watermark past it, permanently losing
+    the probe batch's rows from the SCD2 history."""
+    b1 = synth_binlog(spark, 300, 40, 300, delete_frac=0.1).cache()
+    b2 = synth_binlog(spark, 300, 40, 300, delete_frac=0.1, start=300).cache()
+    b3 = synth_binlog(spark, 300, 40, 300, delete_frac=0.1, start=600).cache()
+    cfg = JobConfig(mode="merge", n_buckets=4, history=HISTORY_CFG)
+    cat = LakeCatalog(spark, f"{warehouse}/ha")
+    drv = ReplayDriver(cat, cfg)
+    drv.run_batch(b1, 0)
+    with pytest.raises(InjectedCrash):
+        drv.run_batch(b2, 1, crash_before_checkpoint=True)
+    assert drv.history[0].manifest().properties["scd2_consumed_batch"] == "0"
+    # resume with auto: probe batch 1 is committed — must go through the
+    # serial fence-hit path (catch-up), not the metadata-only skip
+    drv2 = ReplayDriver(cat, cfg)
+    recs = drv2.replay_pipelined(
+        [(1, lambda: b2), (2, lambda: b3)], read_ahead="auto")
+    assert len(recs) == 1  # only batch 2 actually applied
+    hist = drv2.history[0]
+    assert hist.manifest().properties["scd2_consumed_batch"] == "2"
+    oracle = _hist_oracle(b1.collect() + b2.collect() + b3.collect())
+    got = sorted(
+        (r["doc_id"], r["n_tok"], r["source"], r[VALID_FROM], r[VALID_TO],
+         r[IS_CURRENT])
+        for r in hist.read().collect())
+    assert got == oracle
+    # the no-history case keeps the cheap metadata-only short-circuit:
+    # resume over a fully-committed prefix must not materialize sources
+    cfg_nh = JobConfig(mode="merge", n_buckets=4)
+    cat_nh = LakeCatalog(spark, f"{warehouse}/ha_nh")
+    drv_nh = ReplayDriver(cat_nh, cfg_nh)
+    drv_nh.run_batch(b1, 0)
+
+    def _boom():
+        raise AssertionError("committed probe source must not be built")
+
+    recs_nh = drv_nh.replay_pipelined(
+        [(0, _boom), (1, lambda: b2)], read_ahead="auto")
+    assert len(recs_nh) == 1
+    b1.unpersist(); b2.unpersist(); b3.unpersist()
+
+
 def test_scd2_schema_validation(spark, warehouse):
     from embulk_output_databricks_spark.streaming.scd2 import scd2_schema
     with pytest.raises(ValueError, match="ts column"):
