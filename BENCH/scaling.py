@@ -89,6 +89,23 @@ def run_level(cpus: int, events: int, batches: int, driver_mem: str,
     return rec
 
 
+def is_headline_request(prev_res: dict | None, levels: list[int],
+                        pipeline: str, events_per_batch: int) -> bool:
+    """True iff this invocation matches the recorded headline protocol
+    (BENCH/results.json) and may therefore rewrite results.json +
+    BASELINE.md; subset/exploratory runs (fewer levels, a different
+    pipeline or batch size) divert to results_partial.json instead
+    (VERDICT r4 #8 — they used to silently truncate the headline)."""
+    if not prev_res:
+        return True
+    try:
+        return (sorted(levels) == sorted(int(k) for k in prev_res["levels"])
+                and pipeline == prev_res.get("pipeline", "serial")
+                and events_per_batch == prev_res.get("events_per_batch"))
+    except Exception:
+        return True
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     # 9M-event batches: per-batch driver overhead (plan/codegen/commit,
@@ -118,6 +135,11 @@ def main() -> None:
     p.add_argument("--stage-ahead", action="store_true",
                    help="forwarded to replay_job: prefetch builds the "
                         "staged frame + merge pre-pass one batch early")
+    p.add_argument("--headline", action="store_true",
+                   help="force-rewrite BENCH/results.json + BASELINE.md "
+                        "even when levels/pipeline/batch-size differ from "
+                        "the recorded headline protocol (use when the "
+                        "canonical protocol itself changes)")
     args = p.parse_args()
     pipeline = (f"ra{args.read_ahead}" + ("+sa" if args.stage_ahead else "")
                 if args.read_ahead > 0 else "serial")
@@ -202,15 +224,40 @@ def main() -> None:
     }
     out["merge_strategy"] = args.merge_strategy
     out["pipeline"] = pipeline
-    results_name = ("results.json" if args.merge_strategy == "cow"
-                    else f"results_{args.merge_strategy}.json")
+    # SUBSET guard (VERDICT r4 #8): an exploratory invocation with fewer
+    # levels / a different pipeline / a different batch size used to
+    # REWRITE the headline results.json + BASELINE.md with only that
+    # subset. Now: if the request doesn't match the recorded headline
+    # protocol, results go to results_partial.json and the md is left
+    # alone; --headline forces the old behavior when the canonical
+    # protocol itself is being changed on purpose.
+    res_path = os.path.join(REPO, "BENCH", "results.json")
+    is_headline = True
+    if (not args.headline and args.merge_strategy == "cow"
+            and os.path.exists(res_path)):
+        try:
+            with open(res_path) as f:
+                prev_res = json.load(f)
+        except Exception:
+            prev_res = None
+        is_headline = is_headline_request(prev_res, levels, pipeline,
+                                          events_per_batch)
+    if args.merge_strategy != "cow":
+        results_name = f"results_{args.merge_strategy}.json"
+    elif is_headline:
+        results_name = "results.json"
+    else:
+        results_name = "results_partial.json"
     with open(os.path.join(REPO, "BENCH", results_name), "w") as f:
         json.dump(out, f, indent=1)
-    if args.merge_strategy != "cow":
+    if args.merge_strategy != "cow" or not is_headline:
         # supplementary evidence only; never overwrite the north-rule md
         print(json.dumps({"pairs": pairs,
                           "levels": {str(c): agg[c]["events_per_sec"] for c in levels},
-                          "merge_strategy": args.merge_strategy}))
+                          "merge_strategy": args.merge_strategy,
+                          "pipeline": pipeline,
+                          "wrote": results_name,
+                          "headline_untouched": not is_headline}))
         return
 
     rows = "\n".join(

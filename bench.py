@@ -181,27 +181,39 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
 
         drv.run_batch(mk(ids(1)[0])(), 0, collect_metrics=False)  # warmup
 
-        def one_pass(width):
+        def one_pass(width, mkfn=mk):
             bs = ids(n_batches)
             t0 = time.perf_counter()
             if width is None:  # serial loop, no pipeline machinery
                 for b in bs:
-                    drv.run_batch(mk(b)(), b, collect_metrics=False)
+                    drv.run_batch(mkfn(b)(), b, collect_metrics=False)
             else:
-                drv.replay_pipelined([(b, mk(b)) for b in bs],
+                drv.replay_pipelined([(b, mkfn(b)) for b in bs],
                                      read_ahead=width,
                                      collect_metrics=False)
             return round(time.perf_counter() - t0, 3)
 
-        # repeats INTERLEAVED round-robin (seq, ra, auto, seq, ra, auto):
-        # back-to-back legs would hand later legs extra JIT/page-cache
-        # warmth; with min-over-repeats every leg gets a late warm sample
+        # repeats INTERLEAVED round-robin: back-to-back legs would hand
+        # later legs extra JIT/page-cache warmth; with min-over-repeats
+        # every leg gets a late warm sample. Leg order ROTATES across
+        # repeats (round-5 ADVICE: each leg appends ~200k rows, so a
+        # fixed order always ran seq against the smallest table and
+        # biased read_ahead_speedup low by up to the table-growth scan
+        # cost; rotation gives every leg exactly one earliest-table
+        # sample, which min-over-repeats then compares like for like)
         seq_walls, ra_walls, auto_walls, auto_choices = [], [], [], []
-        for _ in range(repeats):
-            seq_walls.append(one_pass(None))
-            ra_walls.append(one_pass(read_ahead))
+        legs = {"seq": lambda: seq_walls.append(one_pass(None)),
+                "ra": lambda: ra_walls.append(one_pass(read_ahead))}
+
+        def _auto_leg():
             auto_walls.append(one_pass("auto"))
             auto_choices.append(drv.auto_read_ahead)  # per-pass probe pick
+
+        legs["auto"] = _auto_leg
+        order = ["seq", "ra", "auto"]
+        for r in range(repeats):
+            for k in order[r % len(order):] + order[:r % len(order)]:
+                legs[k]()
         seq_eps = round(batch * n_batches / min(seq_walls), 1)
         ra_eps = round(batch * n_batches / min(ra_walls), 1)
         auto_eps = round(batch * n_batches / min(auto_walls), 1)
@@ -237,6 +249,82 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
                 drv2.run_batch(mk(b)(), b, collect_metrics=False)
             mor_walls.append(round(time.perf_counter() - t0, 3))
         mor_eps = round(batch * n_batches / min(mor_walls), 1)
+        # EXPENSIVE-SOURCE leg (VERDICT r4 #2): read-ahead's win regime
+        # is a source with OFF-CPU latency — a real Kafka consumer blocks
+        # on broker poll/fetch before any decode runs, which is dead time
+        # the apply can hide (the reference's encode ∥ upload ∥ COPY
+        # overlap, DatabricksCopyBatchInsert.java:88-93). On a saturated
+        # local[32] a purely CPU-bound source build cannot win (measured:
+        # 2.5 s decode-only builds gave 0.95x — overlapping CPU work with
+        # a CPU-bound apply just reshuffles the same core-seconds), so
+        # the leg models the real regime: a documented 1.5 s driver-side
+        # poll-latency stand-in + the REAL wire decode (to_json +
+        # key-hash offset window + from_json, sources/kafka_tail.py) of
+        # 512-token documents.
+        #
+        # Estimator: per-ROUND wall ratios, median over repeats — the
+        # table grows ~leg-sized each leg, so a global min-over-repeats
+        # hands whichever leg ran first the smallest table (the residual
+        # bias the rotation ADVICE flagged); within one round adjacent
+        # legs differ by at most one leg of growth, and the median
+        # absorbs a stalled round.
+        from embulk_output_databricks_spark.sources.kafka_tail import (
+            encode_kafka_frame, parse_change_events)
+
+        poll_s = 1.5
+
+        def mk_wire(b):
+            def thunk():
+                time.sleep(poll_s)  # broker poll/fetch latency stand-in
+                ev = synth_binlog(spark, batch, table_events // 4, batch,
+                                  start=table_events + b * batch,
+                                  delete_frac=0.05, partitions=16,
+                                  max_tok=512)
+                return parse_change_events(encode_kafka_frame(ev))
+            return thunk
+
+        exp_walls = {"seq": [], "ra": [], "auto": []}
+        exp_choices = []
+        elegs = {
+            "seq": lambda: exp_walls["seq"].append(one_pass(None, mk_wire)),
+            "ra": lambda: exp_walls["ra"].append(
+                one_pass(read_ahead, mk_wire))}
+
+        def _exp_auto():
+            exp_walls["auto"].append(one_pass("auto", mk_wire))
+            exp_choices.append(drv.auto_read_ahead)
+
+        elegs["auto"] = _exp_auto
+        for r in range(repeats):
+            for k in order[r % len(order):] + order[:r % len(order)]:
+                elegs[k]()
+
+        def _median(xs):
+            s = sorted(xs)
+            return s[len(s) // 2]
+
+        ra_ratio = _median([exp_walls["seq"][r] / exp_walls["ra"][r]
+                            for r in range(repeats)])
+        auto_ratio = _median([exp_walls["seq"][r] / exp_walls["auto"][r]
+                              for r in range(repeats)])
+        expensive = {
+            "source": "kafka wire-schema decode of 512-token docs "
+                      "(encode_kafka_frame -> parse_change_events) behind "
+                      f"a {poll_s} s broker-poll latency stand-in",
+            "estimator": "median over rounds of within-round wall "
+                         "ratios (legs adjacent in each round, so table "
+                         "growth cancels; median absorbs a VM stall)",
+            "seq_wall_sec": exp_walls["seq"],
+            "events_per_sec": round(
+                batch * n_batches / min(exp_walls["seq"]), 1),
+            "read_ahead_wall_sec": exp_walls["ra"],
+            "read_ahead_speedup": round(ra_ratio, 2),
+            "read_ahead_auto_wall_sec": exp_walls["auto"],
+            "read_ahead_auto_chose": exp_choices[
+                exp_walls["auto"].index(min(exp_walls["auto"]))],
+            "read_ahead_auto_chose_per_pass": exp_choices,
+            "read_ahead_auto_vs_seq": round(auto_ratio, 2),
+        }
         return {
             "table_rows": drv.table.row_count(),
             "events_per_batch": batch,
@@ -264,6 +352,7 @@ def bench_steady_state(spark, table_events: int = 10_000_000,
             "mor_wall_sec": mor_walls,
             "mor_events_per_sec": mor_eps,
             "floor_speedup_mor_vs_cow": round(mor_eps / seq_eps, 2),
+            "expensive_source": expensive,
             "plan": "broadcast (batch <= broadcast_merge_threshold)",
         }
     finally:
@@ -1027,6 +1116,148 @@ def bench_annmaint(spark, n_vecs: int = 400_000, dim: int = 32,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_scd2(spark, n_docs: int = 1_000_000, versions: int = 2,
+               batch: int = 5_000) -> dict:
+    """SCD2 history maintenance payoff (VERDICT r4 #6): folding a small
+    CDC batch into a large type-2 history is O(batch) — the intra-batch
+    chaining window runs over the BATCH only, and the cross-batch close
+    probes open rows via an eq_filter IN-list (bloom + bounds file
+    skipping, streaming/scd2.py _open_rows) — vs the full-log window
+    recompute, which shuffles every event ever seen and rescans the whole
+    history. Equivalence is pinned in tests/test_scd2.py; this records
+    the wall gap at bench scale. The recompute side is compute-only (noop
+    sink, no table rewrite), so the reported speedup UNDERSTATES the real
+    gap."""
+    from embulk_output_databricks_spark.streaming.scd2 import (
+        ensure_scd2, scd2_apply)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq_lsn", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    i = F.col("id")
+
+    def events(lo, hi, stride=1):
+        return spark.range(lo, hi, stride, 32).select(
+            F.concat(F.lit("d"), F.lpad(
+                F.pmod(i, F.lit(n_docs)).cast("string"), 8, "0")
+            ).alias("doc_id"),
+            i.alias("seq_lsn"), i.alias("event_id"),
+            F.pmod(i * 31, F.lit(997)).alias("v"))
+
+    work = tempfile.mkdtemp(prefix="bench_scd2_")
+    try:
+        cat = LakeCatalog(spark, work)
+        hist = ensure_scd2(cat, "hist", schema, keys=["doc_id"],
+                           ts_col="seq_lsn", n_buckets=32)
+        t0 = time.perf_counter()
+        for vno in range(versions):
+            scd2_apply(hist, events(vno * n_docs, (vno + 1) * n_docs),
+                       keys=["doc_id"], ts_col="seq_lsn",
+                       tie_col="event_id")
+        seed_s = round(time.perf_counter() - t0, 3)
+        # incremental batch: `batch` docs get one more version each
+        lo = versions * n_docs
+        inc = events(lo, lo + batch * (n_docs // batch), n_docs // batch)
+        t0 = time.perf_counter()
+        scd2_apply(hist, inc, keys=["doc_id"], ts_col="seq_lsn",
+                   tie_col="event_id")
+        apply_s = round(time.perf_counter() - t0, 3)
+        # full-log recompute: window over EVERY event ever seen
+        from pyspark.sql.window import Window
+        log = events(0, versions * n_docs).unionByName(inc)
+        w = Window.partitionBy("doc_id").orderBy("seq_lsn", "event_id")
+        t0 = time.perf_counter()
+        (log.withColumn("valid_to", F.lead("seq_lsn").over(w))
+         .withColumn("is_current", F.col("valid_to").isNull())
+         .write.format("noop").mode("overwrite").save())
+        recompute_s = round(time.perf_counter() - t0, 3)
+        return {"history_rows": hist.row_count(),
+                "n_docs": n_docs, "versions_seeded": versions,
+                "batch": batch, "seed_sec": seed_s,
+                "apply_sec": apply_s,
+                "full_recompute_sec": recompute_s,
+                "speedup_vs_recompute": round(recompute_s / apply_s, 2)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_joinmaint(spark, n_fact: int = 2_000_000, n_dim: int = 100_000,
+                    fact_batch: int = 5_000, dim_batch: int = 500) -> dict:
+    """Incremental join-view maintenance payoff (VERDICT r4 #6): after
+    churn on BOTH sides of V = fact ⟕ dim, sync_join_view stages only
+    O(changed fact rows + fan-out of changed dim keys) — the fact diff
+    joins a bucket-pruned dim slice, the dim diff probes matching fact
+    rows via bloom/eq_filter — vs recomputing the full 2M-row join. The
+    recompute side is compute-only (noop sink, no table rewrite), so the
+    reported speedup UNDERSTATES the real gap. Equivalence is pinned in
+    tests/test_joinmaint.py."""
+    from embulk_output_databricks_spark.plans.merge import merge_apply
+    from embulk_output_databricks_spark.streaming.joinmaint import (
+        ensure_join_view, sync_join_view)
+
+    fact_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("fk", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    dim_schema = T.StructType([
+        T.StructField("dk", T.StringType()),
+        T.StructField("code", T.LongType()),
+    ])
+    i = F.col("id")
+    work = tempfile.mkdtemp(prefix="bench_jm_")
+    try:
+        cat = LakeCatalog(spark, work)
+        fact = cat.create_table("fact", fact_schema, n_buckets=32,
+                                bucket_key="k",
+                                properties={"merge_keys": "k"})
+        dim = cat.create_table("dim", dim_schema, n_buckets=32,
+                               bucket_key="dk",
+                               properties={"merge_keys": "dk"})
+        fact.append(spark.range(n_fact, numPartitions=32).select(
+            i.alias("k"),
+            F.concat(F.lit("d"), F.pmod(i * 131, F.lit(n_dim))
+                     .cast("string")).alias("fk"),
+            (i * 7).alias("v")))
+        dim.append(spark.range(n_dim, numPartitions=32).select(
+            F.concat(F.lit("d"), i.cast("string")).alias("dk"),
+            (i + 1000).alias("code")))
+        t0 = time.perf_counter()
+        view = ensure_join_view(cat, fact, dim, "v", "k", "fk", "dk",
+                                ["code"])
+        seed_s = round(time.perf_counter() - t0, 3)
+        # churn both sides: fact updates + dim updates (fan-out)
+        merge_apply(fact, spark.range(fact_batch, numPartitions=8).select(
+            (i * (n_fact // fact_batch)).alias("k"),
+            F.concat(F.lit("d"), F.pmod(i * 131, F.lit(n_dim))
+                     .cast("string")).alias("fk"),
+            (i * 13 + 1).alias("v")), keys=["k"])
+        merge_apply(dim, spark.range(dim_batch, numPartitions=8).select(
+            F.concat(F.lit("d"), (i * (n_dim // dim_batch)).cast("string")
+                     ).alias("dk"),
+            (i + 5000).alias("code")), keys=["dk"])
+        t0 = time.perf_counter()
+        sync_join_view(fact, dim, view, "k", "fk", "dk", ["code"])
+        sync_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        d = dim.read().select(F.col("dk").alias("__dk"), "code")
+        (fact.read().join(d, F.col("fk") == F.col("__dk"), "left_outer")
+         .drop("__dk")
+         .write.format("noop").mode("overwrite").save())
+        recompute_s = round(time.perf_counter() - t0, 3)
+        return {"n_fact": n_fact, "n_dim": n_dim,
+                "fact_batch": fact_batch, "dim_batch": dim_batch,
+                "view_rows": view.row_count(), "seed_sec": seed_s,
+                "sync_sec": sync_s,
+                "full_recompute_sec": recompute_s,
+                "speedup_vs_recompute": round(recompute_s / sync_s, 2)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_constraints(spark, n_events: int = 6_000_000,
                       n_batches: int = 3) -> dict:
     """CHECK-constraint cost on the ingest path: the identical MERGE replay
@@ -1298,18 +1529,26 @@ def bench_auto_strategy(spark, table_events: int = 3_000_000,
     return out
 
 
-def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, names: list[str],
+                  repeats: int = 3) -> dict[str, float]:
+    """Per-query walls, min over `repeats` INTERLEAVED round-robin passes
+    (VERDICT r4 #1): the r4 map was single-shot, so one VM neighbor stall
+    made text_pipeline/dedup_clusters look 20-30% regressed with no way
+    to tell noise from regression. Round-robin (all queries pass 1, all
+    pass 2, ...) rather than back-to-back so no query's min rides a
+    warmth gradient the others didn't get."""
     from __spark_entry__ import queries
 
     reg = queries()
-    out: dict[str, float] = {}
-    for name in names:
-        fn = reg[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    walls: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(repeats):
+        for name in names:
+            fn = reg[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            walls[name].append(round(time.perf_counter() - t0, 3))
+    return {n: min(w) for n, w in walls.items()}
 
 
 def main() -> None:
@@ -1337,15 +1576,28 @@ def main() -> None:
         # an associative argmax with map-side combine, so the hot key reduces
         # partially on every input partition before the single shuffle —
         # throughput should stay near the uniform-ish baseline (ratio ~1).
-        skew_events = max(replay["events_per_batch"], 1) * 2
-        stress = timed("skew_stress", bench_replay, spark, skew_events, 2,
+        # 4 batches / 3 timed + the min-over-repeats estimator (VERDICT
+        # r4 #1): the r4 record's 0.632 vs_baseline came from ONE timed
+        # batch, so a single VM neighbor stall was indistinguishable from
+        # a real skew regression (the section bounced 0.70/1.08/1.06/0.63
+        # across rounds at constant skew_ratio 1.00). Same protocol as
+        # the replay/mor sections: sustained = mean of timed batches,
+        # best = min (the noise floor), vs_baseline compared both ways.
+        skew_events = max(replay["events_per_batch"], 1) * 4
+        stress = timed("skew_stress", bench_replay, spark, skew_events, 4,
                        n_docs=replay["n_docs"], warmup_batches=1,
                        hot_frac=0.3, metrics=True)
         skew_stress = {
             "hot_frac": 0.3,
+            "estimator": "min over 3 timed batches (noise floor), "
+                         "same protocol as replay/mor",
             "events_per_sec": stress["events_per_sec"],
+            "events_per_sec_best": stress["events_per_sec_best"],
             "vs_baseline": round(
                 stress["events_per_sec"] / replay["events_per_sec"], 3),
+            "vs_baseline_best": round(
+                stress["events_per_sec_best"]
+                / replay["events_per_sec_best"], 3),
             "partition_skew": stress["partition_skew"],
         }
         # merge-on-read probe (runs warmed, after the main replay): delta
@@ -1386,6 +1638,8 @@ def main() -> None:
         neardup = timed("neardup", bench_neardup, spark)
         tokmaint = timed("tokmaint", bench_tokmaint, spark)
         annmaint = timed("annmaint", bench_annmaint, spark)
+        scd2 = timed("scd2", bench_scd2, spark)
+        joinmaint = timed("joinmaint", bench_joinmaint, spark)
         export = timed("export", bench_export, spark)
         spj = timed("spj", bench_spj, spark)
         diff_prune = timed("diff_prune", bench_diff_prune, spark)
@@ -1401,6 +1655,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": q,
+            "queries_estimator": "min over 3 interleaved repeats",
             "sf": sf,
             "replay": replay,
             "skew_stress": skew_stress,
@@ -1413,6 +1668,8 @@ def main() -> None:
             "neardup": neardup,
             "tokmaint": tokmaint,
             "annmaint": annmaint,
+            "scd2": scd2,
+            "joinmaint": joinmaint,
             "export": export,
             "spj": spj,
             "diff_prune": diff_prune,

@@ -773,48 +773,118 @@ class ReplayDriver:
                     evolution_plan=evolution_plan,
                     collect_metrics=collect_metrics,
                     stage_ahead=stage_ahead)
-            t_f = _time.monotonic()
+            # Concurrent probe (round-5, VERDICT r4 #3): the old probe
+            # persisted+counted the FIRST batch inline — a full extra
+            # source pass the serial path never pays, costing ~7% even
+            # when auto correctly chose width 0. Now batch 0 runs exactly
+            # like the serial path (source streams straight into the
+            # apply, nothing persisted) while batch 1's source
+            # materializes on a prefetch thread; the two walls decide.
+            # Batch 1's cache is then consumed whichever width wins — its
+            # build cost was already paid, overlapped with batch 0's
+            # apply — so the probe's only residual cost vs sequential is
+            # a cache write+count that ran on otherwise-idle slots.
+            if len(items) == 1:
+                # no probe partner: nothing to overlap anyway
+                self.auto_read_ahead = 0
+                return self.replay_pipelined(
+                    items, read_ahead=0,
+                    evolution_plan=evolution_plan,
+                    collect_metrics=collect_metrics,
+                    stage_ahead=stage_ahead)
+            from concurrent.futures import ThreadPoolExecutor
 
-            def probe_fetch():
-                df = t0().persist(StorageLevel.MEMORY_AND_DISK)
+            from pyspark.errors import AnalysisException
+
+            from ..config import ConfigError
+
+            b1, t1 = items[1]
+            sc = self.table.spark.sparkContext
+            box: dict = {}
+
+            def probe_prefetch():
+                # prefetch pool tag: under FAIR scheduling the probe
+                # yields slots to the apply chain (no-op under FIFO)
+                sc.setLocalProperty("spark.scheduler.pool", "prefetch")
+                t = _time.monotonic()
+                df = t1().persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     df.count()
                 except BaseException:
-                    # a transient failure inside _retrying would otherwise
-                    # leak one cache entry per attempt (mirror fetch())
+                    # a transient failure inside _retrying would
+                    # otherwise leak one cache entry per attempt
                     df.unpersist()
                     raise
+                box["fetch_s"] = _time.monotonic() - t
                 return df
 
-            df0 = self._retrying(probe_fetch)
-            fetch_s = _time.monotonic() - t_f
+            pool = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="replay-probe")
+            fut = pool.submit(self._retrying, probe_prefetch)
+            sc.setLocalProperty("spark.scheduler.pool", "apply")
             t_a = _time.monotonic()
             try:
                 rec0 = self._retrying(lambda: self.run_batch(
-                    df0, b0, evolution=(evolution_plan or {}).get(b0),
+                    t0(), b0, evolution=(evolution_plan or {}).get(b0),
                     collect_metrics=collect_metrics))
-            finally:
-                df0.unpersist()
-            apply_s = _time.monotonic() - t_a
+            except BaseException:
+                # batch 0 failed permanently: drain the probe and release
+                # its cache before propagating
+                try:
+                    fut.result().unpersist()
+                except BaseException:
+                    pass
+                pool.shutdown(wait=False)
+                raise
+            total0_s = _time.monotonic() - t_a
+            try:
+                df1 = fut.result()
+                fetch_s = box["fetch_s"]
+            except (InjectedCrash, AnalysisException, ConfigError):
+                pool.shutdown(wait=False)
+                raise  # deterministic/plan-time: not retryable
+            except Exception:
+                # transient prefetch failure after retries: no
+                # measurement, stay serial; batch 1 rebuilds under the
+                # serial retry policy in the continuation below
+                df1, fetch_s = None, 0.0
+            pool.shutdown(wait=False)
             if rec0 is None:
-                # fence-rejected probe: apply_s measured a no-op, not an
+                # fence-rejected probe: total0_s measured a no-op, not an
                 # apply — a resumed replay over committed batches must NOT
                 # conclude "apply is fast, prefetch everything" (the
                 # serial path never even materializes those sources)
                 read_ahead = 0
             else:
-                # width 1, not 2: depth 2 over-contends (BENCH/BASELINE.md
-                # — the prefetch threads steal apply slots faster than the
-                # overlap pays them back)
-                read_ahead = (1 if (fetch_s >= AUTO_READ_AHEAD_SHARE * apply_s
+                # batch 0's wall includes its own (serial) source build;
+                # subtracting the concurrently-measured build estimates
+                # the bare apply, preserving the original share
+                # calibration. Width 1, not 2: depth 2 over-contends
+                # (BENCH/BASELINE.md — the prefetch threads steal apply
+                # slots faster than the overlap pays them back).
+                apply_est = max(
+                    total0_s - (fetch_s if df1 is not None else 0.0), 1e-6)
+                read_ahead = (1 if (fetch_s >= AUTO_READ_AHEAD_SHARE * apply_est
                                     and fetch_s >= AUTO_READ_AHEAD_MIN_FETCH_S)
                               else 0)
             self.auto_read_ahead = read_ahead  # observability (tests/bench)
+            if df1 is not None:
+                try:
+                    rec1 = self._retrying(lambda: self.run_batch(
+                        df1, b1, evolution=(evolution_plan or {}).get(b1),
+                        collect_metrics=collect_metrics))
+                finally:
+                    df1.unpersist()
+                head = [r for r in (rec0, rec1) if r is not None]
+                tail_items = items[2:]
+            else:
+                head = [rec0] if rec0 is not None else []
+                tail_items = items[1:]
             rest = self.replay_pipelined(
-                items[1:], read_ahead=read_ahead,
+                tail_items, read_ahead=read_ahead,
                 evolution_plan=evolution_plan,
                 collect_metrics=collect_metrics, stage_ahead=stage_ahead)
-            return ([rec0] if rec0 is not None else []) + rest
+            return head + rest
         if read_ahead <= 0:
             out = []
             for b, thunk in items:

@@ -119,3 +119,76 @@ def test_kafka_source_real_connector_when_present(spark):
     assert src.isStreaming
     cols = set(src.columns)
     assert {"topic", "partition", "offset", "key", "value"} <= cols
+
+
+# ---------------- opt-in real-connector integration (VERDICT r4 #7) ----
+
+
+_REAL_JAR = "SPARK_GRAFT_KAFKA_JAR"        # path(s) for spark.jars
+_REAL_BOOTSTRAP = "SPARK_GRAFT_KAFKA_BOOTSTRAP"  # host:port of a broker
+
+_INTEGRATION_SCRIPT = r'''
+import os, sys
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
+from embulk_output_databricks_spark.session import build_session
+from embulk_output_databricks_spark.sources.kafka_tail import (
+    encode_kafka_frame, kafka_source, parse_change_events)
+from embulk_output_databricks_spark.synth import synth_binlog
+
+spark = build_session(
+    "kafka-itest",
+    extra_conf={"spark.jars": os.environ["SPARK_GRAFT_KAFKA_JAR"]})
+src = kafka_source(spark, "localhost:9092", "itest")  # lazy: no broker yet
+assert src.isStreaming
+assert {"topic", "partition", "offset", "key", "value",
+        "timestamp", "timestampType"} <= set(src.columns)
+print("CONNECTOR_OK")
+
+bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+if bootstrap:
+    # full round trip through a real topic: batch kafka sink -> batch
+    # kafka source -> parse -> compare with the original events
+    topic = "spark_graft_itest"
+    ev = synth_binlog(spark, 500, 60, 500, delete_frac=0.1)
+    (encode_kafka_frame(ev, topic=topic).selectExpr(
+        "key", "value", "topic")
+     .write.format("kafka")
+     .option("kafka.bootstrap.servers", bootstrap).save())
+    back = (spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest").load())
+    got = sorted((r["seq_lsn"], r["event_id"])
+                 for r in parse_change_events(back).collect())
+    want = sorted((r["seq_lsn"], r["event_id"]) for r in ev.collect())
+    assert got[-len(want):] == want, (len(got), len(want))
+    print("ROUNDTRIP_OK")
+spark.stop()
+'''
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_KAFKA_JAR" not in __import__("os").environ,
+    reason="opt-in: set SPARK_GRAFT_KAFKA_JAR=/path/to/spark-sql-kafka "
+           "uber-jar (and optionally SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port "
+           "for the broker round trip)")
+def test_kafka_real_connector_integration():
+    """Opt-in end-to-end leg (VERDICT r4 #7): with the connector jar named
+    by $SPARK_GRAFT_KAFKA_JAR, a FRESH JVM (subprocess — jars cannot be
+    added to the running test JVM) resolves the real kafka source and, when
+    $SPARK_GRAFT_KAFKA_BOOTSTRAP also names a broker, round-trips one topic
+    end-to-end: encode_kafka_frame -> kafka batch sink -> kafka batch
+    source -> parse_change_events, content equality on the binlog."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_REPO"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", _INTEGRATION_SCRIPT],
+                       capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "CONNECTOR_OK" in r.stdout
+    if os.environ.get(_REAL_BOOTSTRAP):
+        assert "ROUNDTRIP_OK" in r.stdout

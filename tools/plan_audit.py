@@ -75,6 +75,7 @@ AUDITED = [
     "cdc_merge_fileprune",
     "cdc_nested_evolution",
     "cdc_join_maintenance",
+    "cdc_scd2",
     # top-cost bench queries (VERDICT r1: plan audit must cover them) —
     # the iterative/multi-commit ones audit the FINAL df's plan, the cost
     # being rounds/commits rather than any single bad plan, but a surprise
@@ -127,6 +128,24 @@ def summarize(plan: str) -> dict:
     }
 
 
+def merge_sections(text: str, sections: dict[str, list[str]],
+                   audited: list[str] = AUDITED) -> str:
+    """Splice re-audited `## name` sections into an existing PLANS.md,
+    leaving every section that was not re-run intact (VERDICT r4 #8 —
+    subset invocations must never truncate the file). Known names keep
+    AUDITED order; unknown ones append at the end."""
+    parts = re.split(r"(?m)^## ", text)
+    header = parts[0]
+    chunks = {p.split("\n", 1)[0].strip(): "## " + p.rstrip("\n")
+              for p in parts[1:]}
+    for nm, sec in sections.items():
+        chunks[nm] = "\n".join(sec)
+    ordered = [n for n in audited if n in chunks] + \
+              [n for n in chunks if n not in audited]
+    body = "\n\n".join(chunks[n] for n in ordered)
+    return header.rstrip("\n") + "\n\n" + body + "\n"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or AUDITED
@@ -154,6 +173,7 @@ def main():
     ]
     from embulk_output_databricks_spark.plans import audit_tap
 
+    sections: dict[str, list[str]] = {}
     for name in only:
         # inner-plan tap: iterative/multi-commit queries (components
         # rounds, per-batch replay merges) run their expensive plans
@@ -182,22 +202,22 @@ def main():
         # AQE's toString prints Final AND Initial plans — audit the final
         plan = plan.split("== Initial Plan ==")[0]
         s = summarize(plan)
-        lines.append(f"## {name}")
-        lines.append(f"- joins: {', '.join(s['joins']) or 'none'}")
+        sec = [f"## {name}"]
+        sec.append(f"- joins: {', '.join(s['joins']) or 'none'}")
         ex = s["exchanges"]
-        lines.append(f"- shuffles: {len(ex)} ({', '.join(sorted(set(ex))) or '-'})")
-        lines.append(f"- codegen spans: {s['wscg_spans']}")
+        sec.append(f"- shuffles: {len(ex)} ({', '.join(sorted(set(ex))) or '-'})")
+        sec.append(f"- codegen spans: {s['wscg_spans']}")
         if s["cached_refs"]:
-            lines.append(
+            sec.append(
                 f"- cached refs: {s['cached_refs']} (InMemoryTableScan — "
                 "ONE physical scan materializes; the FileScan below prints "
                 "once per reference)")
         from collections import Counter
         for sc, n in Counter(s["scans"]).items():
             suffix = f" (x{n})" if n > 1 else ""
-            lines.append(f"- scan: `{sc}`{suffix}")
+            sec.append(f"- scan: `{sc}`{suffix}")
         for p in s["pushed"]:
-            lines.append(f"- pushed: `{p}`")
+            sec.append(f"- pushed: `{p}`")
         inner_seen: dict[str, dict] = {}
         inner_n: dict[str, int] = {}
         for tname, tplan in taps:
@@ -207,20 +227,35 @@ def main():
                 inner_seen[tname] = summarize(
                     tplan.split("== Initial Plan ==")[0])
         for tname, ts in inner_seen.items():
-            lines.append(
+            sec.append(
                 f"- inner `{tname}` (x{inner_n[tname]}): "
                 f"joins {', '.join(ts['joins']) or 'none'}; "
                 f"shuffles {len(ts['exchanges'])}; "
                 f"codegen {ts['wscg_spans']}")
-        lines.append("")
+        sections[name] = sec
+        lines.extend(sec + [""])
         print(f"audited {name}: {len(ex)} shuffles, "
               f"joins={s['joins'] or 'none'}"
               + (f", inner={sorted(inner_seen)}" if inner_seen else ""),
               flush=True)
 
-    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
-        f.write("\n".join(lines))
-    print("wrote BENCH/PLANS.md")
+    out_path = os.path.join(REPO, "BENCH", "PLANS.md")
+    if set(only) != set(AUDITED) and os.path.exists(out_path):
+        # SUBSET run (VERDICT r4 #8): merge the re-audited sections into
+        # the existing file instead of rewriting it — a subset invocation
+        # used to silently DROP every section it didn't run, which nearly
+        # shipped a truncated PLANS.md in round 4. The full-run header
+        # (with its sf_dir note) is kept as-is.
+        with open(out_path) as f:
+            text = f.read()
+        with open(out_path, "w") as f:
+            f.write(merge_sections(text, sections))
+        print(f"merged {len(sections)} re-audited section(s) into "
+              "BENCH/PLANS.md (other sections untouched)")
+    else:
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines))
+        print("wrote BENCH/PLANS.md")
 
 
 if __name__ == "__main__":
