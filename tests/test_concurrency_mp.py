@@ -32,8 +32,10 @@ BAND = 40  # keys per writer
 
 _WRITER = r'''
 import json, os, sys, time
-sys.path.insert(0, sys.argv[6])
-warehouse, name, prefix, n, barrier, out = sys.argv[1:7][:6]
+# under `python -c`, argv[0] is '-c' and the passed args start at argv[1]:
+# warehouse name prefix n barrier out repo band
+sys.path.insert(0, sys.argv[7])
+warehouse, name, prefix, n, barrier, out = sys.argv[1:7]
 n = int(n)
 from embulk_output_databricks_spark.session import build_session
 from embulk_output_databricks_spark.sources import LakeCatalog
@@ -50,7 +52,7 @@ while not os.path.exists(barrier):
 res = []
 for i in range(n):
     rows = [(f"{prefix}{k:08d}", [k, i], 2, f"{prefix}-r{i}")
-            for k in range(int(sys.argv[7]))]
+            for k in range(int(sys.argv[8]))]
     df = spark.createDataFrame(rows, SEQUENCES_SCHEMA)
     m = merge_apply(t, df, ["doc_id"])
     res.append({"version": m.version,
