@@ -82,17 +82,23 @@ def view_schema(fact: LakeTable, dim: LakeTable, dim_cols: list[str]):
 
 def ensure_join_view(catalog, fact: LakeTable, dim: LakeTable, name: str,
                      fact_key: str, fk: str, dim_key: str,
-                     dim_cols: list[str]) -> LakeTable:
+                     dim_cols: list[str],
+                     rows_per_file: int | None = 65_536) -> LakeTable:
     """Create (or load) the view table. A fresh view is seeded by ONE full
     join of the current fact and dim states — the only full pass it will
     ever take — and stamped with both consumed versions; every later step
-    is incremental from those watermarks."""
+    is incremental from those watermarks. The view is sort-ordered on the
+    fact key with bounded file size so the maintenance MERGE's file-level
+    pruning has narrow per-file bounds — without it every sync rewrites
+    the whole view regardless of churn size (same measurement as
+    ensure_scd2's docstring)."""
     if catalog.table_exists(name):
         return catalog.load(name)
     schema = view_schema(fact, dim, dim_cols)
     t = catalog.create_table(name, schema, n_buckets=fact.manifest().n_buckets,
                              bucket_key=fact_key,
                              properties={"merge_keys": fact_key})
+    t.set_sort_order([fact_key], rows_per_file=rows_per_file)
     va, vb = fact.current_version(), dim.current_version()
     fa = fact.read(version=va).alias("A")
     db = dim.read(version=vb).select(
@@ -106,7 +112,7 @@ def ensure_join_view(catalog, fact: LakeTable, dim: LakeTable, name: str,
 
 def sync_join_view(fact: LakeTable, dim: LakeTable, view: LakeTable,
                    fact_key: str, fk: str, dim_key: str,
-                   dim_cols: list[str]):
+                   dim_cols: list[str], strategy: str = "cow"):
     """Advance the view to both sources' current versions — exactly once,
     crash-safe: the two consumed-version watermarks ride the SAME snapshot
     commit as the MERGE, so a crash anywhere re-derives precisely the
@@ -115,7 +121,13 @@ def sync_join_view(fact: LakeTable, dim: LakeTable, view: LakeTable,
     the changed-key set is small — per-file bloom/bounds skipping makes it
     a point lookup on a fact table clustered or bloom-indexed on the fk —
     and falls back to one semi-joined scan otherwise. Returns the new
-    manifest, or None when both sources are already consumed."""
+    manifest, or None when both sources are already consumed.
+
+    strategy: 'cow' (default) rewrites the view files holding churned
+    keys — O(matched files) with the view's sort order when churn has
+    key locality; 'mor' appends the staged rows as delta files — write
+    cost O(churn) even for key-scattered churn (read() resolves winners
+    per fact_key; compact() folds deltas on the maintenance cadence)."""
     props = view.manifest().properties
     if UPTO_A_PROP not in props or UPTO_B_PROP not in props:
         raise ValueError(f"{view.name}: not a maintained join view")
@@ -174,6 +186,11 @@ def sync_join_view(fact: LakeTable, dim: LakeTable, view: LakeTable,
     try:
         if staged.isEmpty():
             return view.update_properties(new_props)
+        if strategy == "mor":
+            from ..plans.merge import merge_apply_mor
+            return merge_apply_mor(view, staged, keys=[fact_key],
+                                   support_deletes=True,
+                                   properties=new_props)
         return merge_apply(view, staged, keys=[fact_key],
                            support_deletes=True, properties=new_props)
     finally:

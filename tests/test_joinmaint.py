@@ -134,3 +134,31 @@ def test_watermarks_ride_commits(spark, warehouse):
     m2 = _sync(fact, dim, view)
     assert m2.properties["join_upto_dim"] == str(dim.current_version())
     assert _state(view) == _recompute(fact, dim)
+
+
+def test_sync_mor_strategy_equivalence_and_write_amp(spark, warehouse):
+    """strategy='mor' appends the sync's staged rows as delta files —
+    O(churn) written, zero rewritten — and read() resolves to exactly the
+    COW-synced (and full-recompute) state, deletes included."""
+    cat, fact, dim, view = _setup(spark, warehouse)
+    # churn both sides + a fact delete (op-column envelope)
+    fop = T.StructType(list(FACT.fields) + [T.StructField("op",
+                                                          T.StringType())])
+    merge_apply(fact, spark.createDataFrame(
+        [(5, "d1", "v5x", "U"), (21, "d2", "v21", "U"),
+         (7, "d1", None, "D")], fop), keys=["k"])
+    merge_apply(dim, spark.createDataFrame(
+        [("d0", 200)], DIM), keys=["dk"])
+    m = sync_join_view(fact, dim, view, "k", "fk", "dk", ["code"],
+                       strategy="mor")
+    assert m is not None
+    assert _state(view) == _recompute(fact, dim)
+    last = view.snapshots().orderBy(F.desc("version")).limit(1).collect()[0]
+    assert last["removed_rows"] == 0  # pure delta append
+    # the view carries its sort order from creation (file-prune aid)
+    assert view.manifest().properties.get("sort_order")
+    # a second, COW sync after more churn still converges
+    merge_apply(fact, spark.createDataFrame(
+        [(0, "d1", "v0x")], FACT), keys=["k"])
+    sync_join_view(fact, dim, view, "k", "fk", "dk", ["code"])
+    assert _state(view) == _recompute(fact, dim)

@@ -296,3 +296,35 @@ def test_scd2_schema_validation(spark, warehouse):
     assert [f.name for f in s.fields][-3:] == [VALID_FROM, VALID_TO,
                                                IS_CURRENT]
     assert "op" not in [f.name for f in s.fields]  # envelope consumed
+
+
+def test_scd2_mor_strategy_equivalence_and_write_amp(spark, warehouse):
+    """strategy='mor' appends the fold as delta files — write cost
+    O(batch) with ZERO rewritten rows even when the touched keys are
+    scattered across every file — and read() resolves to exactly the
+    COW-maintained state. Also pins the sort order ensure_scd2 now sets:
+    without it a COW apply rewrote the whole history regardless of batch
+    size (round-5 measurement: 5k docs into 805k rows = 805k rewritten)."""
+    rows1 = [(k, 10, k, f"a{k}", "U") for k in range(200)]
+    rows2 = [(k, 20, 1000 + k, f"b{k}", "U") for k in range(0, 200, 7)]
+    cat = LakeCatalog(spark, warehouse)
+    cow = ensure_scd2(cat, "cow", SCHEMA, keys=["k"], ts_col="ts",
+                      n_buckets=2)
+    mor = ensure_scd2(cat, "mor", SCHEMA, keys=["k"], ts_col="ts",
+                      n_buckets=2)
+    # sort order is set at creation (metadata commit, advisory)
+    assert cow.manifest().properties.get("sort_order")
+    for tbl, strat in ((cow, "cow"), (mor, "mor")):
+        scd2_apply(tbl, _df(spark, rows1), keys=["k"], ts_col="ts",
+                   tie_col="tie", strategy=strat)
+        scd2_apply(tbl, _df(spark, rows2), keys=["k"], ts_col="ts",
+                   tie_col="tie", strategy=strat)
+    assert _state(cow) == _state(mor) == sorted(_oracle(rows1 + rows2))
+    # MOR batch 2: appended only, nothing rewritten
+    last = mor.snapshots().orderBy(F.desc("version")).limit(1).collect()[0]
+    assert last["removed_rows"] == 0
+    # 29 closed rows re-keyed + 29 new versions
+    assert last["added_rows"] == 2 * len(rows2)
+    # and current-state reads still resolve winners per (k, tie)
+    cur = {r["k"]: r["v"] for r in scd2_current(mor).collect()}
+    assert cur[0] == "b0" and cur[1] == "a1"
