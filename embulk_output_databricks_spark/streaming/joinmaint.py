@@ -191,8 +191,14 @@ def sync_join_view(fact: LakeTable, dim: LakeTable, view: LakeTable,
             return merge_apply_mor(view, staged, keys=[fact_key],
                                    support_deletes=True,
                                    properties=new_props)
+        # predictive=False: the view is seeded by one full join (a huge
+        # first write), and the full-swap predictor keys off the
+        # previous merge — a diff-sized sync right after it would be
+        # mispredicted into an unpruned full-view rewrite. Syncs are
+        # diff-sized by construction.
         return merge_apply(view, staged, keys=[fact_key],
-                           support_deletes=True, properties=new_props)
+                           support_deletes=True, properties=new_props,
+                           predictive=False)
     finally:
         if d_a is not None:
             d_a.unpersist()

@@ -171,8 +171,14 @@ def scd2_apply(tbl: LakeTable, batch: DataFrame, keys: list[str],
         from ..plans.merge import merge_apply_mor
         return merge_apply_mor(tbl, staged, keys=keys + [tie_col],
                                properties=props)
+    # predictive=False: the full-swap predictor keys off the PREVIOUS
+    # merge's size, and a history is typically seeded by huge folds —
+    # the first small diff batch after one would be mispredicted into an
+    # unpruned full-table rewrite. SCD2 folds are diff-sized by
+    # construction (never the steady-large-batch regime the predictor
+    # serves), so the pre-pass is always worth its one job here.
     return merge_apply(tbl, staged, keys=keys + [tie_col],
-                       properties=props)
+                       properties=props, predictive=False)
 
 
 def scd2_current(tbl: LakeTable) -> DataFrame:
