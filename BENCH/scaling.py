@@ -207,7 +207,9 @@ def main() -> None:
         eff = agg[b]["events_per_sec"] / ((b / a) * agg[a]["events_per_sec"])
         pairs.append({"N": a, "4N": b, "efficiency": round(eff, 3),
                       "pass": eff >= 0.8})
-    headline = pairs[0]
+    # a single-level invocation (e.g. topping up one level's samples)
+    # yields no pair: still record the level's numbers, never crash
+    headline = pairs[0] if pairs else {"efficiency": None, "pass": None}
     out = {
         "protocol": (f"identical spark-submit job at local[{args.levels}] "
                      f"cores, {args.repeats} repeats each, same input; "
